@@ -1,0 +1,649 @@
+"""Driver-facing query catalog: one entry per implemented operator class
+from SURVEY.md §2, expressed over the driver's generic tables
+(TESTDATA.md), each with an exact DuckDB oracle-SQL twin.
+
+Conventions for hash-stable oracle parity:
+- every computed column is aliased identically in Spark and SQL;
+- money aggregates go through DecimalType (exact, engine-independent) —
+  never raw double sums;
+- float-derived scores are computed in double on both sides and rounded;
+- top-k queries always carry a deterministic tie-break key.
+
+Entries whose algorithm is not ANSI-SQL-expressible (MinHash-LSH,
+SimHash, hyperplane-LSH ANN — they depend on Spark's xxhash64 family)
+register no oracle and get the driver's rows-only check; their
+correctness is covered by dedicated pytest oracles instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .operators import dedup, similarity
+from .sources.tables import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _dec(col, p=18, s=2):
+    return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(
+        f"decimal({p},{s})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (scan + filter + groupBy agg).
+# GroupBy does not exist in the reference (SURVEY §2.4) — this demonstrates
+# the engine going beyond parity while staying decimal-exact for the oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q02_projection_range_scan",  # P1+P5+W1: GetAllBlockNumbersInRange analog
+    "SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 1000 AND 1200 ORDER BY o_orderkey",
+)
+def q02(spark, sf):
+    return (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey").between(1000, 1200))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q03_point_lookup",  # P4+W3: GetBlockByHash analog (PK point read)
+    "SELECT * FROM orders WHERE o_orderkey = 32",
+)
+def q03(spark, sf):
+    return load_table(spark, sf, "orders").filter(F.col("o_orderkey") == 32).limit(1)
+
+
+@register(
+    "q04_time_range_scan",  # P6: GetBlocksByTimeRange analog
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+    """,
+)
+def q04(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp_ntz"))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "q05_equality_filter",  # P7: from/to/origin equality analog
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R'",
+)
+def q05(spark, sf):
+    return (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "q06_inequality_filter",  # P8: contract <> '' analog
+    "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment <> 'BUILDING'",
+)
+def q06(spark, sf):
+    return (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") != "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "q07_composite_key_lookup",  # P9: (blockhash, index) composite PK analog
+    "SELECT * FROM lineitem WHERE l_orderkey = 7 AND l_linenumber = 1",
+)
+def q07(spark, sf):
+    return load_table(spark, sf, "lineitem").filter(
+        (F.col("l_orderkey") == 7) & (F.col("l_linenumber") == 1)
+    )
+
+
+@register(
+    "q08_positional_array_match",  # P11: element_at(topics,k)==v analog
+    """
+    SELECT doc_id, text FROM documents
+    WHERE len(regexp_split_to_array(text, '\\s+')) > 1
+      AND regexp_split_to_array(text, '\\s+')[2] = 'agg'
+    """,
+)
+def q08(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return doc.filter(
+        (F.size(toks) > 1) & (F.element_at(toks, 2) == "agg")
+    ).select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q09_broadcast_join_number_range",  # J1+P2: fact ⋈ small dim by key range
+    """
+    SELECT l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey >= 500 AND o.o_orderkey <= 700
+    """,
+)
+def q09(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey").between(500, 700))
+    return li.join(
+        F.broadcast(o.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "inner",
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "q10_broadcast_join_time_range",  # J2: window on the dim's time column
+    """
+    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_extendedprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+    """,
+)
+def q10(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-02-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return li.join(
+        F.broadcast(o.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "inner",
+    ).select("l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "q11_count_over_join_range",  # A2: COUNT over join + range (6-variant family)
+    """
+    SELECT count(*) AS "count"
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+    """,
+)
+def q11(spark, sf):
+    return q10(spark, sf).agg(F.count(F.lit(1)).alias("count"))
+
+
+@register(
+    "q12_semi_join",  # J4: scalar-subquery semi-join analog
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q12(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    urgent = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return li.join(
+        urgent, li["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q13_anti_join_missing_keys",  # J6: FindMissingBlocksInRange analog
+    """
+    SELECT t.id AS missing_key FROM generate_series(0, 1499) t(id)
+    WHERE t.id NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    ORDER BY missing_key
+    """,
+)
+def q13(spark, sf):
+    o = load_table(spark, sf, "orders")
+    expected = spark.range(0, 1500).select(F.col("id").alias("missing_key"))
+    present = o.select(F.col("o_custkey").alias("missing_key")).distinct()
+    return expected.join(present, "missing_key", "left_anti").orderBy("missing_key")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_minmaxcount",  # A3+A4+A5: sync-state aggregates in one pass
+    """
+    SELECT min(o_orderkey) AS oldest, max(o_orderkey) AS head, count(*) AS total
+    FROM orders
+    """,
+)
+def q14(spark, sf):
+    return load_table(spark, sf, "orders").agg(
+        F.min("o_orderkey").alias("oldest"),
+        F.max("o_orderkey").alias("head"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+@register(
+    "q15_filtered_count",  # A1: COUNT(*) with predicate
+    'SELECT count(*) AS "count" FROM lineitem WHERE l_discount >= 0.05',
+)
+def q15(spark, sf):
+    return (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_discount") >= 0.05)
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+@register(
+    "q16_sync_progress",  # A6: percent-complete derivation
+    """
+    SELECT count(*) AS block_count, max(o_orderkey) AS head,
+           count(*) / (max(o_orderkey) + 1) * 100 AS progress_pct
+    FROM orders
+    """,
+)
+def q16(spark, sf):
+    agg = load_table(spark, sf, "orders").agg(
+        F.count(F.lit(1)).alias("block_count"), F.max("o_orderkey").alias("head")
+    )
+    return agg.select(
+        "block_count",
+        "head",
+        (F.col("block_count") / (F.col("head") + 1) * 100).alias("progress_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k / sort / window (SURVEY §2.5 + beyond-parity window functions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_global_topk_join",  # J5+W2: GetLastXEventsFromContract analog
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+)
+def q17(spark, sf):
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_window_rank",  # beyond parity: ranking window function
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal, rn FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def q18(spark, sf):
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_hex_encode",  # F1: 0x-prefixed lowercase hex encoding
+    """
+    SELECT doc_id, concat('0x', lower(hex(substr(text, 1, 16)))) AS hexpfx
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q19(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return doc.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.concat(
+            F.lit("0x"), F.lower(F.hex(F.substring(F.col("text"), 1, 16)))
+        ).alias("hexpfx"),
+    )
+
+
+@register(
+    "q20_decimal_cast",  # F4: big-number decimal parse/cast
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q20(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey", _dec("o_totalprice").alias("total_dec")
+    )
+
+
+@register(
+    "q21_case_insensitive_match",  # F6: lower(a)==lower(b) matching
+    "SELECT c_custkey FROM customer WHERE lower(c_mktsegment) = 'building'",
+)
+def q21(spark, sf):
+    return (
+        load_table(spark, sf, "customer")
+        .filter(F.lower(F.col("c_mktsegment")) == "building")
+        .select("c_custkey")
+    )
+
+
+@register(
+    "q22_prefix_match",  # F7: string prefix/length guardrail checks
+    "SELECT doc_id FROM documents WHERE text LIKE 'the %'",
+)
+def q22(spark, sf):
+    return (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").startswith("the "))
+        .select("doc_id")
+    )
+
+
+@register(
+    "q23_json_extract",  # F8/F9: JSON shaping of rows
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events WHERE event_id < 500
+    """,
+)
+def q23(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantics, batch-expressible (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q24_depth_gate",  # T2: confirmation-depth finality watermark analog
+    """
+    SELECT event_type, count(*) AS confirmed_count FROM events
+    WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    GROUP BY event_type
+    """,
+)
+def q24(spark, sf):
+    ev = load_table(spark, sf, "events")
+    head = ev.agg(F.max("ts").alias("_head"))
+    return (
+        ev.join(F.broadcast(head))
+        .filter(F.col("ts") <= F.col("_head") - F.expr("INTERVAL 1 HOUR"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("confirmed_count"))
+    )
+
+
+@register(
+    "q25_publish_once_dedup",  # T5: publish-once dedup analog
+    """
+    SELECT user_id, event_type, min(event_id) AS first_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q25(spark, sf):
+    return (
+        load_table(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (SURVEY steering: dedup / similarity /
+# text analysis over documents + embeddings)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q26_dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(text), '[^A-Za-z0-9\\s]', '', 'g')) AS fp,
+           min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q26(spark, sf):
+    return dedup.exact_duplicates(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+@register("q27_dedup_minhash_lsh", None)  # xxhash64 family — no SQL oracle
+def q27(spark, sf):
+    return dedup.minhash_near_duplicates(
+        load_table(spark, sf, "documents"), "doc_id", "text", jaccard_threshold=0.4
+    )
+
+
+@register("q28_dedup_simhash", None)  # xxhash64 family — no SQL oracle
+def q28(spark, sf):
+    return dedup.simhash_near_duplicates(
+        load_table(spark, sf, "documents"), "doc_id", "text", max_hamming=8
+    )
+
+
+@register(
+    "q29_token_stats_by_lang",
+    """
+    SELECT lang, count(*) AS n_docs,
+           sum(len(regexp_split_to_array(text, '\\s+'))) AS total_tokens,
+           sum(length(text)) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q29(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("total_tokens"),
+        F.sum(TX.char_count("text")).alias("total_chars"),
+    )
+
+
+@register(
+    "q30_quality_metrics",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q30(spark, sf):
+    doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    m = TX.quality_metrics("text")
+    return doc.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_chars"].alias("n_chars"),
+        m["n_punct"].alias("n_punct"),
+    )
+
+
+@register(
+    "q31_lang_id",
+    # same stopword-argmax heuristic, spelled in SQL; profile order
+    # en > de > es > fr is the tie-break on both sides
+    """
+    WITH hits AS (
+      SELECT doc_id,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('the','and','of','to','in','is','that','for'))) AS en,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('der','die','und','das','ist','nicht','ein','mit'))) AS de,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('el','la','de','que','y','los','en','un'))) AS es,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('le','la','et','les','des','est','une','dans'))) AS fr
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN greatest(en,de,es,fr) = 0 THEN 'und'
+           WHEN en = greatest(en,de,es,fr) THEN 'en'
+           WHEN de = greatest(en,de,es,fr) THEN 'de'
+           WHEN es = greatest(en,de,es,fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+)
+def q31(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return doc.select("doc_id", TX.lang_guess("text").alias("lang_pred"))
+
+
+@register(
+    "q32_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^A-Za-z0-9\\s]', '', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q32(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return doc.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+def _query_vec(spark, sf) -> list[float]:
+    row = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "q33_ann_cosine_bruteforce",
+    """
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS score
+    FROM embeddings
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def q33(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf), k=10, round_digits=4
+    )
+
+
+@register("q34_ann_cosine_lsh", None)  # hyperplane family — no SQL oracle
+def q34(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.lsh_cosine_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf), k=10
+    )
+
+
+@register("q35_embedding_near_dup", None)
+def q35(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.embedding_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.8
+    )
+
+
+@register(
+    "q36_bpe_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s])')) AS n_bpe_tokens
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q36(spark, sf):
+    doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return doc.select("doc_id", TX.bpe_ish_token_count("text").alias("n_bpe_tokens"))

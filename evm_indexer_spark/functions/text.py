@@ -1,0 +1,92 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All are native Column expressions (codegen'd, no Python UDFs): token
+counting, quality metrics, n-gram language heuristic, and document
+fingerprinting. Each has an exact ANSI-SQL twin used by the DuckDB
+oracle (see ``driver_queries``), so correctness is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+}
+
+PUNCT_CLASS = r"[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (regex split — multi-space safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_count(col: Column | str) -> Column:
+    """Count of non-alphanumeric, non-space characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def stopword_hits(col: Column | str, words: list[str]) -> Column:
+    """How many tokens fall in *words* (lowercased)."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_metrics(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword quality signals per document."""
+    n_tok = token_count(col)
+    n_chars = char_count(col)
+    n_punct = punct_count(col)
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "n_punct": n_punct,
+        "punct_ratio": n_punct / n_chars,
+        "stopword_ratio": stopword_hits(col, LANG_PROFILES["en"]) / n_tok,
+    }
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Stopword-profile language heuristic: argmax of per-language hit
+    counts; no hits at all → 'und'. Deterministic tie-break by the fixed
+    profile order en > de > es > fr."""
+    hits = {lang: stopword_hits(col, ws) for lang, ws in LANG_PROFILES.items()}
+    best = F.greatest(*hits.values())
+    guess = F.lit("und")
+    # reversed so that earlier profiles win ties via later .when overwrite
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PROFILES:  # first match wins in a when-chain
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the lowercased text with
+    punctuation stripped (whitespace preserved). Stable across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(c), PUNCT_CLASS, ""))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Approximate subword token count: words + digits + punctuation
+    runs — a BPE-ish regex proxy usable for budget accounting."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"), 1)
+    return F.size(pieces)

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- ``cosine_topk`` — brute-force exact cosine top-k against one query
+  vector. Scan-shaped: per-row native expression + TakeOrdered top-k, no
+  shuffle; the baseline and the verification oracle.
+- ``lsh_cosine_topk`` — random-hyperplane LSH (sign bucket) as the scale
+  path: at 100 TB the bucket filter prunes the scan to ~1/2^bits of the
+  corpus before scoring; the hyperplanes are seeded-deterministic so
+  results are reproducible.
+
+Scoring stays JVM-side: zip_with + aggregate fold for the dot product
+(embedding dims are small; whole-stage codegen handles this well).
+Embedding-cosine near-duplicate detection reuses the same primitives.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_similarity(vec_col: Column | str, query: list[float]) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    q = _vec_lit(query)
+    return _dot(c, q) / (_norm(c) * _norm(q))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k (deterministic tie-break by id).
+
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject: each partition
+    keeps its local top-k, the driver merges — no global sort.
+    """
+    score = cosine_similarity(vec_col, query)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Seeded random hyperplanes (reproducible across runs/engines)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bucket id: bit i = (vec · plane_i) >= 0."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(_dot(c, _vec_lit(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit.cast("long"), i))
+    return bucket
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    max_probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only rows whose LSH bucket is
+    within *max_probe_hamming* bits of the query's bucket (multi-probe).
+
+    At scale, materialize the bucket as a partition/cluster column at
+    ingestion so this probe becomes partition pruning instead of a
+    filtered scan.
+    """
+    planes = hyperplanes(len(query), n_planes, seed)
+    qdf_bucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            qdf_bucket |= 1 << i
+    bucket = lsh_bucket(vec_col, planes)
+    probe = F.bit_count(bucket.bitwiseXOR(F.lit(qdf_bucket))) <= max_probe_hamming
+    return cosine_topk(df.filter(probe), id_col, vec_col, query, k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket self-join then exact
+    cosine verification inside buckets — the all-pairs O(n²) never runs."""
+    sample_dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(sample_dim, n_planes, seed)
+    withb = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", lsh_bucket("v", planes))
+    a, b = withb.alias("a"), withb.alias("b")
+    pair_cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(pair_cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
