@@ -1,0 +1,124 @@
+"""Streaming ingestion pipeline (SURVEY §2.8 T1-T7, §3.3).
+
+The reference's block-processor queue — unconfirmed fetch → publish →
+insert → depth-gated confirm, with retry/dedup bookkeeping
+(``app/queue/queue.go:333-605``) — collapses on Spark into:
+
+- a Structured Streaming ``readStream`` over the raw-block landing zone
+  (file source here; a Kafka header topic in production) feeding
+- one ``foreachBatch`` handler that normalizes, upserts with
+  replace-by-number (reorg-safe, see ``store``), and emits
+  notification rows exactly once (publish log anti-join = T5), plus
+- a depth-gate view for finality (T2) and a scheduled gap-repair job
+  reusing the J6 anti-join (T7).
+
+Checkpointing replaces the hand-rolled two-phase state machine: a
+replayed micro-batch re-runs the idempotent upsert and the publish-log
+anti-join drops already-sent notifications.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..operators.sync import find_missing_blocks_in_range
+from ..sources.normalize import (
+    RAW_BLOCK_SCHEMA,
+    normalize_blocks,
+    normalize_events,
+    normalize_transactions,
+)
+from .store import BlockStore
+
+
+def process_raw_batch(
+    store: BlockStore, raw: DataFrame, batch_id: int = 0
+) -> DataFrame:
+    """One micro-batch: normalize → dedup → upsert → publish-once.
+
+    Returns the notification rows actually published this batch (block
+    numbers+hashes not seen in the publish log — T5 semantics,
+    queue.go:155-189). Duplicate header delivery inside or across
+    batches is a no-op.
+    """
+    raw = raw.dropDuplicates(["number", "hash"])  # duplicate header delivery
+    blocks = normalize_blocks(raw)
+    txs = normalize_transactions(raw)
+    events = normalize_events(raw)
+
+    store.upsert_batch(blocks, txs, events)
+
+    fresh = blocks.select("number", "hash").join(
+        store.published(), ["number", "hash"], "left_anti"
+    )
+    # eager lineage cut: the plan reads the publish log we are about to
+    # append to — without materializing first, a later re-evaluation would
+    # see its own append and report nothing as fresh
+    fresh = fresh.localCheckpoint(eager=True)
+    store.mark_published(fresh)
+    return fresh
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store: BlockStore,
+    checkpoint_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> StreamingQuery:
+    """File-source streaming ingest: JSON block docs dropped into
+    *landing_dir* flow through ``process_raw_batch`` under a checkpoint.
+
+    T1's gap/regression detection is delegated to the T7 repair job
+    (`repair_gaps`) rather than crashing the stream — a deliberate
+    divergence documented in SURVEY §2.8 (listener.go:57-61 crashes on
+    gap; a 1000-executor stream should heal instead).
+    """
+    raw_stream = (
+        spark.readStream.schema(RAW_BLOCK_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(landing_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        process_raw_batch(store, batch_df, batch_id)
+
+    return (
+        raw_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def confirmed_blocks(
+    blocks: DataFrame, latest: int | None = None, depth: int | None = None
+) -> DataFrame:
+    """T2 finality gate: block is confirmed iff latest - number >= depth
+    (CanBeConfirmed, app/queue/queue.go:320-328).
+
+    With ``latest=None`` the head is derived from the table itself via a
+    broadcast scalar join (no driver round-trip).
+    """
+    d = DEFAULT_CONFIG.block_confirmations if depth is None else depth
+    if latest is not None:
+        return blocks.filter(F.lit(latest) - F.col("number") >= d)
+    head = blocks.agg(F.max("number").alias("_head"))
+    return (
+        blocks.join(F.broadcast(head))
+        .filter(F.col("_head") - F.col("number") >= d)
+        .drop("_head")
+    )
+
+
+def repair_gaps(
+    spark: SparkSession, store: BlockStore, frm: int, to: int
+) -> DataFrame:
+    """T7 gap repair: the J6 anti-join over the expected range — returns
+    the numbers to refetch (SyncMissingBlocksInDB, syncer.go:152-207)."""
+    return find_missing_blocks_in_range(spark, store.blocks(), frm, to)

@@ -1,0 +1,154 @@
+"""Reorg-safe partitioned block store (SURVEY S8-S11, §7 risk 2).
+
+The reference persists each block in one Postgres transaction — insert
+block, upsert txs/events, and on a same-number/different-hash conflict
+cascade-delete the old version first (``StoreBlock``,
+``app/db/block.go:24-106``; cascade decl ``model.go:31-32,73``).
+
+Spark-first equivalent: the three tables are parquet directories
+partitioned by ``bucket = number // BLOCK_BUCKET_SIZE``. A micro-batch
+upsert rewrites only the touched buckets: surviving rows = existing rows
+whose ``number`` is NOT being replaced, plus the new rows — an idempotent
+read-merge-overwrite keyed on block number, re-runnable from a streaming
+checkpoint (at-least-once delivery collapses to exactly-once state).
+Reorgs fall out naturally: the new block at a number replaces the old
+one, and txs/events of the replaced block disappear with it (the cascade
+delete, expressed relationally).
+
+At 100 TB this stays bounded: a micro-batch touches O(new-blocks /
+bucket-size) partitions, and dynamic partition overwrite
+(``partitionOverwriteMode=dynamic``) leaves every other bucket untouched.
+On a Delta/Iceberg deployment the same logic is a three-table MERGE; the
+bucket layout and number-keyed replacement are identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import BLOCK_BUCKET_SIZE, BLOCKS_SCHEMA, EVENTS_SCHEMA, TRANSACTIONS_SCHEMA
+
+_SCHEMAS = {
+    "blocks": BLOCKS_SCHEMA,
+    "transactions": TRANSACTIONS_SCHEMA,
+    "events": EVENTS_SCHEMA,
+}
+
+
+def bucket_of(number_col):
+    return (number_col / BLOCK_BUCKET_SIZE).cast("long")
+
+
+class BlockStore:
+    """Three bucket-partitioned parquet tables + a tiny publish log."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def read(self, table: str) -> DataFrame:
+        path = self._path(table)
+        if not os.path.isdir(path):
+            schema = _SCHEMAS[table].add("bucket", "long")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def blocks(self) -> DataFrame:
+        return self.read("blocks").drop("bucket")
+
+    def transactions(self) -> DataFrame:
+        return self.read("transactions").drop("bucket")
+
+    def events(self) -> DataFrame:
+        return self.read("events").drop("bucket")
+
+    # -- upsert ------------------------------------------------------------
+
+    def upsert_batch(
+        self, blocks: DataFrame, txs: DataFrame, events: DataFrame
+    ) -> None:
+        """Atomically-enough replace-by-number for one micro-batch.
+
+        Write order blocks→txs→events matches the reference's FK order;
+        a crash between table writes is healed by re-running the batch
+        (idempotent) or by the gap-repair job (T7).
+        """
+        blocks = blocks.withColumn("bucket", bucket_of(F.col("number")))
+        # map each fact row to its block's bucket/number via the batch's
+        # own blocks (every tx/event in a batch belongs to a batch block)
+        key = blocks.select(
+            F.col("hash").alias("_bh"), F.col("number").alias("_num"), "bucket"
+        )
+        txs = txs.join(key, txs["blockhash"] == key["_bh"], "inner").drop("_bh")
+        events = events.join(key, events["blockhash"] == key["_bh"], "inner").drop(
+            "_bh"
+        )
+
+        replaced = blocks.select(F.col("number").alias("_num")).distinct()
+        touched = [r[0] for r in blocks.select("bucket").distinct().collect()]
+
+        self._rewrite(
+            "blocks",
+            touched,
+            blocks,
+            lambda existing: existing.join(
+                replaced, existing["number"] == replaced["_num"], "left_anti"
+            ),
+        )
+        # cascade-delete semantics: a surviving fact row is one whose parent
+        # block hash still exists in the (just-rewritten) touched buckets
+        def keep_children(existing: DataFrame) -> DataFrame:
+            parents = (
+                self.read("blocks")
+                .filter(F.col("bucket").isin(touched))
+                .select(F.col("hash").alias("_kh"))
+            )
+            return existing.join(
+                F.broadcast(parents),
+                existing["blockhash"] == F.col("_kh"),
+                "left_semi",
+            )
+
+        for table, batch in (("transactions", txs), ("events", events)):
+            self._rewrite(table, touched, batch.drop("_num"), keep_children)
+
+    def _rewrite(self, table: str, buckets: list[int], new_rows: DataFrame, keep_fn):
+        """Overwrite the touched buckets with keep_fn(existing) ∪ new."""
+        path = self._path(table)
+        cols = [f.name for f in _SCHEMAS[table]] + ["bucket"]
+        if os.path.isdir(path):
+            existing = self.spark.read.parquet(path).filter(
+                F.col("bucket").isin(buckets)
+            )
+            survivors = keep_fn(existing).select(*cols)
+            merged = survivors.unionByName(new_rows.select(*cols))
+        else:
+            merged = new_rows.select(*cols)
+        (
+            merged.repartition("bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+
+    # -- publish log (T5 publish-once) -------------------------------------
+
+    def published(self) -> DataFrame:
+        path = self._path("_published")
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame(
+                [], "number long, hash string"
+            )
+        return self.spark.read.parquet(path)
+
+    def mark_published(self, rows: DataFrame) -> None:
+        rows.select("number", "hash").write.mode("append").parquet(
+            self._path("_published")
+        )

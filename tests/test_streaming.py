@@ -1,0 +1,270 @@
+"""Streaming-path tests (SURVEY §5.3): reorg replace, publish-once,
+depth gating, gap repair, subscription wildcard matrices, and an
+end-to-end file-source stream with checkpoint."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.functions.topics import (
+    event_subscription_match,
+    tx_subscription_match,
+)
+from evm_indexer_spark.sources.normalize import (
+    RAW_BLOCK_SCHEMA,
+    normalize_blocks,
+    normalize_events,
+    normalize_transactions,
+)
+from evm_indexer_spark.streaming.ingest import (
+    confirmed_blocks,
+    process_raw_batch,
+    repair_gaps,
+    start_ingest_stream,
+)
+from evm_indexer_spark.streaming.store import BlockStore
+
+
+def raw_block(number: int, salt: str = "", n_tx: int = 2) -> dict:
+    h = lambda tag: "0x" + f"{tag}{number}{salt}".ljust(64, "a")[:64]
+    txs = []
+    for i in range(n_tx):
+        creating = i == 1
+        txs.append(
+            {
+                "hash": h(f"tx{i}"),
+                "from": "0x" + f"F{i}".ljust(40, "0")[:40],
+                "to": None if creating else "0x" + f"E{i}".ljust(40, "0")[:40],
+                "contractAddress": ("0x" + "C".ljust(40, "0")[:40]) if creating else None,
+                "value": str(10**19 + number),
+                "input": "0xdeadbeef" if i == 0 else "0x",
+                "gas": 21000 + i,
+                "gasPrice": "1000000000",
+                "nonce": number * 10 + i,
+                "status": 1,
+                "logs": [
+                    {
+                        "index": i,
+                        "address": "0x" + "AB".ljust(40, "0")[:40],
+                        "topics": [h("TOPIC0"), h("TOPIC1")],
+                        "data": "0x00ff",
+                    }
+                ],
+            }
+        )
+    return {
+        "hash": h("blk"),
+        "number": number,
+        "timestamp": 1_600_000_000 + 2 * number,
+        "parentHash": h("blkparent"),
+        "difficulty": "1000000",
+        "gasUsed": 12345,
+        "gasLimit": 30_000_000,
+        "nonce": number,
+        "miner": "0x" + "M".ljust(40, "0")[:40],
+        "size": 1000.0,
+        "stateRoot": h("sroot"),
+        "sha3Uncles": h("uroot"),
+        "transactionsRoot": h("troot"),
+        "receiptsRoot": h("rroot"),
+        "extraData": "0xff00",
+        "transactions": txs,
+    }
+
+
+def raw_df(spark, docs):
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([json.dumps(d) for d in docs]),
+        schema=RAW_BLOCK_SCHEMA,
+    )
+
+
+def make_raw(spark, docs):
+    return spark.read.schema(RAW_BLOCK_SCHEMA).json(
+        spark.sparkContext.parallelize([json.dumps(d) for d in docs])
+    )
+
+
+class TestNormalize:
+    def test_blocks(self, spark):
+        b = normalize_blocks(make_raw(spark, [raw_block(7)])).collect()[0]
+        assert b["number"] == 7
+        assert b["time"] == 1_600_000_014
+        assert b["nonce"] == "0x7"
+        assert b["extradata"] == b"\xff\x00"
+        assert b["hash"].startswith("0xblk7")
+
+    def test_tx_contract_creation_branch(self, spark):
+        rows = normalize_transactions(make_raw(spark, [raw_block(7)])).collect()
+        normal = [r for r in rows if r["to"] != ""][0]
+        creation = [r for r in rows if r["to"] == ""][0]
+        # to/contract mutually exclusive (pack_tx.go:16-48)
+        assert normal["contract"] == "" and normal["to"] != ""
+        assert creation["contract"].startswith("0xc") and creation["to"] == ""
+        assert normal["data"] == b"\xde\xad\xbe\xef"
+        # cost = gas*gasprice + value in exact decimal
+        assert int(normal["cost"]) == 21000 * 1_000_000_000 + 10**19 + 7
+
+    def test_events_lowercase_topics(self, spark):
+        rows = normalize_events(make_raw(spark, [raw_block(7)])).collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert r["origin"] == r["origin"].lower()
+            assert all(t == t.lower() for t in r["topics"])
+        assert rows[0]["data"] == b"\x00\xff"
+
+
+class TestStore:
+    def test_upsert_and_reorg_replace(self, spark, tmp_path):
+        store = BlockStore(spark, str(tmp_path / "store"))
+        batch1 = make_raw(spark, [raw_block(n) for n in range(5)])
+        process_raw_batch(store, batch1)
+        assert store.blocks().count() == 5
+        assert store.transactions().count() == 10
+        assert store.events().count() == 10
+
+        old_hash3 = store.blocks().filter(F.col("number") == 3).first()["hash"]
+
+        # reorg: block 3 replaced by a different hash with 3 txs
+        batch2 = make_raw(spark, [raw_block(3, salt="REORG", n_tx=3)])
+        process_raw_batch(store, batch2)
+
+        blocks = store.blocks()
+        assert blocks.count() == 5  # replaced, not appended
+        new3 = blocks.filter(F.col("number") == 3).collect()
+        assert len(new3) == 1 and new3[0]["hash"] != old_hash3
+        # cascade: old block-3 children gone, new ones present (S10)
+        txs = store.transactions()
+        assert txs.filter(F.col("blockhash") == old_hash3).count() == 0
+        assert txs.filter(F.col("blockhash") == new3[0]["hash"]).count() == 3
+        assert txs.count() == 8 + 3
+        assert store.events().filter(F.col("blockhash") == old_hash3).count() == 0
+
+    def test_publish_once(self, spark, tmp_path):
+        store = BlockStore(spark, str(tmp_path / "store"))
+        batch = make_raw(spark, [raw_block(n) for n in range(3)])
+        fresh1 = process_raw_batch(store, batch)
+        assert fresh1.count() == 3
+        # duplicate delivery (restart / re-announce) publishes nothing (T5)
+        fresh2 = process_raw_batch(store, batch)
+        assert fresh2.count() == 0
+        # a reorged block at a known number IS re-published (new hash)
+        fresh3 = process_raw_batch(
+            store, make_raw(spark, [raw_block(1, salt="R")])
+        )
+        assert fresh3.count() == 1
+
+
+class TestFinalityAndRepair:
+    def test_depth_gate(self, spark, tmp_path):
+        store = BlockStore(spark, str(tmp_path / "store"))
+        process_raw_batch(store, make_raw(spark, [raw_block(n) for n in range(10)]))
+        confirmed = confirmed_blocks(store.blocks(), depth=3)
+        assert sorted(r["number"] for r in confirmed.collect()) == list(range(7))
+        # explicit latest overrides the derived head (queue.go:320-328)
+        confirmed2 = confirmed_blocks(store.blocks(), latest=20, depth=3)
+        assert confirmed2.count() == 10
+
+    def test_gap_repair(self, spark, tmp_path):
+        store = BlockStore(spark, str(tmp_path / "store"))
+        docs = [raw_block(n) for n in range(10) if n not in (4, 7)]
+        process_raw_batch(store, make_raw(spark, docs))
+        missing = repair_gaps(spark, store, 0, 9)
+        assert [r["number"] for r in missing.collect()] == [4, 7]
+
+
+class TestStreamEndToEnd:
+    def test_file_source_ingest(self, spark, tmp_path):
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        store = BlockStore(spark, str(tmp_path / "store"))
+        ckpt = str(tmp_path / "ckpt")
+
+        with open(landing / "b1.json", "w") as f:
+            for n in range(4):
+                f.write(json.dumps(raw_block(n)) + "\n")
+
+        q = start_ingest_stream(spark, str(landing), store, ckpt)
+        q.awaitTermination(120)
+        assert store.blocks().count() == 4
+
+        # second tranche incl. a reorg of block 2; checkpoint resumes
+        with open(landing / "b2.json", "w") as f:
+            f.write(json.dumps(raw_block(2, salt="R")) + "\n")
+            f.write(json.dumps(raw_block(4)) + "\n")
+        q2 = start_ingest_stream(spark, str(landing), store, ckpt)
+        q2.awaitTermination(120)
+        blocks = store.blocks()
+        assert blocks.count() == 5
+        assert blocks.filter(F.col("number") == 2).first()["hash"].startswith("0xblk2r")
+
+
+class TestSubscriptionFilters:
+    """Wildcard matrices mirroring README.md:560-689 of the reference."""
+
+    @pytest.fixture(scope="class")
+    def txdf(self, spark):
+        return spark.createDataFrame(
+            [
+                ("0xAAA1", "0xBBB1"),
+                ("0xaaa1", "0xccc2"),
+                ("0xDDD3", ""),
+            ],
+            "fromaddr string, toaddr string",
+        )
+
+    def test_tx_wildcard_both(self, txdf):
+        assert txdf.filter(tx_subscription_match("fromaddr", "toaddr", "*", "*")).count() == 3
+
+    def test_tx_fixed_from_case_insensitive(self, txdf):
+        got = txdf.filter(tx_subscription_match("fromaddr", "toaddr", "0xAaA1", "*"))
+        assert got.count() == 2
+
+    def test_tx_fixed_both(self, txdf):
+        got = txdf.filter(
+            tx_subscription_match("fromaddr", "toaddr", "0xaaa1", "0xBBB1")
+        )
+        assert got.count() == 1
+
+    def test_tx_contract_creation_to_matches_only_wildcard(self, txdf):
+        assert (
+            txdf.filter(tx_subscription_match("fromaddr", "toaddr", "0xDDD3", "0xccc2")).count()
+            == 0
+        )
+        assert (
+            txdf.filter(tx_subscription_match("fromaddr", "toaddr", "0xddd3", "*")).count()
+            == 1
+        )
+
+    @pytest.fixture(scope="class")
+    def evdf(self, spark):
+        return spark.createDataFrame(
+            [
+                ("0xC1", ["0xT0", "0xT1"]),
+                ("0xC1", ["0xT0"]),
+                ("0xc2", []),
+            ],
+            "origin string, topics array<string>",
+        )
+
+    def test_event_all_wildcards(self, evdf):
+        pat = ["*", "*", "*", "*", "*"]
+        assert evdf.filter(event_subscription_match("origin", "topics", pat)).count() == 3
+
+    def test_event_contract_only(self, evdf):
+        pat = ["0xc1", "*", "*", "*", "*"]
+        assert evdf.filter(event_subscription_match("origin", "topics", pat)).count() == 2
+
+    def test_event_contract_topic0(self, evdf):
+        pat = ["0xC1", "0xt0", "*", "*", "*"]
+        assert evdf.filter(event_subscription_match("origin", "topics", pat)).count() == 2
+
+    def test_event_positional_out_of_range(self, evdf):
+        # topic1 fixed: the single-topic event must NOT match
+        # (subscription.go:84-86 out-of-range semantics)
+        pat = ["*", "*", "0xT1", "*", "*"]
+        assert evdf.filter(event_subscription_match("origin", "topics", pat)).count() == 1
