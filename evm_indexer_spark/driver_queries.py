@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as TX
-from .operators import dedup, similarity
+from .operators import dedup, multimodal, similarity
 from .sources.tables import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -647,3 +647,81 @@ def q35(spark, sf):
 def q36(spark, sf):
     doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
     return doc.select("doc_id", TX.bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (operators/multimodal.py): media as opaque
+# binary + typed metadata; decode stubbed (no codec libs in container),
+# Spark plumbing real. q37/q39 have exact arithmetic oracles; q38's byte
+# histogram runs through mapInPandas (Arrow) — rows-only check.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q37_media_metadata",
+    """
+    SELECT doc_id,
+      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+           WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      octet_length(encode(text)) AS n_bytes,
+      64 + (doc_id * 3) % 448 AS width,
+      64 + (doc_id * 7) % 448 AS height,
+      1 + doc_id % 16 AS n_frames,
+      CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS BIGINT) AS sample_rate
+    FROM documents
+    """,
+)
+def q37(spark, sf):
+    return multimodal.media_metadata(load_table(spark, sf, "documents"))
+
+
+@register("q38_media_byte_histogram", None)  # Arrow mapInPandas — no SQL oracle
+def q38(spark, sf):
+    media = multimodal.synthesize_media(load_table(spark, sf, "documents"))
+    return multimodal.extract_byte_histogram(media)
+
+
+@register(
+    "q39_video_frame_offsets",
+    """
+    WITH v AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             1 + doc_id % 16 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT doc_id, i AS frame_idx,
+           i * (n_bytes // n_frames) AS frame_off,
+           n_bytes // n_frames AS frame_len
+    FROM v, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
+    """,
+)
+def q39(spark, sf):
+    media = multimodal.synthesize_media(load_table(spark, sf, "documents"))
+    return multimodal.frame_offsets(media)
+
+
+@register(
+    "q40_jaccard_all_pairs",
+    # exact mirror of shingle_rows(n=3) + pairwise Jaccard >= 0.5
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(
+        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+') AS t
+      FROM documents WHERE doc_id < 500
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+             ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def q40(spark, sf):
+    doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return dedup.jaccard_all_pairs(doc, "doc_id", "text", threshold=0.5)

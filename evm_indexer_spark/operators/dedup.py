@@ -317,3 +317,40 @@ def ngram_jaccard_pairs(
         shingle_n=shingle_n,
         jaccard_threshold=threshold,
     )
+
+
+def jaccard_all_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via a shingle self-join.
+
+    Shape: distinct (id, shingle) rows → equi-join on the shingle →
+    per-pair intersection counts → |A∪B| = |A|+|B|−|A∩B|. The join
+    shuffles on the shingle key, so very common shingles are skew — at
+    100 TB this is the *verification* stage over an LSH-bounded subset
+    (``minhash_near_duplicates``), never a whole-corpus operation.
+    Output: (id_a, id_b, jaccard double rounded to 4) with id_a < id_b.
+    """
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
