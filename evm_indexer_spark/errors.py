@@ -13,3 +13,7 @@ class ValidationError(EngineError):
 
 class RangeTooWideError(ValidationError):
     """Range guardrail exceeded — RangeChecker, app/common/common.go:66-84."""
+
+
+class NotFoundError(EngineError):
+    """Empty result — reference REST 404 branches (app/rest/rest.go:106 etc.)."""

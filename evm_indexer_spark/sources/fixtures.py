@@ -155,7 +155,9 @@ def generate_evm_fixtures(
                 if dmode == 0:
                     data = b""
                 elif dmode == 1:
-                    data = b"\x00" * 64  # JSON-empty special case, event.go:33
+                    # one zero 32-byte ABI word → hex "0"*64 → JSON-empty
+                    # special case, event.go:33
+                    data = b"\x00" * 32
                 else:
                     data = bytes.fromhex(_h(seed, "ed", number, ti, ei))[:32]
                 ev_cols["blockhash"].append(bhash)
