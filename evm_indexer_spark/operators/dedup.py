@@ -51,15 +51,20 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def shingle_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct (id, shingle) rows via posexplode + window leads.
+    """(id, shingle) rows via posexplode + window leads.
 
     This shape stays fully codegen'd (split/explode/lead/concat are all
     native) and the window's hash-partition by id both parallelizes the
     computation and pre-distributes rows for the downstream signature
     aggregate. Documents shorter than *n* tokens contribute their whole
     text as a single shingle (same semantics as ``shingles``).
+
+    ``distinct=True`` gives set semantics (required for Jaccard sizes /
+    intersections) at the price of a full extra shuffle; min-aggregation
+    is idempotent to duplicates, so the MinHash signature path passes
+    ``False`` and skips that shuffle entirely.
     """
     from pyspark.sql import Window as W
 
@@ -81,24 +86,35 @@ def shingle_rows(
         df.select(F.col(id_col).alias("id"), F.concat_ws(" ", _norm_tokens(F.col(text_col))).alias("s"))
         .filter(F.size(_norm_tokens(F.col(text_col))) < n)
     )
-    return full.unionByName(short).distinct()
+    out = full.unionByName(short)
+    return out.distinct() if distinct else out
+
+
+def _derive_hash(h: Column, k: int) -> Column:
+    """k-th member of the hash family: rehash the base 64-bit hash with
+    the member index. Hashing a fixed-width long is a handful of
+    multiply-rotate steps in codegen — unlike re-hashing the shingle
+    string K times — and avoids wrapping-multiply arithmetic that ANSI
+    mode (Spark 4 default) rejects."""
+    return F.xxhash64(h, F.lit(k))
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """K independent minhashes: min over shingles of xxhash64(shingle, seed_k).
+    """K minhashes per row: min over shingles of a_k*xxhash64(s)+b_k.
 
-    xxhash64 is a JVM-native 64-bit hash; distinct seeds give the
-    independent hash family. Returns array<bigint> of length K.
+    One JVM-native string xxhash64 per shingle; the K-family rehashes
+    that fixed-width long — constant-time per member instead of K full
+    string hashes, keeping runtime and generated whole-stage code small.
+    Returns array<bigint> of length K.
 
     Per-row expression form — fine for ad-hoc use on narrow data; the
     dedup pipeline uses the explode/groupBy form in
     ``_minhash_signatures`` which partial-aggregates map-side.
     """
+    hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(k)))
-            )
+            F.array_min(F.transform(hashes, lambda h: _derive_hash(h, k)))
             for k in range(num_hashes)
         ]
     )
@@ -107,16 +123,21 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
 def _minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
 ) -> DataFrame:
-    """(id, sig array<bigint>[K]) via explode → K min aggregates.
+    """(id, sig array<bigint>[K]) via explode → base hash → K min aggregates.
 
     Scale shape: one narrow shuffle keyed by id with map-side combine
-    (each task pre-mins its local shingles), instead of evaluating a
-    K×|shingles| expression tree per row. Hashing happens once per
-    (shingle, k) in whole-stage codegen.
+    (each task pre-mins its local shingles). The string xxhash64 runs
+    once per shingle; each family member rehashes that fixed-width long,
+    so the K aggregate expressions stay small in both generated code and
+    per-row work. Duplicate shingles are left in (min is idempotent),
+    saving the set-dedup shuffle.
     """
-    exploded = shingle_rows(df, id_col, text_col, shingle_n)
+    exploded = shingle_rows(df, id_col, text_col, shingle_n, distinct=False).withColumn(
+        "h0", F.xxhash64("s")
+    )
     mins = [
-        F.min(F.xxhash64("s", F.lit(k))).alias(f"h{k}") for k in range(num_hashes)
+        F.min(_derive_hash(F.col("h0"), k)).alias(f"h{k}")
+        for k in range(num_hashes)
     ]
     agg = exploded.groupBy("id").agg(*mins)
     return agg.select(
@@ -159,15 +180,11 @@ def minhash_near_duplicates(
     jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    # one shingle materialization feeds both the signature aggregate and
-    # the verification joins — the most expensive narrow stage runs once
-    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
-    mins = [F.min(F.xxhash64("s", F.lit(k))).alias(f"h{k}") for k in range(num_hashes)]
-    sig = (
-        sh.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig"))
-    )
+    # signatures in one fused pass (shingle explode → K min aggregates);
+    # corpus-wide shingles are never materialized or cached — verification
+    # recomputes shingles only for the LSH candidates, whose count is
+    # bounded by band selectivity, not corpus size
+    sig = _minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     # slim banded table: (id, band, band_hash) — 16 bytes/row through the
     # bucket shuffle; shingle arrays are NOT carried here
     banded = sig.select(
@@ -213,7 +230,10 @@ def minhash_near_duplicates(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_c = sh.join(cand_ids, "id", "left_semi")
+    docs_c = df.join(
+        cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    sh_c = shingle_rows(docs_c, id_col, text_col, shingle_n)
     sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh_c.withColumnRenamed("id", "id_a"), "id_a")
@@ -246,18 +266,20 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.explode(_norm_tokens(F.col(text_col))).alias("t"),
     ).withColumn("h", F.xxhash64("t"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v{i}")
+    # per-bit +1/-1 voting expressed as popcount vs total: the bit-i vote
+    # sum is 2*ones_i - n, positive iff 2*ones_i > n. Summing the bare
+    # extracted bit keeps each aggregate a single shift-and-add — far
+    # smaller generated code than 64 conditional aggregates.
+    ones = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"o{i}")
         for i in range(64)
     ]
-    agg = toks.groupBy("id").agg(*votes)
+    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *ones)
     sig = F.lit(0).cast("long")
     for i in range(64):
         bit = F.when(
-            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            F.col(f"o{i}") * 2 > F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
     return agg.select("id", sig.alias("sig"))
@@ -273,23 +295,46 @@ def simhash_near_duplicates(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    n_blocks: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs bucketed by signature prefix.
+    """SimHash near-dup pairs via multi-block bucketing.
 
-    The prefix bucket bounds the self-join (at most one of the 4 16-bit
-    blocks must match exactly for hamming <= 3 — we use the top block as
-    a recall-oriented single probe; multi-probe is a straightforward
-    extension by unioning the 4 block buckets).
+    Each signature is exploded into ``n_blocks`` (block_idx, block_value)
+    bucket keys; candidates are pairs sharing any block verbatim, then
+    verified by full hamming distance. By pigeonhole this is *exact* for
+    ``max_hamming < n_blocks`` (some block must be untouched) and
+    high-recall beyond. The bucket join shuffles slim
+    (id, sig, blk, value) rows on a uniform key — candidate blow-up is
+    confined to within-bucket groups, same shape as the MinHash band
+    join.
     """
-    sigs = simhash_signatures(df, id_col, text_col).withColumn(
-        "bucket", F.shiftrightunsigned("sig", 64 - prefix_bits)
-    )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    assert 64 % n_blocks == 0
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(df, id_col, text_col)
+    bucketed = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("sig", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.blk", "bb.bv")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -297,6 +342,7 @@ def simhash_near_duplicates(
             F.col("b.id").alias("id_b"),
             hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
 
