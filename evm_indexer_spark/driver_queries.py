@@ -624,7 +624,8 @@ def q33(spark, sf):
 def q34(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return similarity.lsh_cosine_topk(
-        emb, "vec_id", "embedding", _query_vec(spark, sf), k=10
+        emb, "vec_id", "embedding", _query_vec(spark, sf), k=10,
+        max_probe_hamming=2,
     )
 
 
@@ -725,3 +726,11 @@ def q39(spark, sf):
 def q40(spark, sf):
     doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
     return dedup.jaccard_all_pairs(doc, "doc_id", "text", threshold=0.5)
+
+
+@register("q41_ann_ivf", None)  # KMeans coarse quantizer — no SQL oracle
+def q41(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", _query_vec(spark, sf), k=10, n_lists=8, nprobe=3
+    )

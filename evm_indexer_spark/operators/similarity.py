@@ -98,22 +98,31 @@ def lsh_cosine_topk(
     k: int = 10,
     n_planes: int = 8,
     max_probe_hamming: int = 1,
+    n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: score only rows whose LSH bucket is
-    within *max_probe_hamming* bits of the query's bucket (multi-probe).
+    """Approximate cosine top-k: a row is a candidate when, in ANY of
+    *n_tables* independent hyperplane tables, its sign bucket is within
+    *max_probe_hamming* bits of the query's (OR-construction + multi-
+    probe — the standard recall amplifier for angular LSH; one table
+    alone concentrates weak-margin neighbors poorly).
 
-    At scale, materialize the bucket as a partition/cluster column at
-    ingestion so this probe becomes partition pruning instead of a
-    filtered scan.
+    All tables evaluate in a single scan pass (one boolean expression).
+    At scale, materialize the table-0 bucket as a partition/cluster
+    column at ingestion so the dominant probe becomes partition pruning,
+    with the remaining tables as in-partition filters.
     """
-    planes = hyperplanes(len(query), n_planes, seed)
-    qdf_bucket = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query, p)) >= 0:
-            qdf_bucket |= 1 << i
-    bucket = lsh_bucket(vec_col, planes)
-    probe = F.bit_count(bucket.bitwiseXOR(F.lit(qdf_bucket))) <= max_probe_hamming
+    probe = F.lit(False)
+    for t in range(n_tables):
+        planes = hyperplanes(len(query), n_planes, seed + t)
+        q_bucket = 0
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(query, p)) >= 0:
+                q_bucket |= 1 << i
+        bucket = lsh_bucket(vec_col, planes)
+        probe = probe | (
+            F.bit_count(bucket.bitwiseXOR(F.lit(q_bucket))) <= max_probe_hamming
+        )
     return cosine_topk(df.filter(probe), id_col, vec_col, query, k)
 
 
@@ -149,3 +158,93 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+# -- IVF (inverted-file) index: the cluster-routed scale path ---------------
+
+
+def ivf_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Partition the corpus into *n_lists* KMeans cells (pyspark.ml,
+    seeded) — the IVF coarse quantizer.
+
+    Returns (assigned, centroids): *assigned* is the corpus with a
+    ``list_id`` column; *centroids* a driver-side list of vectors (tiny:
+    n_lists × dim floats). At 100 TB, write *assigned* partitioned by
+    ``list_id`` so probes become partition pruning; the quantizer is fit
+    on a sample, not the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_features"),
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_features"
+    ).fit(feat)
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "list_id")
+        .drop("_features")
+    )
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_probe_lists(query: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    """Rank cells by query-to-centroid cosine, driver-side (centroid set
+    is tiny by construction)."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(query, centroids[i]))
+    return ranked[:nprobe]
+
+
+def ivf_cosine_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search only the *nprobe* closest cells, exact cosine inside them.
+
+    The filter is an IN-list on ``list_id`` — partition pruning when the
+    corpus is stored partitioned by cell; recall is tunable via nprobe
+    (nprobe = n_lists degenerates to brute force).
+    """
+    probe = ivf_probe_lists(query, centroids, nprobe)
+    cell = assigned.filter(F.col("list_id").isin(probe))
+    return cosine_topk(cell, "id", "v", query, k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Build-and-search convenience for the query catalog; real
+    deployments build once (``ivf_build``) and search many times."""
+    assigned, centroids = ivf_build(df, id_col, vec_col, n_lists, seed)
+    return ivf_cosine_topk(assigned, centroids, query, k, nprobe)

@@ -1,0 +1,73 @@
+"""ANN operator recall: hyperplane-LSH and IVF against exact brute force
+on the driver embeddings table."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.operators import similarity
+from evm_indexer_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def exact10(emb, query):
+    return [r["vec_id"] for r in similarity.cosine_topk(emb, "vec_id", "embedding", query, k=10).collect()]
+
+
+def test_bruteforce_self_first(exact10):
+    assert exact10[0] == 0  # the query vector itself, cosine 1.0
+
+
+def test_ivf_recall(emb, query, exact10):
+    got = [
+        r["id"]
+        for r in similarity.ivf_topk(
+            emb, "vec_id", "embedding", query, k=10, n_lists=8, nprobe=3
+        ).collect()
+    ]
+    # nprobe=3/8 cells must still retrieve most true neighbors
+    assert len(set(got) & set(exact10)) >= 6
+    assert got[0] == 0
+
+
+def test_ivf_full_probe_is_exact(emb, query, exact10):
+    assigned, centroids = similarity.ivf_build(emb, "vec_id", "embedding", n_lists=8)
+    got = [
+        r["id"]
+        for r in similarity.ivf_cosine_topk(
+            assigned, centroids, query, k=10, nprobe=8
+        ).collect()
+    ]
+    assert got == exact10  # probing every cell degenerates to brute force
+
+
+def test_ivf_deterministic(emb, query):
+    a = [r["id"] for r in similarity.ivf_topk(emb, "vec_id", "embedding", query, k=5).collect()]
+    b = [r["id"] for r in similarity.ivf_topk(emb, "vec_id", "embedding", query, k=5).collect()]
+    assert a == b
+
+
+def test_lsh_recall(emb, query, exact10):
+    got = [
+        r["vec_id"]
+        for r in similarity.lsh_cosine_topk(
+            emb, "vec_id", "embedding", query, k=10, max_probe_hamming=2
+        ).collect()
+    ]
+    assert got[0] == 0
+    assert len(set(got) & set(exact10)) >= 6  # 4-table OR-construction
