@@ -60,3 +60,41 @@ def backfill_chunks(frm: int, to: int, step: int = 10_000) -> list[tuple[int, in
         chunks.append((lo, hi))
         lo = hi + 1
     return chunks
+
+
+class FibonacciBackoff:
+    """Retry pacing for failed block fetches (T4).
+
+    Replicates ``queue.go:30-56``: the delay advances to the next
+    Fibonacci number by golden-ratio multiply-and-round, modulo-capped
+    at 3600 s, resets to 1 s on success, and a block may be attempted
+    once its waiting phase has elapsed. Clock is injected for testing.
+
+    In the Spark engine this paces the *driver-side* refetch scheduler
+    that feeds repair batches (T7); task-level retries inside a job stay
+    with Spark's own retry policy.
+    """
+
+    GOLDEN = (1.0 + 5.0**0.5) / 2.0
+    CAP_SECONDS = 3600
+
+    def __init__(self, now=None) -> None:
+        import time as _time
+
+        self._now = now or (lambda: _time.time())
+        self.delay = 1.0
+        self.last_attempted = float("-inf")
+
+    def set_delay(self) -> None:
+        """Advance to the next Fibonacci number (queue.go:33-35)."""
+        self.delay = float(int(round(self.delay * self.GOLDEN)) % self.CAP_SECONDS)
+
+    def reset_delay(self) -> None:
+        self.delay = 1.0
+
+    def set_last_attempted(self) -> None:
+        self.last_attempted = self._now()
+
+    def can_attempt(self) -> bool:
+        """True once the waiting phase has elapsed (queue.go:50-56)."""
+        return self._now() > self.last_attempted + self.delay
