@@ -734,3 +734,82 @@ def q41(spark, sf):
     return similarity.ivf_topk(
         emb, "vec_id", "embedding", _query_vec(spark, sf), k=10, n_lists=8, nprobe=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time analytics over the driver `events` stream table — tumbling
+# windows, gap sessionization, JSON prop extraction. These are the batch
+# twins of the Structured Streaming operators (streaming/windows.py);
+# identical expressions run under readStream with a watermark.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q42_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q42(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "q43_session_window",
+    # 30-minute-gap sessions per user (gaps-and-islands in SQL; Spark uses
+    # the native session_window operator)
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q43(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+@register(
+    "q44_json_props",
+    """
+    SELECT event_type, round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q44(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("long")), 4
+        ).alias("avg_k")
+    )

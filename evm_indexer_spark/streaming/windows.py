@@ -1,0 +1,81 @@
+"""Event-time windowed aggregation with watermarks (Structured Streaming).
+
+The reference's only time-based streaming construct is the
+confirmation-depth gate (T2); these operators extend the engine with the
+standard event-time toolkit a stream of chain or product events needs at
+scale: tumbling-window aggregates and gap-based sessionization, with a
+watermark bounding both state size and late-data acceptance. The same
+expressions run in batch (driver catalog q42/q43) — one definition, two
+execution modes.
+
+State-size note: with watermark delay W and window width T, the store
+holds O(W/T) windows per group key — bounded regardless of stream
+length; without the watermark, state grows forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type; rows older than the
+    watermark are dropped from aggregation state."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based session aggregation per user (native session_window —
+    state merges as events arrive, closes once the watermark passes).
+
+    Streaming sinks must use ``append`` output mode (sessions emit only
+    when the watermark closes them; Spark rejects ``update`` here).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id", F.session_window(ts_col, gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+def start_to_memory(
+    agg: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> StreamingQuery:
+    """Run a windowed aggregate into an in-memory sink (tests/dev)."""
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
