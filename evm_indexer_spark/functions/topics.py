@@ -32,10 +32,13 @@ def topic_match(topics_col: Column | str, topic_map: dict[int, str]) -> Column:
     c = F.col(topics_col) if isinstance(topics_col, str) else topics_col
     pred = F.lit(True)
     for k, v in sorted(topic_map.items()):
-        # element_at is 1-based and yields NULL when out of bounds; the
-        # size guard makes the out-of-range case an explicit non-match.
-        pred = pred & (F.size(c) > k) & (
-            F.lower(F.element_at(c, k + 1)) == F.lit(v.lower())
+        # F.get is 0-based and yields NULL out of bounds regardless of
+        # ANSI mode (element_at under ANSI throws, and a size-guard
+        # conjunct is not guaranteed to short-circuit in codegen);
+        # coalesce makes out-of-range an explicit False so the predicate
+        # is a proper boolean column, not just filter-safe.
+        pred = pred & F.coalesce(
+            F.lower(F.get(c, k)) == F.lit(v.lower()), F.lit(False)
         )
     return pred
 
@@ -87,7 +90,8 @@ def event_subscription_match(
     for k, pat in enumerate(topic_pats):
         if pat == "*":
             continue
-        pred = pred & (F.size(c) > k) & (
-            F.lower(F.element_at(c, k + 1)) == F.lit(pat.lower())
+        # F.get: 0-based, NULL out-of-bounds (ANSI-safe) → explicit False
+        pred = pred & F.coalesce(
+            F.lower(F.get(c, k)) == F.lit(pat.lower()), F.lit(False)
         )
     return pred
