@@ -61,10 +61,16 @@ def shingle_rows(
     aggregate. Documents shorter than *n* tokens contribute their whole
     text as a single shingle (same semantics as ``shingles``).
 
+    NOTE: an array-indexed form (carry the token array through the
+    explode, shingle = toks[k..k+n-1]) avoids the window's exchange+sort
+    but measured 3× SLOWER — Tungsten copies the whole array into every
+    exploded row, O(tokens²) bytes per document. The lead-window keeps
+    rows narrow.
+
     ``distinct=True`` gives set semantics (required for Jaccard sizes /
-    intersections) at the price of a full extra shuffle; min-aggregation
-    is idempotent to duplicates, so the MinHash signature path passes
-    ``False`` and skips that shuffle entirely.
+    intersections) at the price of a full shuffle; min-aggregation is
+    idempotent to duplicates, so the MinHash signature path passes
+    ``False`` and skips that shuffle.
     """
     from pyspark.sql import Window as W
 
@@ -78,12 +84,19 @@ def shingle_rows(
     leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
     full = (
         e.filter(F.col("ntok") >= n)
-        .select("id", F.concat_ws(" ", *leads).alias("s"), F.lead("t", n - 1).over(w).alias("_last"))
+        .select(
+            "id",
+            F.concat_ws(" ", *leads).alias("s"),
+            F.lead("t", n - 1).over(w).alias("_last"),
+        )
         .filter(F.col("_last").isNotNull())
         .drop("_last")
     )
     short = (
-        df.select(F.col(id_col).alias("id"), F.concat_ws(" ", _norm_tokens(F.col(text_col))).alias("s"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.concat_ws(" ", _norm_tokens(F.col(text_col))).alias("s"),
+        )
         .filter(F.size(_norm_tokens(F.col(text_col))) < n)
     )
     out = full.unionByName(short)
