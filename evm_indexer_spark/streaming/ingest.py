@@ -122,3 +122,24 @@ def repair_gaps(
     """T7 gap repair: the J6 anti-join over the expected range — returns
     the numbers to refetch (SyncMissingBlocksInDB, syncer.go:152-207)."""
     return find_missing_blocks_in_range(spark, store.blocks(), frm, to)
+
+
+def confirmed_mismatches(store: BlockStore, raw_confirmed: DataFrame) -> DataFrame:
+    """T3 confirmed re-pass: blocks whose stored hash differs from the
+    refetched doc at finality depth — the reorg check the reference does
+    with ``SimilarTo`` before replacing (``listener.go:124-148``,
+    ``model.go:41-57``, ``db/block.go:44-58``).
+
+    Returns (number, stored_hash, confirmed_hash); feeding the matching
+    raw docs back through ``process_raw_batch`` performs the replacement
+    (idempotent replace-by-number).
+    """
+    stored = store.blocks().select("number", F.lower("hash").alias("stored_hash"))
+    incoming = normalize_blocks(raw_confirmed).select(
+        "number", F.col("hash").alias("confirmed_hash")
+    )
+    return (
+        incoming.join(stored, "number", "inner")
+        .filter(F.col("stored_hash") != F.col("confirmed_hash"))
+        .select("number", "stored_hash", "confirmed_hash")
+    )

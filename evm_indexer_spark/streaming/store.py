@@ -28,6 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import BLOCK_BUCKET_SIZE, BLOCKS_SCHEMA, EVENTS_SCHEMA, TRANSACTIONS_SCHEMA
 
@@ -54,10 +55,17 @@ class BlockStore:
 
     def read(self, table: str) -> DataFrame:
         path = self._path(table)
+        # fresh StructType: .add() would mutate the shared module-level
+        # schema object in place, growing a `bucket` field per call
+        schema = T.StructType(
+            list(_SCHEMAS[table].fields) + [T.StructField("bucket", T.LongType())]
+        )
         if not os.path.isdir(path):
-            schema = _SCHEMAS[table].add("bucket", "long")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(path)
+        # explicit schema: a bucket dir that exists but holds no data
+        # files yet (empty micro-batch) must read as an empty frame, not
+        # fail schema inference
+        return self.spark.read.schema(schema).parquet(path)
 
     def blocks(self) -> DataFrame:
         return self.read("blocks").drop("bucket")
@@ -123,15 +131,18 @@ class BlockStore:
         path = self._path(table)
         cols = [f.name for f in _SCHEMAS[table]] + ["bucket"]
         if os.path.isdir(path):
-            existing = self.spark.read.parquet(path).filter(
-                F.col("bucket").isin(buckets)
-            )
+            existing = self.read(table).filter(F.col("bucket").isin(buckets))
             survivors = keep_fn(existing).select(*cols)
             merged = survivors.unionByName(new_rows.select(*cols))
         else:
             merged = new_rows.select(*cols)
+        sort_key = "number" if table == "blocks" else "blockhash"
         (
             merged.repartition("bucket")
+            # clustering within each bucket file gives parquet row-group
+            # min/max stats real selectivity for number/blockhash
+            # predicates (the reference's B-tree analog, SURVEY §4)
+            .sortWithinPartitions("bucket", sort_key)
             .write.partitionBy("bucket")
             .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -268,3 +268,43 @@ class TestSubscriptionFilters:
         # (subscription.go:84-86 out-of-range semantics)
         pat = ["*", "*", "0xT1", "*", "*"]
         assert evdf.filter(event_subscription_match("origin", "topics", pat)).count() == 1
+
+
+def test_confirmed_mismatch_detection(spark, tmp_path):
+    """T3 confirmed re-pass: a depth-confirmed refetch with a different
+    hash at a stored number is flagged; feeding it through the normal
+    batch path replaces the block."""
+    import json, os
+    from evm_indexer_spark.streaming.ingest import (
+        confirmed_mismatches,
+        process_raw_batch,
+    )
+    from evm_indexer_spark.streaming.store import BlockStore
+    from evm_indexer_spark.sources.normalize import RAW_BLOCK_SCHEMA
+
+    def raw(num, hsh):
+        return {
+            "hash": hsh, "number": num, "timestamp": 1, "parentHash": "0xp",
+            "difficulty": "1", "gasUsed": 1, "gasLimit": 1, "nonce": 1,
+            "miner": "0xm", "size": 1.0, "stateRoot": "0xs", "sha3Uncles": "0xu",
+            "transactionsRoot": "0xt", "receiptsRoot": "0xr", "extraData": "0x",
+            "transactions": [],
+        }
+
+    store = BlockStore(spark, str(tmp_path / "store"))
+    first = spark.createDataFrame(
+        [raw(1, "0xAA"), raw(2, "0xBB")], RAW_BLOCK_SCHEMA
+    )
+    process_raw_batch(store, first)
+
+    confirmed = spark.createDataFrame(
+        [raw(1, "0xAA"), raw(2, "0xCC")], RAW_BLOCK_SCHEMA  # 2 reorged
+    )
+    mism = confirmed_mismatches(store, confirmed).collect()
+    assert [(r["number"], r["stored_hash"], r["confirmed_hash"]) for r in mism] == [
+        (2, "0xbb", "0xcc")
+    ]
+    # replacement via the normal idempotent path
+    process_raw_batch(store, confirmed)
+    assert confirmed_mismatches(store, confirmed).count() == 0
+    assert store.blocks().filter("number = 2").first()["hash"] == "0xcc"
