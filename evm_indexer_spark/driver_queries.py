@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as TX
-from .operators import dedup, multimodal, similarity
+from .operators import corpus, dedup, multimodal, similarity
 from .sources.tables import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -813,3 +813,80 @@ def q44(spark, sf):
             F.avg(F.get_json_object("props", "$.k").cast("long")), 4
         ).alias("avg_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators (operators/corpus.py): engine-portable
+# md5 split hashing, text normalization, sequence packing, contamination
+# audit — each with an exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q45_hash_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 < 10
+    """,
+)
+def q45(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return corpus.hash_sample(doc, "doc_id", 10).select("doc_id", "lang")
+
+
+@register(
+    "q46_text_clean",
+    """
+    SELECT doc_id,
+      trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F]', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS clean
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q46(spark, sf):
+    doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return doc.select("doc_id", corpus.clean_text("text").alias("clean"))
+
+
+@register(
+    "q47_sequence_packing",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source, doc_id, n_tok,
+           CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def q47(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return corpus.pack_sequences(doc, "doc_id", "text", 2048, shard_col="source")
+
+
+@register(
+    "q48_split_contamination",
+    """
+    WITH s AS (
+      SELECT md5(regexp_replace(lower(text), '[^A-Za-z0-9\\s]', '', 'g')) AS fp,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 < 10
+             THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+    SELECT fp,
+           sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test,
+           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train
+    FROM s GROUP BY fp
+    HAVING n_test > 0 AND n_train > 0
+    """,
+)
+def q48(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return corpus.split_contamination(doc, "doc_id", "text", 10)

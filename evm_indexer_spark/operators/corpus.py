@@ -1,0 +1,109 @@
+"""Corpus-preparation operators for training-data pipelines: splits,
+cleaning, packing, contamination audit.
+
+All are single-pass native expressions chosen for engine-portability:
+the sampling/split hash is md5 (identical in Spark, DuckDB, and most
+warehouses) so split membership is reproducible anywhere, unlike
+xxhash64 which is Spark-specific. Every operator here has an exact SQL
+oracle in the driver catalog (q45-q48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key_col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, buckets): first 8 hex
+    digits of md5(key) mod buckets. Stable across engines and runs —
+    the property a train/test split must have."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % buckets
+
+
+def hash_sample(df: DataFrame, key_col: str, percent: int) -> DataFrame:
+    """Keep ~percent% of rows by hash bucket — reproducible sampling
+    (unlike df.sample, which depends on partitioning and seed plumbing)."""
+    return df.filter(hash_bucket(key_col) < percent)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_percent: int = 10
+) -> DataFrame:
+    """Adds a ``split`` column ('train'/'test') by hash bucket."""
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(key_col) < test_percent, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def clean_text(col: Column | str) -> Column:
+    """Training-text normalization: control chars → space, whitespace
+    collapsed, trimmed. Pure regexp — codegen-native."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_ctrl = F.regexp_replace(c, r"[\x00-\x1F]", " ")
+    return F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Mask obvious PII spans (emails, long digit runs) with typed
+    placeholders — the cheap native first pass before any model-based
+    scrubber."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(
+        c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    return F.regexp_replace(no_email, r"\d{9,}", "<NUM>")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 2048,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-budget packs by cumulative token count
+    (the chunking form of sequence packing: deterministic, one window
+    pass, no driver loop).
+
+    Scale shape: the window partitions by *shard_col* so each shard
+    packs independently in parallel — a global ORDER BY would serialize
+    the corpus through one task. Pass shard_col=None only for small
+    deterministic fixtures.
+    """
+    n_tok = F.size(F.split(F.col(text_col), r"\s+"))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(shard_col) if shard_col else W.partitionBy()
+    ).orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum(n_tok).over(w)
+    out = df.select(
+        *( [F.col(shard_col)] if shard_col else [] ),
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        F.floor((cum - n_tok) / max_tokens).cast("long").alias("pack_id"),
+    )
+    return out
+
+
+def split_contamination(
+    df: DataFrame, id_col: str, text_col: str, test_percent: int = 10
+) -> DataFrame:
+    """Contamination audit: canonical fingerprints present in BOTH train
+    and test splits (per-fingerprint counts). Empty result = clean split.
+    One groupBy over (fingerprint, split) then a pivot-style count —
+    no self-join."""
+    from ..functions.text import fingerprint
+
+    with_split = train_test_split(df, id_col, test_percent)
+    per = with_split.groupBy(fingerprint(text_col).alias("fp")).agg(
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+    )
+    return per.filter((F.col("n_test") > 0) & (F.col("n_train") > 0))

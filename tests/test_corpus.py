@@ -1,0 +1,86 @@
+"""Corpus-prep operators: split stability, packing budget, PII scrub."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.operators import corpus
+from evm_indexer_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_split_is_deterministic_and_partitions(docs):
+    a = corpus.train_test_split(docs, "doc_id", 10)
+    b = corpus.train_test_split(docs, "doc_id", 10)
+    assert a.filter("split = 'test'").count() == b.filter("split = 'test'").count()
+    assert a.count() == docs.count()
+    # ~10% ± generous tolerance
+    frac = a.filter("split = 'test'").count() / docs.count()
+    assert 0.04 < frac < 0.2
+
+
+def test_sample_is_subset_of_test_split(docs):
+    sample_ids = {r["doc_id"] for r in corpus.hash_sample(docs, "doc_id", 10).collect()}
+    test_ids = {
+        r["doc_id"]
+        for r in corpus.train_test_split(docs, "doc_id", 10)
+        .filter("split = 'test'")
+        .collect()
+    }
+    assert sample_ids == test_ids  # same hash, same buckets
+
+
+def test_packing_respects_budget(docs):
+    packed = corpus.pack_sequences(docs, "doc_id", "text", 500, shard_col="source")
+    # within each (source, pack), total tokens of all docs but the last
+    # must be < budget (the last doc may overflow the boundary)
+    agg = packed.groupBy("source", "pack_id").agg(
+        F.sum("n_tok").alias("tot"), F.max("n_tok").alias("biggest")
+    )
+    over = agg.filter(F.col("tot") - F.col("biggest") >= 500)
+    assert over.count() == 0
+    # packs are dense 0..N per shard
+    per_shard = packed.groupBy("source").agg(
+        F.min("pack_id").alias("lo"), F.countDistinct("pack_id").alias("n"),
+        F.max("pack_id").alias("hi")
+    )
+    assert per_shard.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count() == 0
+
+
+def test_scrub_pii(spark):
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk please"),
+        (2, "card 4111111111111111 and ssn 123456789"),
+        (3, "clean text with short numbers 42 and 2024"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["s"] for r in df.select("id", corpus.scrub_pii("text").alias("s")).collect()}
+    assert out[1] == "contact me at <EMAIL> please"
+    assert out[2] == "card <NUM> and ssn <NUM>"
+    assert out[3] == "clean text with short numbers 42 and 2024"
+
+
+def test_contamination_finds_planted_dup(spark):
+    rows = [(i, f"unique text number {i} padding words") for i in range(50)]
+    # plant the same text on both sides of the split: find a pair of ids
+    # landing in different splits
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in corpus.train_test_split(df, "doc_id", 10).collect()
+    }
+    test_id = next(i for i, s in splits.items() if s == "test")
+    train_id = next(i for i, s in splits.items() if s == "train")
+    rows[train_id] = (train_id, rows[test_id][1])  # duplicate content
+    df2 = spark.createDataFrame(rows, "doc_id long, text string")
+    leaked = corpus.split_contamination(df2, "doc_id", "text", 10).collect()
+    assert len(leaked) == 1 and leaked[0]["n_test"] >= 1 and leaked[0]["n_train"] >= 1
