@@ -175,7 +175,7 @@ def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
