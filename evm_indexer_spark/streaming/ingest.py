@@ -46,6 +46,10 @@ def process_raw_batch(
     queue.go:155-189). Duplicate header delivery inside or across
     batches is a no-op.
     """
+    # malformed landing docs parse to null key fields under the declared
+    # schema (PERMISSIVE mode) — drop them; the gap they leave is healed
+    # by the T7 repair job rather than poisoning the store
+    raw = raw.filter(F.col("hash").isNotNull() & F.col("number").isNotNull())
     raw = raw.dropDuplicates(["number", "hash"])  # duplicate header delivery
     blocks = normalize_blocks(raw)
     txs = normalize_transactions(raw)

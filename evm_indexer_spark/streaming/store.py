@@ -163,3 +163,24 @@ class BlockStore:
         rows.select("number", "hash").write.mode("append").parquet(
             self._path("_published")
         )
+
+    def compact_published(self) -> None:
+        """Rewrite the append-only publish log as one deduped file set.
+
+        The log grows one tiny file per micro-batch and keeps
+        reorged-away hashes forever; periodic compaction (e.g. alongside
+        the T7 repair sweep) bounds both file count and the anti-join
+        probe size. Dedup on (number, hash) preserves publish-once
+        semantics exactly.
+        """
+        path = self._path("_published")
+        if not os.path.isdir(path):
+            return
+        compacted = self.published().dropDuplicates(["number", "hash"])
+        tmp = path + "_compacting"
+        compacted.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -308,3 +308,45 @@ def test_confirmed_mismatch_detection(spark, tmp_path):
     process_raw_batch(store, confirmed)
     assert confirmed_mismatches(store, confirmed).count() == 0
     assert store.blocks().filter("number = 2").first()["hash"] == "0xcc"
+
+
+def test_publish_log_compaction(spark, tmp_path):
+    from evm_indexer_spark.streaming.store import BlockStore
+
+    store = BlockStore(spark, str(tmp_path / "s"))
+    for i in range(4):
+        store.mark_published(
+            spark.createDataFrame([(i, f"0x{i}"), (0, "0x0")], "number long, hash string")
+        )
+    assert store.published().count() == 8  # appended with duplicates
+    store.compact_published()
+    assert store.published().count() == 4  # (0..3) × unique hash
+    # publish-once still holds after compaction
+    fresh = spark.createDataFrame([(0, "0x0"), (9, "0x9")], "number long, hash string")
+    assert fresh.join(store.published(), ["number", "hash"], "left_anti").count() == 1
+
+
+def test_malformed_docs_dropped(spark, tmp_path):
+    import json, os
+    from evm_indexer_spark.sources.normalize import RAW_BLOCK_SCHEMA
+    from evm_indexer_spark.streaming.ingest import start_ingest_stream
+    from evm_indexer_spark.streaming.store import BlockStore
+
+    landing = tmp_path / "l"
+    landing.mkdir()
+    good = {
+        "hash": "0xG", "number": 7, "timestamp": 1, "parentHash": "0xp",
+        "difficulty": "1", "gasUsed": 1, "gasLimit": 1, "nonce": 1,
+        "miner": "0xm", "size": 1.0, "stateRoot": "0xs", "sha3Uncles": "0xu",
+        "transactionsRoot": "0xt", "receiptsRoot": "0xr", "extraData": "0x",
+        "transactions": [],
+    }
+    with open(landing / "b.json", "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write("this is not json at all\n")
+        f.write(json.dumps({"number": 8}) + "\n")  # missing hash
+    store = BlockStore(spark, str(tmp_path / "s"))
+    q = start_ingest_stream(spark, str(landing), store, str(tmp_path / "c"))
+    q.awaitTermination(120)
+    rows = store.blocks().collect()
+    assert [(r["number"], r["hash"]) for r in rows] == [(7, "0xg")]
