@@ -890,3 +890,30 @@ def q47(spark, sf):
 def q48(spark, sf):
     doc = load_table(spark, sf, "documents")
     return corpus.split_contamination(doc, "doc_id", "text", 10)
+
+
+@register(
+    "q49_winnowing_fingerprints",
+    # MOSS winnowing with the same portable md5-derived 60-bit hash
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(
+        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+') AS t
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id, i AS pos,
+        CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+             AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ), win AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS nsh
+      FROM sh)
+    SELECT DISTINCT doc_id AS id, fp FROM win WHERE pos <= nsh - 3
+    """,
+)
+def q49(spark, sf):
+    doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return dedup.winnow_fingerprints(doc, "doc_id", "text", shingle_n=3, window=4)

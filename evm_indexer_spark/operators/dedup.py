@@ -413,3 +413,62 @@ def jaccard_all_pairs(
         .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every shingle, keep the minimum of each *window* consecutive
+    hashes, dedup — a position-robust fingerprint set whose overlap
+    detects partial copies that whole-document fingerprints miss.
+
+    Engine-portable hashing (md5-derived 60-bit int, like
+    ``corpus.hash_bucket``) so the fingerprints — not just pair
+    decisions — are reproducible in any engine; exact SQL oracle in the
+    catalog (q49). One narrow pass + two windows over the same
+    id-partitioning, no extra shuffle. Documents shorter than
+    ``shingle_n`` tokens produce no fingerprints (nothing to window).
+    """
+    from pyspark.sql import Window as W
+
+    toks = _norm_tokens(F.col(text_col))
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("ntok"),
+        F.posexplode(toks).alias("pos", "t"),
+    )
+    w_lead = W.partitionBy("id").orderBy("pos")
+    leads = [F.col("t")] + [F.lead("t", i).over(w_lead) for i in range(1, shingle_n)]
+    sh = (
+        e.filter(F.col("ntok") >= shingle_n)
+        .select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("s"),
+            F.lead("t", shingle_n - 1).over(w_lead).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    w_min = (
+        W.partitionBy("id").orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    )
+    w_all = W.partitionBy("id")
+    return (
+        sh.select(
+            "id",
+            "pos",
+            F.min("h").over(w_min).alias("fp"),
+            F.count(F.lit(1)).over(w_all).alias("_nsh"),
+        )
+        .filter(F.col("pos") <= F.col("_nsh") - window)
+        .select("id", "fp")
+        .distinct()
+    )

@@ -94,3 +94,25 @@ def test_shingle_rows_distinct_flag(corpus):
     dist = dedup.shingle_rows(corpus, "doc_id", "text").count()
     raw = dedup.shingle_rows(corpus, "doc_id", "text", distinct=False).count()
     assert raw >= dist
+
+
+def test_winnowing_detects_partial_copy(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    partial = " ".join(f"tok{i}" for i in range(30)) + " " + " ".join(
+        f"other{i}" for i in range(30)
+    )
+    unrelated = " ".join(f"zzz{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, partial), (4, unrelated)],
+        "doc_id long, text string",
+    )
+    fps = dedup.winnow_fingerprints(df, "doc_id", "text")
+    got = fps.collect()
+    by_id: dict[int, set] = {}
+    for r in got:
+        by_id.setdefault(r["id"], set()).add(r["fp"])
+    assert by_id[1] == by_id[2]  # identical docs → identical fingerprint sets
+    overlap_partial = len(by_id[1] & by_id[3]) / len(by_id[1])
+    overlap_unrelated = len(by_id[1] & by_id[4]) / len(by_id[1])
+    assert overlap_partial > 0.3  # half-copied doc shares a big chunk
+    assert overlap_unrelated == 0.0
