@@ -16,12 +16,41 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 from evm_indexer_spark import driver_queries
 from evm_indexer_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+INGEST_BLOCKS = int(os.environ.get("SPARK_GRAFT_INGEST_BLOCKS", "4000"))
+
+
+def bench_ingest(spark) -> tuple[float, int]:
+    """Streaming-ingest throughput: raw nested docs → normalized,
+    reorg-safe, publish-once store (the whole S5-S12 path). The
+    reference's README sync run measured 23.2 blocks/s."""
+    import shutil
+
+    from evm_indexer_spark.sources.rawgen import write_landing_files
+    from evm_indexer_spark.streaming.ingest import start_ingest_stream
+    from evm_indexer_spark.streaming.store import BlockStore
+
+    root = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        landing = os.path.join(root, "landing")
+        write_landing_files(landing, INGEST_BLOCKS, n_files=8)
+        store = BlockStore(spark, os.path.join(root, "store"))
+        t0 = time.perf_counter()
+        q = start_ingest_stream(
+            spark, landing, store, os.path.join(root, "ckpt")
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        n = store.blocks().count()
+        return dt, n
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -48,6 +77,12 @@ def main() -> None:
             total += dt
             print(f"  {name}: {dt:.3f}s", file=sys.stderr)
 
+        ingest_s, ingest_n = bench_ingest(spark)
+        print(
+            f"  ingest: {ingest_n} blocks in {ingest_s:.2f}s = "
+            f"{ingest_n / ingest_s:.1f} blocks/s (reference: 23.2)",
+            file=sys.stderr,
+        )
         print(
             json.dumps(
                 {
@@ -56,6 +91,8 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf,
+                    "ingest_blocks_per_sec": round(ingest_n / ingest_s, 1),
+                    "ingest_blocks": ingest_n,
                 }
             )
         )
