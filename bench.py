@@ -62,8 +62,18 @@ def main() -> None:
         except ValueError:
             sf = sf_label
 
-        # warmup: touch the IO + codegen paths once
+        # warmup: touch the IO + codegen paths AND spin up the Arrow
+        # python-worker pool once, so per-query numbers are steady-state
+        # engine throughput rather than one-time process startup
         spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _warm(s):
+            return s
+
+        spark.range(64).select(_warm(F.col("id"))).count()
 
         timings: dict[str, float] = {}
         total = 0.0

@@ -10,9 +10,12 @@ Two tiers:
   corpus before scoring; the hyperplanes are seeded-deterministic so
   results are reproducible.
 
-Scoring stays JVM-side: zip_with + aggregate fold for the dot product
-(embedding dims are small; whole-stage codegen handles this well).
-Embedding-cosine near-duplicate detection reuses the same primitives.
+Dense vector math (cosine scores, hyperplane buckets) runs as one numpy
+matmul per Arrow batch — Spark's higher-order ``aggregate`` folds are
+interpreted and measured ~5× slower; the native-expression forms
+(``cosine_similarity``/``lsh_bucket``) remain for composing into joined
+predicates where a UDF column doesn't fit. Embedding-cosine
+near-duplicate detection reuses the same primitives.
 """
 
 from __future__ import annotations
@@ -225,7 +228,7 @@ def ivf_build(
     vec_col: str,
     n_lists: int = 16,
     seed: int = 42,
-    max_iter: int = 10,
+    max_iter: int = 5,
 ):
     """Partition the corpus into *n_lists* KMeans cells (pyspark.ml,
     seeded) — the IVF coarse quantizer.
