@@ -382,6 +382,22 @@ def _(hq, pools):
     )
 
 
+@case("events_with_topics_by_time_range")
+def _(hq, pools):
+    # query.go:547-563 — same positional semantics over the time window
+    c = pools["contracts"][2]
+    t0 = pools["sigs"][1]
+    lo, hi = BASE_TIME, BASE_TIME + 2 * 299
+    return (
+        hq.get_events_from_contract_with_topics_by_block_time_range(
+            c, lo, hi, {0: t0}
+        ),
+        f"SELECT {EVENT_SQL} FROM events e JOIN blocks b ON e.blockhash = b.hash "
+        f"WHERE e.origin = '{c}' AND b.time >= {lo} AND b.time <= {hi} "
+        f"AND len(e.topics) > 0 AND e.topics[1] = '{t0}'",
+    )
+
+
 @case("event_by_block_hash_and_log_index")
 def _(hq, pools):
     h = block_hash(155)
