@@ -164,6 +164,11 @@ class BlockStore:
             self._path("_published")
         )
 
+    # NOTE: the core tables need no OPTIMIZE-style compaction — every
+    # upsert rewrites its touched buckets wholesale (sorted, one file
+    # set), so files never fragment. Only the append-only publish log
+    # accumulates small files; see ``compact_published``.
+
     def compact_published(self) -> None:
         """Rewrite the append-only publish log as one deduped file set.
 

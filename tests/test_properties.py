@@ -119,3 +119,45 @@ def test_hex_roundtrip(spark, blobs):
         assert bytes(r["back"] or b"") == raw
         if raw:
             assert r["enc"] == r["enc"].lower()
+
+
+# -- facade fuzz: no exception class escapes the contract --------------------
+
+param_values = st.one_of(
+    st.just(""),
+    st.just("*"),
+    st.text(alphabet="0x123abcXYZ/ ", max_size=70),
+    st.integers(-5, 2**65).map(str),
+    st.just("0x" + "a" * 40),
+    st.just("0x" + "b" * 64),
+)
+param_dicts = st.dictionaries(
+    st.sampled_from(
+        ["hash", "number", "tx", "fromBlock", "toBlock", "fromTime", "toTime",
+         "deployer", "fromAccount", "toAccount", "nonce", "blockHash", "txHash",
+         "logIndex", "blockNumber", "contract", "count", "topic0", "topic1"]
+    ),
+    param_values,
+    max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sampled_from(["block", "transaction", "event"]), param_dicts)
+def test_facade_total_over_garbage(facade_fuzz, method, params):
+    from evm_indexer_spark.errors import EngineError
+
+    try:
+        getattr(facade_fuzz, method)(params)
+    except EngineError:
+        pass  # ValidationError / NotFoundError are the contract
+
+
+@pytest.fixture(scope="module")
+def facade_fuzz(spark, evm):
+    from evm_indexer_spark.api import RestFacade
+    from evm_indexer_spark.operators.historical import HistoricalQueries
+
+    return RestFacade(
+        HistoricalQueries(evm["blocks"], evm["transactions"], evm["events"])
+    )

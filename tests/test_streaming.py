@@ -350,3 +350,4 @@ def test_malformed_docs_dropped(spark, tmp_path):
     q.awaitTermination(120)
     rows = store.blocks().collect()
     assert [(r["number"], r["hash"]) for r in rows] == [(7, "0xg")]
+
