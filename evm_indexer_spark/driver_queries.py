@@ -917,3 +917,19 @@ def q48(spark, sf):
 def q49(spark, sf):
     doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
     return dedup.winnow_fingerprints(doc, "doc_id", "text", shingle_n=3, window=4)
+
+
+@register(
+    "q50_stratified_sample",
+    # per-language mixing rates: en 50%, de 25%, others dropped
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE -1 END
+    """,
+)
+def q50(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return corpus.stratified_sample(
+        doc, "doc_id", "lang", {"en": 50, "de": 25}
+    ).select("doc_id", "lang")

@@ -107,3 +107,18 @@ def split_contamination(
         F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
     )
     return per.filter((F.col("n_test") > 0) & (F.col("n_train") > 0))
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, percents: dict[str, int]
+) -> DataFrame:
+    """Per-stratum hash sampling — the data-mixing primitive: keep
+    ``percents[stratum]``% of each stratum (strata absent from the map
+    are dropped). Same md5 bucketing as ``hash_sample``, so membership
+    is engine-reproducible and consistent across runs; one scan, no
+    shuffle.
+    """
+    pct = F.lit(-1)
+    for stratum, p in sorted(percents.items()):
+        pct = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(pct)
+    return df.filter(hash_bucket(key_col) < pct)

@@ -84,3 +84,17 @@ def test_contamination_finds_planted_dup(spark):
     df2 = spark.createDataFrame(rows, "doc_id long, text string")
     leaked = corpus.split_contamination(df2, "doc_id", "text", 10).collect()
     assert len(leaked) == 1 and leaked[0]["n_test"] >= 1 and leaked[0]["n_train"] >= 1
+
+
+def test_stratified_sample_rates(docs):
+    out = corpus.stratified_sample(docs, "doc_id", "lang", {"en": 50, "de": 25})
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    en_total = docs.filter("lang = 'en'").count()
+    en_kept = out.filter("lang = 'en'").count()
+    de_total = docs.filter("lang = 'de'").count()
+    de_kept = out.filter("lang = 'de'").count()
+    assert 0.3 < en_kept / en_total < 0.7
+    assert 0.1 < de_kept / de_total < 0.45
+    # sampling is a pure filter: kept rows are a subset of the corpus keyset
+    assert out.count() == en_kept + de_kept
