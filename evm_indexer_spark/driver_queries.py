@@ -933,3 +933,27 @@ def q50(spark, sf):
     return corpus.stratified_sample(
         doc, "doc_id", "lang", {"en": 50, "de": 25}
     ).select("doc_id", "lang")
+
+
+@register(
+    "q51_repetition_metrics",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top
+      FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+      GROUP BY doc_id)
+    SELECT doc_id AS id,
+           round(top * 1.0 / n_bigrams, 4) AS top_bigram_frac
+    FROM cnt
+    """,
+)
+def q51(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return corpus.repetition_metrics(doc, "doc_id", "text")

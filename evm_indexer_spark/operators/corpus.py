@@ -122,3 +122,41 @@ def stratified_sample(
     for stratum, p in sorted(percents.items()):
         pct = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(pct)
     return df.filter(hash_bucket(key_col) < pct)
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Intra-document repetition score (the Gopher-rules family): the
+    fraction of all bigrams taken by the single most repeated bigram.
+    High values flag boilerplate/spam for quality filtering.
+
+    Shape: token explode → lead-window bigrams → two grouped aggregates,
+    all keyed by document id (one shuffle, reused partitioning).
+    Documents with fewer than two tokens are excluded (no bigrams).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("ntok"),
+        F.posexplode(toks).alias("pos", "t"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    bg = (
+        e.filter(F.col("ntok") >= 2)
+        .select(
+            "id",
+            F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)).alias("b"),
+            F.lead("t", 1).over(w).alias("_next"),
+        )
+        .filter(F.col("_next").isNotNull())
+    )
+    per_bigram = bg.groupBy("id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_bigram.groupBy("id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top"))
+        .select(
+            "id",
+            F.round(F.col("top") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+        )
+    )
