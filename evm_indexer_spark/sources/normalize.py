@@ -102,9 +102,14 @@ def normalize_transactions(raw: DataFrame) -> DataFrame:
         F.lower("hash").alias("blockhash"), F.explode("transactions").alias("t")
     ).select("blockhash", "t.*")
     creating = F.col("to").isNull() | (F.col("to") == "")
-    gas_cost = (
-        F.col("gasPrice").cast("decimal(38,0)") * F.col("gas").cast("decimal(38,0)")
-        + F.coalesce(F.col("value").cast("decimal(38,0)"), F.lit(0))
+    # try_* arithmetic: adversarial uint256 values beyond decimal(38,0)
+    # must normalize to NULL cost, not throw under ANSI mode
+    gas_cost = F.try_add(
+        F.try_multiply(
+            F.col("gasPrice").try_cast("decimal(38,0)"),
+            F.col("gas").try_cast("decimal(38,0)"),
+        ),
+        F.coalesce(F.col("value").try_cast("decimal(38,0)"), F.lit(0)),
     )
     return tx.select(
         F.lower("hash").alias("hash"),
