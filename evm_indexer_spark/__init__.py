@@ -21,8 +21,15 @@ Layout
 - ``streaming``   Structured Streaming ingestion with finality gating,
                   reorg-safe upserts, publish-once dedup, and pub/sub
                   subscription filter matching.
-- ``api``         thin validation facade mirroring the REST/GraphQL
-                  guardrails (reference ``app/rest/rest.go``).
+- ``api``         thin validation facade mirroring the REST guardrails
+                  and JSON wire shapes (reference ``app/rest/rest.go``).
+- ``graphql``     all 33 GraphQL query fields over the same catalog
+                  (reference ``app/rest/graph``).
+
+Training-data extensions beyond reference parity live in ``operators``
+(dedup, similarity/ANN, multimodal binary columns, corpus prep, skew
+mitigation) and ``streaming`` (event-time windows, stateful monitor) —
+see PARITY.md for the operator-by-operator map.
 """
 
 __version__ = "0.1.0"

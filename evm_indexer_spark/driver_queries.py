@@ -957,3 +957,20 @@ def q50(spark, sf):
 def q51(spark, sf):
     doc = load_table(spark, sf, "documents")
     return corpus.repetition_metrics(doc, "doc_id", "text")
+
+
+@register(
+    "q52_audio_chunk_offsets",
+    """
+    WITH a AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             32000 AS bpc  -- 16000 Hz * 2 bytes * 1 s
+      FROM documents WHERE doc_id % 3 = 1)
+    SELECT doc_id, i AS chunk_idx, i * bpc AS chunk_off,
+           least(bpc, n_bytes - i * bpc) AS chunk_len
+    FROM a, UNNEST(generate_series(0, CAST(ceil(n_bytes * 1.0 / bpc) AS BIGINT) - 1)) AS u(i)
+    """,
+)
+def q52(spark, sf):
+    media = multimodal.synthesize_media(load_table(spark, sf, "documents"))
+    return multimodal.audio_chunk_offsets(media, chunk_seconds=1.0)

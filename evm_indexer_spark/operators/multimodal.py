@@ -204,3 +204,35 @@ def sample_frames(media: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def audio_chunk_offsets(media: DataFrame, chunk_seconds: float = 1.0) -> DataFrame:
+    """One row per fixed-duration chunk of each audio payload: byte
+    ranges assuming 16-bit mono PCM at the row's ``sample_rate``.
+
+    Same narrow-explode shape as ``frame_offsets``; a real pipeline
+    range-reads only the sampled chunks. The final partial chunk is
+    included (short ``chunk_len``).
+    """
+    a = media.filter(F.col("media_type") == "audio")
+    bytes_per_chunk = (
+        (F.col("sample_rate") * F.lit(2) * F.lit(chunk_seconds)).cast("long")
+    )
+    n_chunks = F.ceil(F.col("n_bytes") / bytes_per_chunk).cast("int")
+    return (
+        a.filter(F.col("sample_rate") > 0)
+        .select(
+            "doc_id",
+            "n_bytes",
+            bytes_per_chunk.alias("_bpc"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * F.col("_bpc")).alias("chunk_off"),
+            F.least(
+                F.col("_bpc"), F.col("n_bytes") - F.col("chunk_idx") * F.col("_bpc")
+            ).alias("chunk_len"),
+        )
+    )
