@@ -246,7 +246,10 @@ def minhash_near_duplicates(
     docs_c = df.join(
         cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
     )
-    sh_c = shingle_rows(docs_c, id_col, text_col, shingle_n)
+    # candidate shingles feed three consumers (set sizes + both sides of
+    # the intersection join) — persist the small candidate-bounded set so
+    # the shingle pipeline doesn't run three times
+    sh_c = shingle_rows(docs_c, id_col, text_col, shingle_n).persist()
     sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh_c.withColumnRenamed("id", "id_a"), "id_a")
