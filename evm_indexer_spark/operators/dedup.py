@@ -327,7 +327,9 @@ def simhash_near_duplicates(
     assert 64 % n_blocks == 0
     width = 64 // n_blocks
     mask = (1 << width) - 1
-    sigs = simhash_signatures(df, id_col, text_col)
+    # the bucketed signatures self-join: persist so the signature
+    # aggregation runs once, not per join side
+    sigs = simhash_signatures(df, id_col, text_col).persist()
     bucketed = sigs.select(
         "id",
         "sig",
@@ -397,7 +399,9 @@ def jaccard_all_pairs(
     (``minhash_near_duplicates``), never a whole-corpus operation.
     Output: (id_a, id_b, jaccard double rounded to 4) with id_a < id_b.
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    # three consumers (sizes + both self-join sides): persist or the
+    # shingle pipeline runs three times
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")
