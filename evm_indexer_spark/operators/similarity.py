@@ -197,9 +197,12 @@ def embedding_near_duplicates(
         signs = ((m @ planes_m) >= 0).astype(np.int64)
         return pd.Series((signs << shifts).sum(axis=1))
 
-    withb = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", bucket_batch(F.col("v")))
+    # self-joined: persist so bucket assignment runs once, not per side
+    withb = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("bucket", bucket_batch(F.col("v")))
+        .persist()
+    )
     a, b = withb.alias("a"), withb.alias("b")
     pair_cos = _dot(F.col("a.v"), F.col("b.v")) / (
         _norm(F.col("a.v")) * _norm(F.col("b.v"))
