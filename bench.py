@@ -23,7 +23,7 @@ from evm_indexer_spark import driver_queries
 from evm_indexer_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-INGEST_BLOCKS = int(os.environ.get("SPARK_GRAFT_INGEST_BLOCKS", "4000"))
+INGEST_BLOCKS = int(os.environ.get("SPARK_GRAFT_INGEST_BLOCKS", "8000"))
 
 
 def bench_ingest(spark) -> tuple[float, int]:
