@@ -42,18 +42,32 @@ class HistoricalQueries:
         transactions: DataFrame,
         events: DataFrame,
         config: EngineConfig = DEFAULT_CONFIG,
+        bucket_size: int | None = None,
     ) -> None:
+        """*bucket_size*: when the tables come from the bucket-partitioned
+        store (and still carry the ``bucket`` partition column), number
+        ranges additionally constrain ``bucket`` — Catalyst cannot derive
+        ``bucket = number // size`` on its own, and without the explicit
+        predicate a range query scans every partition. Use
+        ``BlockStore.historical_queries()`` to get a correctly wired
+        instance."""
         self.blocks = blocks
         self.transactions = transactions
         self.events = events
         self.config = config
+        self.bucket_size = bucket_size
 
     # -- internal join helpers ---------------------------------------------
 
     def _blocks_in_number_range(self, frm: int, to: int) -> DataFrame:
-        """Range predicate on number (P5) → partition pruning on the
-        number-bucket layout (schemas.BLOCK_BUCKET_SIZE)."""
-        return self.blocks.filter(F.col("number").between(frm, to))
+        """Range predicate on number (P5); with a known bucket layout the
+        equivalent bucket range is added for partition pruning."""
+        out = self.blocks.filter(F.col("number").between(frm, to))
+        if self.bucket_size and "bucket" in self.blocks.columns:
+            out = out.filter(
+                F.col("bucket").between(frm // self.bucket_size, to // self.bucket_size)
+            )
+        return out
 
     def _blocks_in_time_range(self, frm: int, to: int) -> DataFrame:
         return self.blocks.filter(F.col("time").between(frm, to))
@@ -160,7 +174,7 @@ class HistoricalQueries:
         """Shared plan for the 14 account × window variants
         (query.go:206-398): filter fact columns first (pushed to scan),
         then broadcast-join the guardrail-bounded blocks slice."""
-        txs = self.transactions
+        txs = self._prune_fact(self.transactions, frm, to, by_time)
         if from_account is not None:
             txs = txs.filter(F.col("from") == _lc(from_account))
         if to_account is not None:
@@ -174,6 +188,20 @@ class HistoricalQueries:
             else self._blocks_in_number_range(frm, to)
         )
         return self._join_blocks(txs, blocks_small)
+
+    def _prune_fact(
+        self, fact: DataFrame, frm: int, to: int, by_time: bool
+    ) -> DataFrame:
+        """Fact rows carry their parent block's bucket in the store
+        layout, so number-window queries prune fact partitions directly —
+        without this the hash join would scan every fact partition
+        (the join key is not the partition column, so dynamic pruning
+        does not apply)."""
+        if by_time or not self.bucket_size or "bucket" not in fact.columns:
+            return fact
+        return fact.filter(
+            F.col("bucket").between(frm // self.bucket_size, to // self.bucket_size)
+        )
 
     def _narrow(self, joined: DataFrame) -> DataFrame:
         """P2 narrow 10-col projection (drops value/data) — query.go:223 etc."""
@@ -314,7 +342,7 @@ class HistoricalQueries:
     def _events_window(
         self, frm: int, to: int, by_time: bool, contract: str | None = None
     ) -> DataFrame:
-        ev = self.events
+        ev = self._prune_fact(self.events, frm, to, by_time)
         if contract is not None:
             ev = ev.filter(F.col("origin") == _lc(contract))
         blocks_small = (

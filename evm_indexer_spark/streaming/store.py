@@ -67,6 +67,23 @@ class BlockStore:
         # fail schema inference
         return self.spark.read.schema(schema).parquet(path)
 
+    def historical_queries(self, config=None):
+        """HistoricalQueries wired for partition pruning: tables keep the
+        ``bucket`` column and number-window queries constrain it, so a
+        guardrail-bounded query touches 1-2 partitions regardless of
+        chain length. The plain ``blocks()``/... accessors drop the
+        column for layout-agnostic consumers."""
+        from ..config import DEFAULT_CONFIG
+        from ..operators.historical import HistoricalQueries
+
+        return HistoricalQueries(
+            self.read("blocks"),
+            self.read("transactions"),
+            self.read("events"),
+            config or DEFAULT_CONFIG,
+            bucket_size=BLOCK_BUCKET_SIZE,
+        )
+
     def blocks(self) -> DataFrame:
         return self.read("blocks").drop("bucket")
 
