@@ -71,3 +71,22 @@ def test_lsh_recall(emb, query, exact10):
     ]
     assert got[0] == 0
     assert len(set(got) & set(exact10)) >= 6  # 4-table OR-construction
+
+
+def test_ivf_written_index_prunes_partitions(spark, emb, query, exact10, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    assigned, centroids = similarity.ivf_build(emb, "vec_id", "embedding", n_lists=8)
+    similarity.ivf_write(assigned, centroids, str(tmp_path / "ivf"))
+    loaded, cents = similarity.ivf_load(spark, str(tmp_path / "ivf"))
+    df = similarity.ivf_cosine_topk(loaded, cents, query, k=10, nprobe=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the IN-list on list_id must reach the scan as a partition filter
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1][:200], plan
+    got = [r["id"] for r in df.collect()]
+    assert got[0] == 0 and len(set(got) & set(exact10)) >= 6
