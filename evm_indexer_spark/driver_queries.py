@@ -64,10 +64,10 @@ def _dec(col, p=18, s=2):
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -75,15 +75,19 @@ def _dec(col, p=18, s=2):
     """,
 )
 def q01(spark: SparkSession, sf: str) -> DataFrame:
+    # Sums run in exact decimal on BOTH engines; the final cast to double is
+    # transport-only so the pandas dtypes line up for the driver's value
+    # hash (DuckDB's .df() renders DECIMAL as float64, Spark as Decimal —
+    # equal values, different hashes).
     li = load_table(spark, sf, "lineitem")
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -392,14 +396,15 @@ def q19(spark, sf):
 @register(
     "q20_decimal_cast",  # F4: big-number decimal parse/cast
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_dec
     FROM orders WHERE o_orderkey <= 200
     """,
 )
 def q20(spark, sf):
+    # decimal cast for exactness, double for dtype-stable transport (see q01)
     o = load_table(spark, sf, "orders")
     return o.filter(F.col("o_orderkey") <= 200).select(
-        "o_orderkey", _dec("o_totalprice").alias("total_dec")
+        "o_orderkey", _dec("o_totalprice").cast("double").alias("total_dec")
     )
 
 
@@ -515,8 +520,8 @@ def q28(spark, sf):
     "q29_token_stats_by_lang",
     """
     SELECT lang, count(*) AS n_docs,
-           sum(len(regexp_split_to_array(text, '\\s+'))) AS total_tokens,
-           sum(length(text)) AS total_chars
+           CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -881,8 +886,8 @@ def q47(spark, sf):
              THEN 'test' ELSE 'train' END AS split
       FROM documents)
     SELECT fp,
-           sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test,
-           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train
     FROM s GROUP BY fp
     HAVING n_test > 0 AND n_train > 0
     """,
