@@ -681,10 +681,27 @@ def q37(spark, sf):
     return multimodal.media_metadata(load_table(spark, sf, "documents"))
 
 
-@register("q38_media_byte_histogram", None)  # Arrow mapInPandas — no SQL oracle
+@register(
+    "q38_media_byte_histogram",
+    # exact integer bin counts (byte >> 3 → 32 bins, zero bins included);
+    # DuckDB reads payload bytes back out of the hex string
+    """
+    WITH m AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    b AS (
+      SELECT doc_id, CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS INT) // 8 AS bin
+      FROM m, UNNEST(generate_series(0, n - 1)) AS u(i)),
+    c AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2)
+    SELECT m.doc_id, g.bin, CAST(coalesce(c.cnt, 0) AS BIGINT) AS bin_count
+    FROM m
+    CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bin) g
+    LEFT JOIN c ON c.doc_id = m.doc_id AND c.bin = g.bin
+    """,
+)
 def q38(spark, sf):
     media = multimodal.synthesize_media(load_table(spark, sf, "documents"))
-    return multimodal.extract_byte_histogram(media)
+    return multimodal.byte_histogram_bins(media)
 
 
 @register(

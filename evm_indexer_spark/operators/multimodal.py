@@ -157,6 +157,36 @@ def extract_byte_histogram(media: DataFrame, n_bins: int = N_HIST_BINS) -> DataF
     )
 
 
+def byte_histogram_bins(media: DataFrame, n_bins: int = N_HIST_BINS) -> DataFrame:
+    """Exact-count byte histogram, one row per (doc, bin).
+
+    Same Arrow ``mapInPandas`` batch shape as ``extract_byte_histogram``
+    but emits integer counts (zero bins included) instead of normalized
+    float features — an exactly-reproducible form any engine can verify,
+    and the scan-friendly layout a feature store would ingest. Narrow
+    map + partition-local posexplode; no shuffle.
+    """
+    shift = 8 - (n_bins - 1).bit_length()
+
+    def count_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = [
+                np.bincount(
+                    np.frombuffer(bytes(buf), dtype=np.uint8) >> shift,
+                    minlength=n_bins,
+                ).astype(np.int64)
+                for buf in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "counts": counts})
+
+    counted = media.select("doc_id", "payload").mapInPandas(
+        count_fn, schema="doc_id long, counts array<long>"
+    )
+    return counted.select(
+        "doc_id", F.posexplode("counts").alias("bin", "bin_count")
+    ).withColumn("bin", F.col("bin").cast("long"))
+
+
 # -- frame sampling (real, native expressions) ------------------------------
 
 
