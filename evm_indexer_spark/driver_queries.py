@@ -634,11 +634,47 @@ def q34(spark, sf):
     )
 
 
-@register("q35_embedding_near_dup", None)
+@register(
+    "q35_embedding_near_dup",
+    """
+    WITH corpus AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_concat([CAST(embedding[1] AS DOUBLE) + 0.01],
+                           CAST(embedding AS DOUBLE[])[2:])
+        FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM corpus a JOIN corpus b ON a.id < b.id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+    """,
+)
 def q35(spark, sf):
-    emb = load_table(spark, sf, "embeddings")
+    """Near-dup pairs over a corpus with planted near-duplicates.
+
+    The driver embeddings have no natural pairs above cosine 0.51, so the
+    catalog entry unions each vector with a deterministically perturbed
+    copy (first element + 0.01 → cosine ≈ 0.9999) and must recover every
+    planted pair. Because verification is exact and the multi-table LSH
+    miss probability at that cosine is ~1e-5 per pair, the output equals
+    the brute-force all-pairs truth — which is what the DuckDB oracle
+    computes, making this LSH pipeline hash-checkable end to end.
+    """
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = emb.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(
+            F.array(F.get(F.col("v"), 0) + F.lit(0.01)), F.slice(F.col("v"), 2, 1000000)
+        ).alias("v"),
+    )
+    corpus = emb.unionByName(perturbed)
     return similarity.embedding_near_duplicates(
-        emb, "vec_id", "embedding", min_cosine=0.8
+        corpus, "id", "v", min_cosine=0.99
     )
 
 

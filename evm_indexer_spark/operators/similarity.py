@@ -174,40 +174,76 @@ def lsh_cosine_topk(
     return cosine_topk(df.filter(probe_match(F.col(vec_col))), id_col, vec_col, query, k)
 
 
+def pair_cosine_batch():
+    """Arrow-batched exact cosine over two vector columns: one numpy
+    matmul-free row-wise dot per batch (the verification stage of the
+    near-dup pipelines — bounded candidate sets, never the full corpus)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        dots = (ma * mb).sum(axis=1)
+        norms = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.where(norms > 0, dots / norms, 0.0))
+
+    return score
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     min_cosine: float = 0.95,
     n_planes: int = 12,
+    n_tables: int = 6,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH-bucket self-join then exact
-    cosine verification inside buckets — the all-pairs O(n²) never runs."""
+    """Embedding-cosine near-dup pairs: multi-table LSH candidate join,
+    then exact cosine verification — the all-pairs O(n²) never runs.
+
+    OR-construction over *n_tables* independent hyperplane tables: a pair
+    is a candidate when it collides in ANY table (a single 12-bit exact
+    bucket alone has ~(1-θ/π)^12 recall — near zero for borderline pairs;
+    with T tables the miss probability is raised to the T-th power). All
+    T buckets per row come out of one Arrow-batched matmul; the exploded
+    (table, bucket) key is a slim long pair, so the self-join shuffles
+    narrow keys plus one vector copy per table — the same shape banded
+    MinHash-LSH uses. Candidates dedupe across tables BEFORE the exact
+    cosine so verification cost is ∝ unique pairs.
+    """
     from pyspark.sql.functions import pandas_udf
 
     sample_dim = len(df.select(vec_col).first()[0])
-    planes = hyperplanes(sample_dim, n_planes, seed)
-    planes_m = np.array(planes, dtype=np.float64).T  # dim × P
-    shifts = np.arange(n_planes, dtype=np.int64)
+    all_planes = [
+        p for t in range(n_tables) for p in hyperplanes(sample_dim, n_planes, seed + t)
+    ]
+    planes_m = np.array(all_planes, dtype=np.float64).T  # dim × (T*P)
+    # tag bucket ids with their table index so one exploded column keys
+    # the join: bucket_t = (t << P) | sign_bits
+    shifts = np.tile(np.arange(n_planes, dtype=np.int64), n_tables)
 
-    @pandas_udf("long")
-    def bucket_batch(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("array<long>")
+    def buckets_batch(vecs: pd.Series) -> pd.Series:
         m = np.array(vecs.tolist(), dtype=np.float64)
-        signs = ((m @ planes_m) >= 0).astype(np.int64)
-        return pd.Series((signs << shifts).sum(axis=1))
+        signs = ((m @ planes_m) >= 0).astype(np.int64)  # batch × (T*P)
+        per_plane = signs << shifts
+        out = np.zeros((len(m), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            out[:, t] = per_plane[:, t * n_planes : (t + 1) * n_planes].sum(
+                axis=1
+            ) | (t << n_planes)
+        return pd.Series(list(out))
 
-    # self-joined: persist so bucket assignment runs once, not per side
     withb = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("bucket", bucket_batch(F.col("v")))
+        .withColumn("bucket", F.explode(buckets_batch(F.col("v"))))
         .persist()
     )
     a, b = withb.alias("a"), withb.alias("b")
-    pair_cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
-    )
-    return (
+    candidates = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -216,9 +252,16 @@ def embedding_near_duplicates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(pair_cos, 6).alias("cosine"),
+            F.col("a.v").alias("v_a"),
+            F.col("b.v").alias("v_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(pair_cosine_batch()(F.col("v_a"), F.col("v_b")), 6)
+    return (
+        candidates.withColumn("cosine", cos)
         .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
     )
 
 

@@ -90,3 +90,38 @@ def test_ivf_written_index_prunes_partitions(spark, emb, query, exact10, tmp_pat
     assert "list_id" in plan.split("PartitionFilters", 1)[1][:200], plan
     got = [r["id"] for r in df.collect()]
     assert got[0] == 0 and len(set(got) & set(exact10)) >= 6
+
+
+def test_embedding_near_dup_planted_recall(spark, emb):
+    """Planted-pair recall: every vector unioned with a perturbed copy
+    (first element + 0.01 → cosine ≈ 0.9999) must be recovered by the
+    multi-table LSH pipeline — full recall, no false positives (the
+    driver embeddings have no natural pairs above cosine 0.51)."""
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    planted = base.select(
+        (F.col("id") + 10000).alias("id"),
+        F.concat(
+            F.array(F.get(F.col("v"), 0) + F.lit(0.01)),
+            F.slice(F.col("v"), 2, 10**6),
+        ).alias("v"),
+    )
+    n = base.count()
+    pairs = similarity.embedding_near_duplicates(
+        base.unionByName(planted), "id", "v", min_cosine=0.99
+    ).collect()
+    assert len(pairs) == n
+    assert all(r["id_b"] == r["id_a"] + 10000 for r in pairs)
+    assert all(r["cosine"] >= 0.99 for r in pairs)
+
+
+def test_embedding_near_dup_no_natural_pairs(emb):
+    """At a 0.8 threshold the raw driver corpus has zero near-dups —
+    the operator must report none (precision: exact verify gates LSH
+    bucket noise)."""
+    out = similarity.embedding_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.8
+    )
+    assert out.count() == 0
