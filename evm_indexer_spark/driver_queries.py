@@ -760,7 +760,9 @@ def q39(spark, sf):
 
 @register(
     "q40_jaccard_all_pairs",
-    # exact mirror of shingle_rows(n=3) + pairwise Jaccard >= 0.5
+    # exact mirror of shingle_rows(n=3) + pairwise Jaccard >= 0.5; the
+    # Spark side runs the prefix-filtered similarity join, which is
+    # provably identical in output to this brute-force all-pairs SQL
     """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(
@@ -782,8 +784,13 @@ def q39(spark, sf):
     """,
 )
 def q40(spark, sf):
+    """EXACT Jaccard pairs via the prefix-filtered similarity join —
+    scale-safe corpus-wide (rare-shingle prefixes bound candidates and
+    kill common-shingle skew; see ``dedup.jaccard_prefix_join``). The
+    id cap only keeps the small-SF benchmark comparable across rounds;
+    the operator itself needs no cap."""
     doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
-    return dedup.jaccard_all_pairs(doc, "doc_id", "text", threshold=0.5)
+    return dedup.jaccard_prefix_join(doc, "doc_id", "text", threshold=0.5)
 
 
 @register("q41_ann_ivf", None)  # KMeans coarse quantizer — no SQL oracle

@@ -429,6 +429,94 @@ def jaccard_all_pairs(
     )
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    strategy: str = "auto",
+    brute_below: int = 2000,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering — the
+    scale-safe replacement for a corpus-wide ``jaccard_all_pairs``.
+
+    ``strategy``: ``"prefix"`` forces the filtered plan, ``"brute"``
+    delegates to ``jaccard_all_pairs``, ``"auto"`` (default) counts the
+    input and picks brute below *brute_below* documents — the same
+    cost-based reasoning Spark applies choosing broadcast vs shuffle
+    joins: the prefix plan's extra stages only pay for themselves once
+    the quadratic candidate space dwarfs them. Output is identical
+    either way (the filter is provably lossless).
+
+    Prefix-filter principle (Bayardo et al. "Scaling Up All Pairs
+    Similarity Search"; PPJoin): order every document's shingles by
+    ascending global document frequency; if J(A,B) ≥ t then the overlap
+    is ≥ t·|A|, so the (|A| − ⌈t·|A|⌉ + 1) rarest shingles of A must
+    contain at least one common element with B (and symmetrically) —
+    pairs sharing NO prefix shingle provably cannot reach the threshold.
+    The self-join therefore runs only on prefix rows keyed by the
+    *rarest* shingles, which simultaneously bounds candidates and kills
+    the common-shingle skew that makes a naive shingle self-join
+    explode: stopword-like shingles are frequent, hence never in a
+    prefix. Candidates are then verified with exact set intersection, so
+    the output is byte-identical to the brute-force all-pairs result.
+    """
+    from pyspark.sql import Window as W
+
+    if strategy == "auto":
+        strategy = "brute" if df.count() < brute_below else "prefix"
+    if strategy == "brute":
+        return jaccard_all_pairs(df, id_col, text_col, shingle_n, threshold)
+
+    # two consumers (ranked prefix + verification sets) — persist or the
+    # shingle pass re-runs per consumer
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    # document frequency as a window over the shingle partition — one
+    # exchange on s, no groupBy+join round trip
+    ranked = (
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("id")))
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("id").orderBy("df", "s"))
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        # three consumers (id-prune union ×2 + pair join)
+        .persist()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("s").alias("sh"))
+    )
+    pairs = cand.join(
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        pairs.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -116,3 +116,22 @@ def test_winnowing_detects_partial_copy(spark):
     overlap_unrelated = len(by_id[1] & by_id[4]) / len(by_id[1])
     assert overlap_partial > 0.3  # half-copied doc shares a big chunk
     assert overlap_unrelated == 0.0
+
+
+def test_prefix_join_equals_all_pairs(corpus):
+    """Prefix filtering is an exact pruner: output must be byte-identical
+    to brute-force all-pairs at any threshold."""
+    for t in (0.3, 0.5, 0.8):
+        brute = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.jaccard_all_pairs(
+                corpus, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        pruned = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.jaccard_prefix_join(
+                corpus, "doc_id", "text", threshold=t, strategy="prefix"
+            ).collect()
+        }
+        assert pruned == brute, f"threshold {t}: {pruned ^ brute}"
