@@ -24,6 +24,38 @@ from evm_indexer_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 INGEST_BLOCKS = int(os.environ.get("SPARK_GRAFT_INGEST_BLOCKS", "8000"))
+# runs per query: run 1 is the cold one-shot (plan build + codegen +
+# execute), further runs measure steady-state engine throughput — the
+# number that actually extrapolates to a long-lived cluster, where
+# codegen/scheduling constants amortize to zero
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+
+
+def bench_duckdb_oracles() -> tuple[float, dict[str, float]]:
+    """Time the DuckDB oracle SQLs over the same parquet — the practical
+    single-node baseline the catalog is graded against, measured in the
+    same artifact so the comparison is reproducible."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, sql in sorted(driver_queries.oracle_sql().items()):
+        t0 = time.perf_counter()
+        con.sql(sql).fetchall()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+    con.close()
+    return total, timings
 
 
 def bench_ingest(spark) -> tuple[float, int]:
@@ -76,22 +108,44 @@ def main() -> None:
         spark.range(64).select(_warm(F.col("id"))).count()
 
         timings: dict[str, float] = {}
+        warm: dict[str, float] = {}
         total = 0.0
+        warm_total = 0.0
         for name, fn in sorted(driver_queries.queries().items()):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            # force full execution without driver-side result transfer
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 4)
-            total += dt
-            print(f"  {name}: {dt:.3f}s", file=sys.stderr)
+            runs = []
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                # force full execution without driver-side result transfer
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(runs[0], 4)
+            total += runs[0]
+            if len(runs) > 1:
+                warm[name] = round(min(runs[1:]), 4)
+                warm_total += warm[name]
+            print(
+                f"  {name}: cold={runs[0]:.3f}s"
+                + (f" warm={warm[name]:.3f}s" if name in warm else ""),
+                file=sys.stderr,
+            )
 
+        duck_total, duck_timings = bench_duckdb_oracles()
+        print(
+            f"  duckdb oracle total ({len(duck_timings)} queries): "
+            f"{duck_total:.2f}s",
+            file=sys.stderr,
+        )
         ingest_s, ingest_n = bench_ingest(spark)
         print(
             f"  ingest: {ingest_n} blocks in {ingest_s:.2f}s = "
             f"{ingest_n / ingest_s:.1f} blocks/s (reference: 23.2)",
             file=sys.stderr,
+        )
+        # oracle-covered subset totals, so warm-vs-duckdb compares the
+        # SAME query set (no-oracle entries have no DuckDB counterpart)
+        warm_oracle_subset = sum(
+            v for k, v in warm.items() if k in duck_timings
         )
         print(
             json.dumps(
@@ -101,6 +155,16 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf,
+                    "queries_warm": warm,
+                    "warm_total_sec": round(warm_total, 4),
+                    "duckdb_oracle_total_sec": round(duck_total, 4),
+                    "queries_duckdb": duck_timings,
+                    "warm_oracle_subset_sec": round(warm_oracle_subset, 4),
+                    "warm_vs_duckdb_ratio": round(
+                        warm_oracle_subset / duck_total, 2
+                    )
+                    if duck_total
+                    else None,
                     "ingest_blocks_per_sec": round(ingest_n / ingest_s, 1),
                     "ingest_blocks": ingest_n,
                 }

@@ -200,6 +200,7 @@ def embedding_near_duplicates(
     n_planes: int = 12,
     n_tables: int = 6,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table LSH candidate join,
     then exact cosine verification — the all-pairs O(n²) never runs.
@@ -216,7 +217,9 @@ def embedding_near_duplicates(
     """
     from pyspark.sql.functions import pandas_udf
 
-    sample_dim = len(df.select(vec_col).first()[0])
+    # dim passed explicitly avoids a driver round-trip job; inferred from
+    # one row otherwise
+    sample_dim = dim if dim is not None else len(df.select(vec_col).first()[0])
     all_planes = [
         p for t in range(n_tables) for p in hyperplanes(sample_dim, n_planes, seed + t)
     ]
