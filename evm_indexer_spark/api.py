@@ -19,6 +19,7 @@ validates `fromBlock/toBlock` instead of `fromTime/toTime`
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, Row
@@ -42,12 +43,16 @@ def is_address(s: str | None) -> bool:
 
 
 def parse_number(number: str, msg: str = "Failed to parse integer") -> int:
-    """ParseNumber, common.go:51-62 — uint64, decimal only."""
-    try:
-        n = int(number)
-    except (TypeError, ValueError):
-        raise ValidationError(msg) from None
-    if not (0 <= n <= _UINT64_MAX) or (isinstance(number, str) and number.strip() != number):
+    """ParseNumber, common.go:51-62 — uint64, ASCII decimal only.
+
+    strconv.ParseUint rejects '+5', '1_000', and non-ASCII digits that
+    Python's int() happily accepts, so gate with a strict digit match
+    before converting.
+    """
+    if not isinstance(number, str) or re.fullmatch(r"[0-9]+", number) is None:
+        raise ValidationError(msg)
+    n = int(number)
+    if n > _UINT64_MAX:
         raise ValidationError(msg)
     return n
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-ZERO_WORD_HEX = "0" * 128  # 64 zero bytes, the empty-event-data special case
+ZERO_WORD_HEX = "0" * 64  # 32 zero bytes (one ABI word): empty-event-data case
 
 
 def hex_encode(col: Column | str) -> Column:
@@ -29,10 +29,12 @@ def hex_encode(col: Column | str) -> Column:
 
 
 def hex_encode_event_data(col: Column | str) -> Column:
-    """Event-data variant: additionally renders exactly-64-zero-bytes as ``''``.
+    """Event-data variant: additionally renders one all-zero ABI word
+    (32 zero bytes = 64 hex chars) as ``''``.
 
-    Reference: ``app/data/event.go:32-35`` — a data payload that is all
-    zeros over 64 bytes is treated as empty in the wire form.
+    Reference: ``app/data/event.go:32-35`` compares the hex encoding to
+    ``strings.Repeat("0", 64)`` — same semantics as ``api.event_to_dict``
+    and ``publish.event_payload``.
     """
     c = F.col(col) if isinstance(col, str) else col
     enc = hex_encode(c)

@@ -171,9 +171,16 @@ class BlockStore:
     def published(self) -> DataFrame:
         path = self._path("_published")
         if not os.path.isdir(path):
-            return self.spark.createDataFrame(
-                [], "number long, hash string"
-            )
+            # crash recovery: a compaction interrupted mid-swap leaves the
+            # old log renamed aside — restore it rather than reporting an
+            # empty log (which would re-publish every block)
+            retired = path + "_retired"
+            if os.path.isdir(retired):
+                os.rename(retired, path)
+            else:
+                return self.spark.createDataFrame(
+                    [], "number long, hash string"
+                )
         return self.spark.read.parquet(path)
 
     def mark_published(self, rows: DataFrame) -> None:
@@ -201,8 +208,20 @@ class BlockStore:
         compacted = self.published().dropDuplicates(["number", "hash"])
         tmp = path + "_compacting"
         compacted.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(path)
+        # Swap via directory renames so the live log is never absent: a
+        # mode('overwrite') onto `path` deletes it before the rewrite
+        # lands, and a crash in that window would make the T5 anti-join
+        # see an empty log and re-publish every block. Rename is atomic
+        # on a POSIX filesystem; the worst crash outcome now is a stale
+        # `_retired` directory, never a missing log.
         import shutil
 
-        shutil.rmtree(tmp, ignore_errors=True)
+        retired = path + "_retired"
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(path, retired)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            os.rename(retired, path)  # roll back: keep the old log live
+            raise
+        shutil.rmtree(retired, ignore_errors=True)

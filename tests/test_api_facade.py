@@ -153,3 +153,16 @@ def test_synced_format(facade):
     out = facade.synced(latest_block_number=999, elapsed_seconds=60.0)
     assert out["synced"].endswith(" %") and out["processed"] > 0
     assert out["eta"].endswith("s")
+
+
+def test_parse_number_strict_ascii_decimal():
+    """strconv.ParseUint parity (common.go:51-62): no '+', no '_'
+    separators, no unicode digits, no whitespace."""
+    from evm_indexer_spark.api import parse_number
+
+    assert parse_number("0") == 0
+    assert parse_number("18446744073709551615") == 2**64 - 1
+    for bad in ["+5", "-1", "1_000", "٥", "１２", " 7", "7 ", "0x10", "",
+                "18446744073709551616", "1.0", None, 7]:
+        with pytest.raises(ValidationError):
+            parse_number(bad)

@@ -110,3 +110,31 @@ def test_keccak_gated():
             evmcrypto.keccak256(b"")
     else:  # pragma: no cover - environment-dependent
         assert evmcrypto.keccak256(b"").hex().startswith("c5d2460186f7")
+
+
+def test_zero_word_hex_matches_event_dict(spark):
+    """hexcodec.hex_encode_event_data must agree with api.event_to_dict
+    and publish.event_payload on the all-zero ABI word (32 zero bytes =
+    64 hex chars, event.go:32-35)."""
+    from pyspark.sql import functions as F
+
+    from evm_indexer_spark.api import event_to_dict
+    from evm_indexer_spark.functions.hexcodec import hex_encode_event_data
+
+    cases = [bytes(32), bytes(64), b"", b"\x01" + bytes(31)]
+    df = spark.createDataFrame([(d,) for d in cases], "data binary")
+    got = [
+        r["enc"]
+        for r in df.select(hex_encode_event_data("data").alias("enc")).collect()
+    ]
+    # expected wire forms per the reference: one zero word -> '', empty
+    # -> '', two zero words -> rendered, nonzero word -> rendered
+    assert got == ["", "0x" + "00" * 64, "", "0x01" + "00" * 31]
+
+    # cross-check with the row-shaping twin used by the REST facade
+    from pyspark.sql import Row
+
+    for d, enc in zip(cases, got):
+        row = Row(origin="0x" + "11" * 20, index=0, topics=[], data=d,
+                  txhash="0x" + "22" * 32, blockhash="0x" + "33" * 32)
+        assert event_to_dict(row)["data"] == enc

@@ -351,3 +351,21 @@ def test_malformed_docs_dropped(spark, tmp_path):
     rows = store.blocks().collect()
     assert [(r["number"], r["hash"]) for r in rows] == [(7, "0xg")]
 
+
+
+def test_publish_log_compaction_crash_recovery(spark, tmp_path):
+    """A compaction interrupted mid-swap must never surface an empty
+    publish log: published() restores the renamed-aside copy."""
+    import os
+
+    from evm_indexer_spark.streaming.store import BlockStore
+
+    store = BlockStore(spark, str(tmp_path / "s"))
+    store.mark_published(
+        spark.createDataFrame([(1, "0x1"), (2, "0x2")], "number long, hash string")
+    )
+    path = store._path("_published")
+    # simulate the crash window: old log renamed aside, new one not landed
+    os.rename(path, path + "_retired")
+    assert store.published().count() == 2  # recovered, not empty
+    assert os.path.isdir(path) and not os.path.isdir(path + "_retired")
