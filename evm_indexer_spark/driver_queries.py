@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as TX
-from .operators import corpus, dedup, multimodal, similarity
+from .operators import corpus, dedup, multimodal, similarity, temporal
 from .sources.tables import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -1042,3 +1042,75 @@ def q51(spark, sf):
 def q52(spark, sf):
     media = multimodal.synthesize_media(load_table(spark, sf, "documents"))
     return multimodal.audio_chunk_offsets(media, chunk_seconds=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py) — as-of and point-in-interval.
+# Neither exists in the reference (SURVEY §2.3 stops at equi joins); both
+# are single-shuffle plans at scale (see module docstring).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q53_asof_join",
+    # "last purchase state as of each click" — DuckDB's native ASOF JOIN
+    # is the oracle for the union+window Spark formulation
+    """
+    WITH l AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, ts AS purchase_ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.click_id, l.user_id, l.click_ts, r.purchase_ts, r.purchase_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.click_ts >= r.purchase_ts
+    """,
+)
+def q53(spark, sf):
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return temporal.asof_join(
+        clicks, purchases, on="user_id", left_ts="click_ts", right_ts="purchase_ts"
+    )
+
+
+@register(
+    "q54_interval_join",
+    # events inside each signup's first hour — a keyless range join; the
+    # Spark side bins time so it runs as an equi-join on the bucket id
+    """
+    WITH w AS (
+      SELECT event_id AS window_id, ts AS w_start,
+             ts + INTERVAL 1 HOUR AS w_end
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT w.window_id, count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id
+    """,
+)
+def q54(spark, sf):
+    ev = load_table(spark, sf, "events")
+    windows = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    joined = temporal.interval_join(
+        ev, windows, point_ts="ts", start_col="w_start", end_col="w_end",
+        bin_seconds=3600,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

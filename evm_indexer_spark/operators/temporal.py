@@ -1,0 +1,133 @@
+"""Temporal join operators: as-of joins and point-in-interval joins.
+
+The reference engine has no temporal joins (its Postgres layer would
+need LATERAL; SURVEY §2.3 stops at equi/semi/anti joins) — these extend
+the engine the way a time-series workload needs: "state as of event
+time" (as-of) and "events inside incident windows" (interval join).
+
+Scale shapes:
+
+- ``asof_join`` is the union+window formulation: tag both inputs, union,
+  one hash shuffle on the key, one in-partition sort, then a running
+  ``last(..., ignorenulls)``. No join explosion, no per-row lookups —
+  the same single-shuffle plan survives a 1000-executor cluster. Skewed
+  keys cannot be salted here (the running window needs a total order per
+  key); the mitigation at scale is range partitioning within the hot key
+  (Spark does this automatically under AQE for the sort, not the
+  window), or pre-aggregating the right side to a coarser time grain.
+- ``interval_join`` bins time into fixed-width buckets: points land in
+  exactly one bucket, intervals explode into the buckets they cover,
+  and the match becomes an equi-join on the bucket id plus a residual
+  range filter. Each (point, interval) pair meets in exactly one bucket
+  (the point's), so no dedup pass is needed. Explosion factor is
+  interval_length / bin_width — pick the bin near the median interval
+  length so the factor stays O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_L, _R = 1, 0  # side tags; right sorts first so ties (left.ts == right.ts) match
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """For every left row, attach the single right row with the largest
+    ``right_ts`` <= ``left_ts`` on the same key (``direction="backward"``;
+    ``"forward"`` takes the smallest >=). Matches DuckDB ``ASOF JOIN``
+    / pandas ``merge_asof`` semantics, LEFT-outer: unmatched left rows
+    keep nulls in the right columns.
+
+    Column contract: ``right``'s columns must be disjoint from
+    ``left``'s except for ``on`` (rename before calling). Right rows
+    must be unique per (key, ts) — with duplicates the winner would be
+    engine-dependent, so dedupe first (``groupBy(on, right_ts).agg(...)``).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    left_cols = left.columns
+    right_payload = [c for c in right.columns if c != on]
+    overlap = set(right_payload) & set(left_cols)
+    if overlap:
+        raise ValueError(f"right columns collide with left: {sorted(overlap)}")
+
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(_L).alias("__side"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(_R).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c) for c in right_payload],
+    )
+    u = l_tag.unionByName(r_tag)
+
+    # backward: ascending scan, right row at equal ts sorts first so an
+    # exact match is visible to the left row; forward: flip the time
+    # order. Excluding exact matches flips the side order instead.
+    side = F.col("__side") if allow_exact_matches else (1 - F.col("__side"))
+    t = F.col("__t") if direction == "backward" else F.col("__t").desc()
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(t, side)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "__side",
+        *[F.col(c) for c in left_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+    )
+    return filled.filter(F.col("__side") == _L).drop("__side")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Join every point row to every interval row with
+    ``start <= point_ts < end`` (``<= end`` when *end_inclusive*).
+
+    No equality key is required: the bucket id IS the join key. Both
+    sides shuffle on it; common buckets (bursts) behave like any other
+    hot groupBy key and respond to AQE skew splitting.
+    """
+    p_bin = (F.unix_timestamp(F.col(point_ts)) / bin_seconds).cast("long")
+    p = points.withColumn("__bin", p_bin)
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bin_seconds).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    upper = (
+        F.col(point_ts) <= F.col(end_col)
+        if end_inclusive
+        else F.col(point_ts) < F.col(end_col)
+    )
+    return (
+        p.join(i, "__bin")
+        .filter((F.col(start_col) <= F.col(point_ts)) & upper)
+        .drop("__bin")
+    )
