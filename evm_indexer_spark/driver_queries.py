@@ -1114,3 +1114,80 @@ def q54(spark, sf):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical summaries (operators/stats.py) — one-pass multi-granularity
+# rollup, exact per-group percentiles, cardinality estimation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q55_rollup_hierarchy",
+    # day × type → day → grand total, one Expand+agg pass; gid is the
+    # ANSI GROUPING() bit vector so levels are distinguishable. The day
+    # travels as VARCHAR: pandas renders a Spark DATE as datetime.date
+    # but a DuckDB DATE as Timestamp, which breaks the driver's value
+    # hash even when the dates are equal.
+    """
+    WITH r AS (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events)
+    SELECT CAST(d AS VARCHAR) AS day, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value,
+           CAST(GROUPING(d)*2 + GROUPING(event_type) AS BIGINT) AS gid
+    FROM r GROUP BY ROLLUP(d, event_type)
+    """,
+)
+def q55(spark, sf):
+    from .operators import stats
+
+    ev = load_table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    return stats.hierarchical_rollup(
+        ev,
+        ["day", "event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    ).select(
+        F.col("day").cast("string").alias("day"),
+        "event_type", "n_events", "total_value", "gid",
+    )
+
+
+@register(
+    "q56_percentile_stats",
+    # exact interpolated percentiles == DuckDB quantile_cont
+    """
+    SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def q56(spark, sf):
+    from .operators import stats
+
+    doc = load_table(spark, sf, "documents")
+    return stats.group_percentiles(doc, "lang", "n_chars", (0.5, 0.9, 0.99))
+
+
+@register(
+    "q57_distinct_cardinality",
+    # exact distinct is the oracle column; the HLL++ estimate (the 100 TB
+    # path) is verified as a deterministic error-bound boolean — Spark's
+    # HLL is hash-deterministic, so approx_ok is stable run to run
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q57(spark, sf):
+    from .operators import stats
+
+    ev = load_table(spark, sf, "events")
+    card = stats.cardinality(ev, "event_type", "user_id", rsd=0.01)
+    err = F.abs(F.col("approx_distinct") - F.col("n_distinct")) / F.col("n_distinct")
+    return card.select(
+        "event_type", "n_distinct", (err < 0.05).alias("approx_ok")
+    )

@@ -1,0 +1,93 @@
+"""Statistical summaries: hierarchical rollups, exact percentiles,
+cardinality estimation.
+
+These are the "hypertable rollup"-style aggregations a telemetry or
+training-data pipeline runs over event streams: multi-granularity
+totals in one pass, distribution summaries per group, distinct counts.
+None exist in the reference (its Postgres layer would run GROUPING
+SETS); Spark's ``rollup``/``percentile``/``approx_count_distinct`` are
+the idiomatic engines for all three.
+
+Scale shapes:
+
+- ``hierarchical_rollup`` is a single Expand + partial-agg plan: Spark
+  duplicates each input row once per grouping level *after* map-side
+  combine, so the shuffle carries one partial row per (level, group),
+  not per input row. One shuffle total for every granularity at once —
+  strictly cheaper than a per-level union of groupBys.
+- ``group_percentiles`` uses the exact ``percentile`` aggregate (sorts
+  per group in the agg buffer). Exact per-group sort is fine when
+  groups fit in memory (bounded group count × values); for heavy
+  groups at 100 TB switch to ``approx_percentile`` (t-digest-like
+  sketch, fixed-size buffer, mergeable across partitions).
+- ``cardinality`` pairs exact ``count_distinct`` (two-level shuffle)
+  with HyperLogLog++ ``approx_count_distinct`` (fixed 2^p registers,
+  map-side mergeable — the 100 TB default; rsd=0.01 ≈ 10 KB/group).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hierarchical_rollup(
+    df: DataFrame,
+    dims: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """ROLLUP over *dims* (coarsest level last) with an engine-portable
+    grouping id: ``gid = Σ grouping(dim_i) << (len-1-i)`` — identical to
+    ``GROUPING(d1, ..., dn)`` in ANSI engines, emitted as bigint so the
+    column hashes stably across engines. Grouped-out dims are NULL, the
+    same convention DuckDB/Postgres use."""
+    gid = None
+    for i, d in enumerate(dims):
+        bit = F.expr(f"grouping({d})") * (1 << (len(dims) - 1 - i))
+        gid = bit if gid is None else gid + bit
+    return (
+        df.rollup(*dims)
+        .agg(*aggs, gid.cast("bigint").alias("gid"))
+    )
+
+
+def group_percentiles(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    percentiles: Sequence[float] = (0.5, 0.9, 0.99),
+    digits: int = 4,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per group — the same
+    definition as ANSI ``percentile_cont`` / DuckDB ``quantile_cont``,
+    so results are engine-exact after rounding. Output columns are
+    ``p50, p90, ...`` (percentile × 100, trailing zeros trimmed)."""
+    arr = ", ".join(str(p) for p in percentiles)
+    agg = df.groupBy(key).agg(
+        F.expr(f"percentile({value_col}, array({arr}))").alias("__p")
+    )
+    cols = [F.col(key)]
+    for i, p in enumerate(percentiles):
+        label = f"p{p * 100:g}".replace(".", "_")
+        cols.append(F.round(F.col("__p")[i], digits).alias(label))
+    return agg.select(*cols)
+
+
+def cardinality(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Exact and HyperLogLog++ distinct counts per group, side by side.
+
+    The exact count is the oracle-checkable column; ``approx_distinct``
+    is the fixed-memory estimate a 100 TB job would actually run
+    (relative standard deviation *rsd*). Keeping both in one pass costs
+    one shuffle — the HLL sketch merges map-side."""
+    return df.groupBy(key).agg(
+        F.count_distinct(F.col(value_col)).alias("n_distinct"),
+        F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct"),
+    )

@@ -64,8 +64,17 @@ def _norm_cell(v):
 
 
 def normalize_rows(cols, rows):
+    # None is not orderable against str/int in tuple sort; key on
+    # (is_null, repr-class, value) per cell so mixed-null rows sort
+    # deterministically (the driver's pandas sort puts NA last the
+    # same way).
+    def key(row):
+        return tuple(
+            (v is None, type(v).__name__, "" if v is None else v) for v in row
+        )
+
     return sorted(
-        tuple(_norm_cell(v) for v in row) for row in rows
+        (tuple(_norm_cell(v) for v in row) for row in rows), key=key
     ), list(cols)
 
 
