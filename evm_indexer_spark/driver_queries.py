@@ -1191,3 +1191,65 @@ def q57(spark, sf):
     return card.select(
         "event_type", "n_distinct", (err < 0.05).alias("approx_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical ranking + retrieval chunking (operators/ranking.py, corpus.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q58_bm25_scores",
+    # full Okapi BM25 formula mirrored term by term; ln() on both engines
+    """
+    WITH dl AS (
+      SELECT doc_id AS id,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS dl
+      FROM documents
+    ), const AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), post AS (
+      SELECT doc_id AS id, t AS term FROM (
+        SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+      WHERE t IN ('vector', 'hash', 'stream')
+    ), tf AS (
+      SELECT id, term, CAST(count(*) AS DOUBLE) AS tf FROM post GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    )
+    SELECT id,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+             AS score
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN const
+    GROUP BY id
+    """,
+)
+def q58(spark, sf):
+    from .operators import ranking
+
+    doc = load_table(spark, sf, "documents")
+    return ranking.bm25_scores(
+        doc, "doc_id", "text", ["vector", "hash", "stream"], k1=1.2, b=0.75
+    )
+
+
+@register(
+    "q59_rag_chunks",
+    # overlapping 32-token windows, stride 24 (8-token overlap)
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ), n AS (
+      SELECT doc_id, t,
+             CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT) + 1 AS n_chunks
+      FROM toks)
+    SELECT doc_id AS id, i AS chunk_idx, n_chunks,
+           array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+    FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+    """,
+)
+def q59(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return corpus.chunk_tokens(doc, "doc_id", "text", chunk_size=32, stride=24)

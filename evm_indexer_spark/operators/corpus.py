@@ -160,3 +160,45 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.col("top") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
         )
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style overlapping token windows: chunk i covers tokens
+    [i·stride, i·stride + chunk_size); the final chunk is the first one
+    whose window reaches the document's end (shorter chunks are real —
+    no padding). stride < chunk_size gives (chunk_size − stride) tokens
+    of overlap between neighbors.
+
+    Shape: split → ``sequence``-explode of chunk indexes → ``slice`` +
+    ``concat_ws`` — all codegen'd array ops, map-side only (no shuffle):
+    chunking distributes with the documents. Output: (id, chunk_idx,
+    n_chunks, chunk_text).
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.split(F.col(text_col), r"\s+")
+    # number of stride steps whose window still starts inside the doc
+    # AND hasn't already covered the end: ceil(max(n - size, 0)/stride)+1
+    n_chunks = (
+        F.ceil(F.greatest(F.size(toks) - chunk_size, F.lit(0)) / stride) + 1
+    ).cast("bigint")
+    e = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__t"),
+        n_chunks.alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    return e.select(
+        "id",
+        "chunk_idx",
+        "n_chunks",
+        F.concat_ws(
+            " ", F.slice(F.col("__t"), F.col("chunk_idx") * stride + 1, chunk_size)
+        ).alias("chunk_text"),
+    )

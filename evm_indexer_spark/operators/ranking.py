@@ -1,0 +1,110 @@
+"""Lexical relevance ranking: TF-IDF and BM25 over a document corpus.
+
+The retrieval side of a training-data pipeline: score documents against
+a query term set for corpus curation (topic filtering, quality-weighted
+sampling) or eval-set retrieval. Everything is native Column math over
+an exploded posting list — no UDFs, and every step has an exact ANSI
+twin so the DuckDB oracle hash-checks the full formula.
+
+Scale shape: tokenize → explode to (doc, term) postings → filter to the
+query terms FIRST (the selectivity is |query| / vocab, so the explode's
+shuffle carries only matching postings) → per-doc tf agg + a tiny
+per-term df agg that broadcasts back. Corpus constants (N, avgdl) ride
+along as a broadcast scalar. Two narrow shuffles regardless of corpus
+size; the posting explode itself is map-side only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def _postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) rows, lowercased whitespace tokens (TX.tokens split)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+    digits: int = 4,
+) -> DataFrame:
+    """Okapi BM25: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    dl is whitespace token count, avgdl its corpus mean. Only documents
+    containing ≥1 query term appear. Output: (id, score) rounded to
+    *digits*, ordered by (score desc, id) when *top_k* is set — the id
+    tie-break keeps top-k deterministic across engines.
+    """
+    terms = [t.lower() for t in query_terms]
+    # corpus constants: one tiny agg, broadcast via crossJoin
+    dl = df.select(
+        F.col(id_col).alias("id"),
+        TX.token_count(F.col(text_col)).cast("double").alias("dl"),
+    )
+    const = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    post = _postings(df, id_col, text_col).filter(F.col("term").isin(terms))
+    tf = post.groupBy("id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(dl), "id")
+        .crossJoin(F.broadcast(const))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / norm
+    out = (
+        scored.groupBy("id")
+        .agg(F.round(F.sum(contrib), digits).alias("score"))
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("score").desc(), F.col("id")).limit(top_k)
+    return out
+
+
+def tfidf_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    digits: int = 4,
+) -> DataFrame:
+    """Classic tf-idf sum: Σ_t tf(t,d) · ln(N / df(t)). Same posting
+    shape as BM25 without the length normalization."""
+    terms = [t.lower() for t in query_terms]
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    post = _postings(df, id_col, text_col).filter(F.col("term").isin(terms))
+    tf = post.groupBy("id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), digits
+            ).alias("score")
+        )
+    )
