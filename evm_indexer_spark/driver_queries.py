@@ -1253,3 +1253,42 @@ def q58(spark, sf):
 def q59(spark, sf):
     doc = load_table(spark, sf, "documents")
     return corpus.chunk_tokens(doc, "doc_id", "text", chunk_size=32, stride=24)
+
+
+@register(
+    "q60_dedup_clusters",
+    # transitive closure of the exact-Jaccard pair graph (same pair
+    # definition as q40) via recursive CTE; cluster id = min reachable id
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(
+        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+') AS t
+      FROM documents WHERE doc_id < 500
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+             ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(n, m) AS (
+      SELECT doc_id, doc_id FROM toks
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m)
+    SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+    """,
+)
+def q60(spark, sf):
+    from .operators import graph
+
+    doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return graph.dedup_clusters(doc, "doc_id", "text", threshold=0.5)

@@ -1,0 +1,113 @@
+"""Distributed connected components — the clustering stage of near-dup
+deduplication.
+
+LSH/similarity joins emit *pairs*; choosing one canonical document per
+duplicate group needs the transitive closure of those pairs. This is
+iterative hash-min label propagation (each node repeatedly adopts the
+smallest component id among itself and its neighbors) plus a
+pointer-jumping step (each node then adopts its label's label — path
+halving), the combination GraphX/GraphFrames and the
+large-star/small-star family (Kiveris et al., "Connected Components in
+MapReduce") use to get O(log n) rounds instead of O(diameter).
+
+Scale shape: per iteration one equi-join (labels ⋈ edges on the source
+endpoint), one min-groupBy, and one self-join for the pointer jump —
+three shuffles over O(|E|) rows. Convergence is detected with a 1-row
+aggregate (labels only ever decrease, so Σ labels strictly decreases
+until the fixpoint) — no driver-side data collection.
+``localCheckpoint`` truncates the plan lineage each round so the loop
+doesn't compound into an exponential plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable through the
+    undirected edge set. *nodes* (single-column) adds isolated vertices
+    (label = themselves); omitted, the vertex set is the edge endpoints.
+
+    Returns (node, component) — component is the min id in the group.
+    Rounds needed ≈ log2(diameter) thanks to pointer jumping; raises if
+    the fixpoint isn't reached within *max_iter* rounds.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    sym = sym.persist()
+
+    vertex = sym.select(F.col("s").alias("node")).distinct()
+    if nodes is not None:
+        extra = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+        vertex = vertex.unionByName(extra).distinct()
+    labels = vertex.select("node", F.col("node").alias("component"))
+    labels = labels.localCheckpoint()
+
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        prop = sym.join(
+            labels, sym["s"] == labels["node"], "inner"
+        ).select(F.col("d").alias("node"), "component")
+        merged = (
+            prop.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component <- component's component (path halving);
+        # every component value is itself a node, so the inner join is total
+        lk = merged.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        labels = (
+            merged.join(lk, merged["component"] == lk["c_node"], "inner")
+            .select("node", F.col("c_comp").alias("component"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            sym.unpersist()
+            return labels
+        prev_sum = cur_sum
+    sym.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def dedup_clusters(
+    doc: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Group near-duplicate documents: exact prefix-filtered Jaccard
+    pairs (``dedup.jaccard_prefix_join``) → transitive closure → one
+    cluster id (= min doc id) per document, singletons included. The
+    keep-one-per-cluster policy downstream is then a trivial
+    ``filter(id == cluster_id)``.
+
+    At 100 TB the pair stage is the cost; the closure runs over pairs
+    only (a tiny fraction of the corpus) plus a map-side union of
+    singleton ids."""
+    from . import dedup
+
+    pairs = dedup.jaccard_prefix_join(
+        doc, id_col, text_col, shingle_n=shingle_n, threshold=threshold
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        pairs, "id_a", "id_b", nodes=doc.select(id_col)
+    )
+    return cc.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
