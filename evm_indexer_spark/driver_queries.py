@@ -1186,7 +1186,7 @@ def q57(spark, sf):
     from .operators import stats
 
     ev = load_table(spark, sf, "events")
-    card = stats.cardinality(ev, "event_type", "user_id", rsd=0.01)
+    card = stats.cardinality(ev, "event_type", "user_id", rsd=0.02)
     err = F.abs(F.col("approx_distinct") - F.col("n_distinct")) / F.col("n_distinct")
     return card.select(
         "event_type", "n_distinct", (err < 0.05).alias("approx_ok")

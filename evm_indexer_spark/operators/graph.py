@@ -97,17 +97,22 @@ def dedup_clusters(
     keep-one-per-cluster policy downstream is then a trivial
     ``filter(id == cluster_id)``.
 
-    At 100 TB the pair stage is the cost; the closure runs over pairs
-    only (a tiny fraction of the corpus) plus a map-side union of
-    singleton ids."""
+    At 100 TB the pair stage is the cost; the closure runs over pair
+    endpoints only (a tiny fraction of the corpus) and every document
+    outside the pair graph labels itself via a broadcast anti-join —
+    the iterative loop never touches the full corpus."""
     from . import dedup
 
     pairs = dedup.jaccard_prefix_join(
         doc, id_col, text_col, shingle_n=shingle_n, threshold=threshold
-    ).select("id_a", "id_b")
-    cc = connected_components(
-        pairs, "id_a", "id_b", nodes=doc.select(id_col)
-    )
-    return cc.select(
+    ).select("id_a", "id_b").persist()
+    cc = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_id")
     )
+    endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
+    )
+    singletons = doc.select(id_col).join(
+        F.broadcast(endpoints), id_col, "left_anti"
+    ).select(id_col, F.col(id_col).alias("cluster_id"))
+    return cc.unionByName(singletons)

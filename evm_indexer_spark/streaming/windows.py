@@ -79,3 +79,47 @@ def start_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bin_seconds: int = 3600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream point-in-interval join: every point row joins the
+    interval rows with ``start <= point_ts < end``.
+
+    The streaming twin of ``operators.temporal.interval_join``, using
+    the same time-binning trick — and here the bin is load-bearing
+    twice: Spark refuses stream-stream joins without an equality
+    predicate, and the bin IS that equality key. Both sides carry a
+    watermark, and the residual range condition between the two
+    event-time columns (``point_ts < start + bin``-bounded window via
+    the shared bin, plus the explicit range filter) lets the state
+    store expire rows: state per side is O(watermark + bin_seconds) of
+    input, bounded regardless of stream length. Intervals longer than
+    one bin explode into one state row per covered bin — identical to
+    the batch operator's explosion factor. Inner join (the batch twin's
+    semantics)."""
+    p = points.withWatermark(point_ts, watermark).withColumn(
+        "__bin", (F.unix_timestamp(F.col(point_ts)) / bin_seconds).cast("long")
+    )
+    i = intervals.withWatermark(start_col, watermark).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bin_seconds).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (p["__bin"] == i["__bin"])
+        & (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) < F.col(end_col))
+    )
+    return p.join(i, cond, "inner").drop("__bin")

@@ -147,3 +147,64 @@ def test_sessionized_append_emits_closed_sessions(spark, dirs):
     # user 7: merged 2-event session + singleton; user 9's session is
     # still open (append emits only watermark-closed sessions)
     assert got == [(7, 1, 2), (7, 50, 1)]
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream point-in-interval join == the batch temporal
+    operator on the same rows."""
+    from evm_indexer_spark.operators.temporal import interval_join
+    from evm_indexer_spark.streaming.windows import stream_interval_join
+
+    p_dir = tmp_path / "points"; p_dir.mkdir()
+    i_dir = tmp_path / "intervals"; i_dir.mkdir()
+    points = [
+        (1, "00:05"), (2, "00:20"), (3, "00:35"), (4, "00:59"),
+    ]
+    intervals = [
+        (10, "00:00", "00:30"),   # catches 1, 2
+        (11, "00:30", "01:00"),   # catches 3, 4
+        (12, "00:10", "00:12"),   # catches nothing
+    ]
+    with open(p_dir / "p.json", "w") as f:
+        for pid, m in points:
+            f.write(json.dumps({"pid": pid, "ts": f"{BASE}{m}.000Z"}) + "\n")
+    with open(i_dir / "i.json", "w") as f:
+        for wid, s, e in intervals:
+            f.write(json.dumps({
+                "wid": wid, "w_start": f"{BASE}{s}.000Z",
+                "w_end": f"{BASE}{e}.000Z",
+            }) + "\n")
+
+    p_schema = "pid long, ts timestamp"
+    i_schema = "wid long, w_start timestamp, w_end timestamp"
+    ps = spark.readStream.schema(p_schema).json(str(p_dir))
+    istr = spark.readStream.schema(i_schema).json(str(i_dir))
+    joined = stream_interval_join(ps, istr)
+    q = (
+        joined.writeStream.format("memory").queryName("sij")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["pid"], r["wid"]) for r in spark.table("sij").collect())
+
+    pb = spark.createDataFrame(
+        [(pid, f"2024-01-01 00:{m}") for pid, m in points],
+        "pid long, ts_s string",
+    ).select("pid", F.col("ts_s").cast("timestamp").alias("ts"))
+    ib = spark.createDataFrame(
+        [(w, f"2024-01-01 00:{s}", f"2024-01-01 00:{e}")
+         for w, s, e in intervals],
+        "wid long, s string, e string",
+    ).select(
+        "wid",
+        F.col("s").cast("timestamp").alias("w_start"),
+        F.col("e").cast("timestamp").alias("w_end"),
+    )
+    expect = sorted(
+        (r["pid"], r["wid"])
+        for r in interval_join(pb, ib, "ts", "w_start", "w_end", 600).collect()
+    )
+    assert got == expect == [(1, 10), (2, 10), (3, 11), (4, 11)]
