@@ -1292,3 +1292,41 @@ def q60(spark, sf):
 
     doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
     return graph.dedup_clusters(doc, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "q61_global_row_number",
+    # global dense numbering over a total order — the scalable two-phase
+    # range-partition formulation vs the oracle's single window
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS row_id
+    FROM lineitem
+    """,
+)
+def q61(spark, sf):
+    from .operators import order
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    return order.global_row_number(li, ["l_orderkey", "l_linenumber"])
+
+
+@register(
+    "q62_percentile_sketch",
+    # exact quantiles are the oracle columns; the Greenwald-Khanna
+    # sketch estimates fold into deterministic error-bound booleans
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50, TRUE AS p50_ok,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90, TRUE AS p90_ok,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99, TRUE AS p99_ok
+    FROM documents GROUP BY lang
+    """,
+)
+def q62(spark, sf):
+    from .operators import stats
+
+    doc = load_table(spark, sf, "documents")
+    return stats.percentile_sketch_check(doc, "lang", "n_chars").select(
+        "lang", "p50", "p50_ok", "p90", "p90_ok", "p99", "p99_ok"
+    )

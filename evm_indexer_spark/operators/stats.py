@@ -104,3 +104,40 @@ def cardinality(
         F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct")
     )
     return exact.join(F.broadcast(approx), key)
+
+
+def percentile_sketch_check(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    percentiles: Sequence[float] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+    rel_tol: float = 0.05,
+    digits: int = 4,
+) -> DataFrame:
+    """Exact percentiles beside their ``approx_percentile`` sketch
+    estimates, folded into per-percentile ``ok`` booleans (relative
+    error ≤ *rel_tol*).
+
+    The sketch (Greenwald-Khanna, fixed-size mergeable buffer bounded
+    by *accuracy*) is the 100 TB path — exact ``percentile`` buffers
+    every group value. The booleans are deterministic: the sketch is a
+    deterministic function of the data, so the check is oracle-stable
+    (the ANSI twin emits literal TRUE)."""
+    arr = ", ".join(str(p) for p in percentiles)
+    agg = df.groupBy(key).agg(
+        F.expr(f"percentile({value_col}, array({arr}))").alias("__e"),
+        F.expr(
+            f"approx_percentile({value_col}, array({arr}), {accuracy})"
+        ).alias("__a"),
+    )
+    cols = [F.col(key)]
+    for i, p in enumerate(percentiles):
+        label = f"p{p * 100:g}".replace(".", "_")
+        exact = F.col("__e")[i]
+        approx = F.col("__a")[i]
+        cols.append(F.round(exact, digits).alias(label))
+        cols.append(
+            (F.abs(approx - exact) <= rel_tol * F.abs(exact)).alias(f"{label}_ok")
+        )
+    return agg.select(*cols)

@@ -1,0 +1,58 @@
+"""Global row numbering: correctness vs a single-partition window, plan
+shape, and edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.operators import order, stats
+
+
+def test_matches_single_partition_window(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 4999).alias("k"), F.col("id").alias("payload")
+    )
+    # k is a permutation of 0..4998 plus one dup of k=0 (id 0 and... no:
+    # 37 is coprime to 4999 so k is unique per id for id < 4999; drop the rest
+    df = df.filter(F.col("id") < 4999)
+    got = order.global_row_number(df, ["k"], num_partitions=8).toPandas()
+    w = Window.orderBy("k")
+    exp = df.withColumn("row_id", F.row_number().over(w).cast("long")).toPandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    assert got[["k", "payload", "row_id"]].equals(exp[["k", "payload", "row_id"]])
+
+
+def test_start_offset_and_contiguity(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    rows = order.global_row_number(df, ["k"], num_partitions=4, start=10).collect()
+    ids = sorted(r["row_id"] for r in rows)
+    assert ids == list(range(10, 110))
+    by_k = {r["k"]: r["row_id"] for r in rows}
+    assert by_k[0] == 10 and by_k[99] == 109
+
+
+def test_empty_input(spark):
+    df = spark.range(0, 0).select(F.col("id").alias("k"))
+    assert order.global_row_number(df, ["k"]).count() == 0
+
+
+def test_no_single_partition_exchange(spark):
+    """The whole point: no Exchange SinglePartition in the plan."""
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = order.global_row_number(df, ["k"], num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_percentile_sketch_check_all_ok(spark):
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    rows = stats.percentile_sketch_check(df, "k", "v").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"]
