@@ -1330,3 +1330,71 @@ def q62(spark, sf):
     return stats.percentile_sketch_check(doc, "lang", "n_chars").select(
         "lang", "p50", "p50_ok", "p90", "p90_ok", "p99", "p99_ok"
     )
+
+
+@register(
+    "q63_editdist_near_dup",
+    # near-dup verification by edit distance over LSH-sized candidate
+    # groups: same-length-bucket prefix blocking keeps the pair space
+    # linear; levenshtein is native in both engines
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS n FROM documents WHERE doc_id < 300
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS dist
+    FROM d a JOIN d b
+      ON a.n // 50 = b.n // 50 AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 40
+    """,
+)
+def q63(spark, sf):
+    """Edit-distance near-dup pairs with length-bucket blocking.
+
+    The length bucket is the blocking key (|len(a)-len(b)| > k implies
+    dist > k, so same-bucket-or-neighbor blocking is the classic exact
+    prefilter; the catalog entry uses same-bucket only, mirrored in the
+    oracle). levenshtein runs JVM-side."""
+    doc = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text", F.floor(F.length("text") / 50).alias("bucket"))
+    )
+    a = doc.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("ta"), "bucket"
+    )
+    b = doc.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("tb"), "bucket"
+    )
+    dist = F.levenshtein("ta", "tb")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 40)
+        .select("id_a", "id_b", dist.cast("bigint").alias("dist"))
+    )
+
+
+@register(
+    "q64_salted_hot_key_agg",
+    # the salted two-phase aggregation must be value-identical to the
+    # plain GROUP BY it protects at scale
+    """
+    SELECT event_type, count(*) AS count_event_id,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q64(spark, sf):
+    from .operators import skew
+
+    ev = load_table(spark, sf, "events")
+    out = skew.salted_agg(
+        ev.select("event_type", "event_id", "value"),
+        ["event_type"],
+        {"event_id": "count", "value": "sum"},
+        salt=16,
+    )
+    return out.select(
+        "event_type", "count_event_id", F.round("sum_value", 4).alias("sum_value")
+    )
