@@ -29,6 +29,7 @@ from .errors import NotFoundError, RangeTooWideError, ValidationError
 from .operators.historical import HistoricalQueries
 
 _UINT64_MAX = 2**64 - 1
+_INT64_MAX = 2**63 - 1
 
 
 # -- P12 shape checks (rest.go:100,135,233,268,...) -------------------------
@@ -57,17 +58,38 @@ def parse_number(number: str, msg: str = "Failed to parse integer") -> int:
     return n
 
 
+def long_or_not_found(n: int) -> int:
+    """Guard a parsed uint64 headed for a LongType column literal.
+
+    ``parse_number`` accepts the full uint64 range to match Go's
+    `strconv.ParseUint` (common.go:51-62), but `number`/`time`/`nonce`
+    are stored as signed 64-bit (Postgres ``bigint``, model.go:17-18,70;
+    Spark ``LongType``) — a value in [2^63, 2^64) can never exist in the
+    table, and letting it reach py4j as a literal throws
+    NumberFormatException instead of the reference's not-found. Short-
+    circuit here, before any plan is built.
+    """
+    if n > _INT64_MAX:
+        raise NotFoundError("Not found")
+    return n
+
+
 def range_checker(frm: str, to: str, limit: int) -> tuple[int, int]:
     """RangeChecker, common.go:66-84: reject unless to - from < limit.
 
     The reference computes `_to - _from` in uint64, so to < from wraps
     to a huge value and is rejected — same observable behavior here.
+
+    A validated range that starts above 2^63-1 is provably empty (see
+    ``long_or_not_found``) → not-found; one that merely *ends* above is
+    clamped so the literal stays inside LongType (no rows live there).
     """
     _from = parse_number(frm)
     _to = parse_number(to)
     if _to < _from or not (_to - _from < limit):
         raise RangeTooWideError("Range too long")
-    return _from, _to
+    long_or_not_found(_from)
+    return _from, min(_to, _INT64_MAX)
 
 
 def create_event_topic_map(
@@ -213,14 +235,14 @@ class RestFacade:
                 self.q.get_transactions_by_block_hash(hash_), tx_to_dict, "transactions"
             )
         if number and tx == "yes":
-            n = parse_number(number, "Bad block number")
+            n = long_or_not_found(parse_number(number, "Bad block number"))
             return _many(
                 self.q.get_transactions_by_block_number(n), tx_to_dict, "transactions"
             )
         if is_hash(hash_):
             return _one(self.q.get_block_by_hash(hash_), block_to_dict)
         if number:
-            n = parse_number(number, "Bad block number")
+            n = long_or_not_found(parse_number(number, "Bad block number"))
             return _one(self.q.get_block_by_number(n), block_to_dict)
 
         from_block, to_block = params.get("fromBlock", ""), params.get("toBlock", "")
@@ -267,7 +289,7 @@ class RestFacade:
                 raise ValidationError("Bad block time range") from None
 
         if nonce and is_address(from_account):
-            n = parse_number(nonce, "Bad account nonce")
+            n = long_or_not_found(parse_number(nonce, "Bad account nonce"))
             return _one(
                 self.q.get_transaction_from_account_with_nonce(from_account, n),
                 tx_to_dict,
@@ -354,14 +376,14 @@ class RestFacade:
         topics = [g(f"topic{i}", "") for i in range(4)]
 
         if log_index and is_hash(block_hash):
-            i = parse_number(log_index, "Bad log index")
+            i = long_or_not_found(parse_number(log_index, "Bad log index"))
             return _one(
                 self.q.get_event_by_block_hash_and_log_index(block_hash, i),
                 event_to_dict,
             )
         if log_index and block_number:
-            n = parse_number(block_number, "Bad block number")
-            i = parse_number(log_index, "Bad log index")
+            n = long_or_not_found(parse_number(block_number, "Bad block number"))
+            i = long_or_not_found(parse_number(log_index, "Bad log index"))
             return _one(
                 self.q.get_event_by_block_number_and_log_index(n, i), event_to_dict
             )

@@ -17,7 +17,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, Row
 
-from .api import is_address, is_hash, parse_number, range_checker
+from .api import is_address, is_hash, long_or_not_found, parse_number, range_checker
 from .config import DEFAULT_CONFIG, EngineConfig
 from .errors import NotFoundError, ValidationError
 from .operators.historical import HistoricalQueries
@@ -154,7 +154,7 @@ class GraphQLResolvers:
         return _first(self.q.get_block_by_hash(hash), block_model)
 
     def block_by_number(self, number: str):
-        n = parse_number(number, "Bad Block Number")
+        n = long_or_not_found(parse_number(number, "Bad Block Number"))
         return _first(self.q.get_block_by_number(n), block_model)
 
     def blocks_by_number_range(self, frm: str, to: str):
@@ -180,11 +180,11 @@ class GraphQLResolvers:
         return _all(self.q.get_transactions_by_block_hash(hash), tx_model)
 
     def transaction_count_by_block_number(self, number: str) -> int:
-        n = parse_number(number, "Bad Block Number")
+        n = long_or_not_found(parse_number(number, "Bad Block Number"))
         return _scalar(self.q.get_transaction_count_by_block_number(n))
 
     def transactions_by_block_number(self, number: str):
-        n = parse_number(number, "Bad Block Number")
+        n = long_or_not_found(parse_number(number, "Bad Block Number"))
         return _all(self.q.get_transactions_by_block_number(n), tx_model)
 
     def _acct_window(
@@ -272,7 +272,7 @@ class GraphQLResolvers:
 
     def transaction_from_account_with_nonce(self, account: str, nonce: str):
         self._addr(account, "Bad Account Address")
-        n = parse_number(nonce, "Bad Account Nonce")
+        n = long_or_not_found(parse_number(nonce, "Bad Account Nonce"))
         return _first(
             self.q.get_transaction_from_account_with_nonce(account, n), tx_model
         )
@@ -337,14 +337,14 @@ class GraphQLResolvers:
 
     def event_by_block_hash_and_log_index(self, hash: str, index: str):
         self._hash(hash, "Bad Block Hash")
-        i = parse_number(index, "Bad Log Index")
+        i = long_or_not_found(parse_number(index, "Bad Log Index"))
         return _first(
             self.q.get_event_by_block_hash_and_log_index(hash, i), event_model
         )
 
     def event_by_block_number_and_log_index(self, number: str, index: str):
-        n = parse_number(number, "Bad Block Number")
-        i = parse_number(index, "Bad Log Index")
+        n = long_or_not_found(parse_number(number, "Bad Block Number"))
+        i = long_or_not_found(parse_number(index, "Bad Log Index"))
         return _first(
             self.q.get_event_by_block_number_and_log_index(n, i), event_model
         )

@@ -166,3 +166,33 @@ def test_parse_number_strict_ascii_decimal():
                 "18446744073709551616", "1.0", None, 7]:
         with pytest.raises(ValidationError):
             parse_number(bad)
+
+
+def test_uint64_above_long_max_is_not_found_not_crash(facade):
+    """Values in [2^63, 2^64) are valid uint64 (common.go:51-62) but can
+    never exist in a bigint/LongType column — the facade must answer
+    not-found, never let the literal crash the Java bridge."""
+    from evm_indexer_spark.errors import NotFoundError
+
+    hi = str(2**63)          # first non-representable value
+    top = str(2**64 - 1)     # uint64 max
+    with pytest.raises(NotFoundError):
+        facade.block({"number": hi})
+    with pytest.raises(NotFoundError):
+        facade.block({"number": top, "tx": "yes"})
+    with pytest.raises(NotFoundError):
+        facade.transaction(
+            {"fromAccount": "0x" + "a" * 40, "nonce": hi}
+        )
+    with pytest.raises(NotFoundError):
+        facade.event({"blockNumber": hi, "logIndex": "0"})
+    with pytest.raises(NotFoundError):
+        facade.event({"blockNumber": "1", "logIndex": top})
+    # range starting above 2^63-1 → provably empty → not-found
+    with pytest.raises(NotFoundError):
+        facade.block({"fromBlock": hi, "toBlock": str(2**63 + 50)})
+    # range merely *ending* above gets clamped, then empty → not-found
+    with pytest.raises(NotFoundError):
+        facade.block(
+            {"fromBlock": str(2**63 - 10), "toBlock": str(2**63 + 10)}
+        )
