@@ -175,22 +175,20 @@ def minhash_near_duplicates(
     jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    # ONE pass over the corpus produces both the K minhash components and
-    # the distinct shingle set per document — the min aggregates and
-    # collect_set share the same explode + groupBy(id), so verification
-    # needs no second shingle pipeline (a second windowed pass was ~40%
-    # of this operator's runtime in the two-pass form). Exact-duplicate
-    # clusters should be collapsed by ``exact_duplicates`` upstream: m
-    # identical docs produce m(m-1)/2 candidate pairs here.
+    # Signature pass: min aggregates only — corpus-wide shingle *sets*
+    # are never materialized (the invariant that keeps verification
+    # memory O(candidates), not O(corpus)); candidate docs get their
+    # sets from a second, semi-join-pruned shingle pass below.
+    # Exact-duplicate clusters should be collapsed by
+    # ``exact_duplicates`` upstream: m identical docs produce m(m-1)/2
+    # candidate pairs here.
     ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False).withColumn(
         "h0", F.xxhash64("s")
     )
     mins = [
         F.min(_derive_hash(F.col("h0"), k)).alias(f"h{k}") for k in range(num_hashes)
     ]
-    # two consumers (banded explode + verification sets): persist or the
-    # shingle/aggregate pipeline re-runs per consumer
-    base = ex.groupBy("id").agg(*mins, F.collect_set("s").alias("sh")).persist()
+    base = ex.groupBy("id").agg(*mins)
 
     # slim banded table: (id, band, band_hash) — 16 bytes/row through the
     # bucket shuffle; shingle arrays are NOT carried into the self-join
@@ -225,20 +223,30 @@ def minhash_near_duplicates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # three consumers (id-prune union ×2 + the pair join)
-        .persist()
+        # three consumers (id-prune union ×2 + the pair join):
+        # localCheckpoint materializes once, eagerly, and truncates the
+        # signature/self-join lineage; the blocks are released with the
+        # DataFrame (no persist left pinned across calls)
+        .localCheckpoint()
     )
 
-    # Exact Jaccard verification: prune the per-doc shingle sets to
-    # candidate ids FIRST (semi-join on a candidate-bounded key set), so
-    # the pair joins shuffle only candidate arrays, never the corpus —
-    # the verification stays bounded by band selectivity at any scale.
+    # Exact Jaccard verification: shingle sets are built ONLY for
+    # candidate docs — the semi-join prunes the corpus before the
+    # explode, so this second pass shuffles O(candidates) arrays at any
+    # scale (band selectivity bounds it), never the corpus.
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sets = base.select("id", "sh").join(cand_ids, "id", "left_semi")
+    cand_docs = df.join(
+        cand_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    sets = (
+        shingle_rows(cand_docs, id_col, text_col, shingle_n, distinct=False)
+        .groupBy("id")
+        .agg(F.collect_set("s").alias("sh"))
+    )
     pairs = cand.join(
         sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -259,46 +267,39 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     2*ones_i − n, positive iff 2*ones_i > n, so summing bare extracted
     bits replaces 64 conditional aggregates.
 
-    The 64 bit counters are SWAR-packed four to a long (16-bit lanes):
-    16 sum aggregates instead of 64, each a shift/mask/or — the
-    aggregation stage's generated code shrinks ~4× (codegen compile time
-    was over half of this operator's cold run on small inputs, and the
-    per-row aggregate work shrinks alongside). Lanes bound documents at
-    65535 tokens; longer inputs should be pre-chunked (a 16-bit lane
-    overflow silently corrupts neighboring counters).
+    The 64 bit counters are SWAR-packed three to a long (21-bit lanes at
+    offsets 0/21/42): 22 sum aggregates instead of 64 — the aggregation
+    stage's generated code shrinks ~3× (codegen compile time was over
+    half of this operator's cold run on small inputs, and the per-row
+    aggregate work shrinks alongside). Lane arithmetic is overflow-safe
+    under Spark ANSI mode: the top lane adds at most 2^42 (+ lower
+    lanes) per token, so the running sum stays below 2^63 for any
+    document inside the lane bound. Lanes bound documents at 2^21−1 =
+    2,097,151 tokens; longer inputs should be pre-chunked (a lane
+    overflow silently corrupts neighboring counters). A 4-lane/16-bit
+    packing was measurably cheaper but its bit-48 lane overflows a
+    signed sum at ≥32768 tokens — a job-killing exception under ANSI.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(_norm_tokens(F.col(text_col))).alias("t"),
     ).withColumn("h", F.xxhash64("t"))
-    # lane g packs counters for bits 4g..4g+3 at lane offsets 0/16/32/48
-    packed = [
-        F.sum(
-            F.shiftright(F.col("h"), 4 * g).bitwiseAND(F.lit(1))
-            .bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(F.col("h"), 4 * g + 1).bitwiseAND(F.lit(1)), 16
-                )
-            )
-            .bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(F.col("h"), 4 * g + 2).bitwiseAND(F.lit(1)), 32
-                )
-            )
-            .bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(F.col("h"), 4 * g + 3).bitwiseAND(F.lit(1)), 48
-                )
-            )
-        ).alias(f"p{g}")
-        for g in range(16)
-    ]
+    # lane group g packs counters for bits 3g..3g+2 (group 21: bit 63)
+    packed = []
+    for g in range(22):
+        lanes = None
+        for j, bit in enumerate(range(3 * g, min(3 * g + 3, 64))):
+            e = F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1))
+            if j:
+                e = F.shiftleft(e, 21 * j)
+            lanes = e if lanes is None else lanes.bitwiseOR(e)
+        packed.append(F.sum(lanes).alias(f"p{g}"))
     agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed)
     sig = F.lit(0).cast("long")
     for i in range(64):
-        g, lane = divmod(i, 4)
-        ones = F.shiftrightunsigned(F.col(f"p{g}"), 16 * lane).bitwiseAND(
-            F.lit(0xFFFF)
+        g, lane = divmod(i, 3)
+        ones = F.shiftrightunsigned(F.col(f"p{g}"), 21 * lane).bitwiseAND(
+            F.lit(0x1FFFFF)
         )
         bit = F.when(
             ones * 2 > F.col("n"),

@@ -98,9 +98,12 @@ def dedup_clusters(
     ``filter(id == cluster_id)``.
 
     At 100 TB the pair stage is the cost; the closure runs over pair
-    endpoints only (a tiny fraction of the corpus) and every document
-    outside the pair graph labels itself via a broadcast anti-join —
-    the iterative loop never touches the full corpus."""
+    endpoints only and every document outside the pair graph labels
+    itself via an anti-join — the iterative loop never touches the full
+    corpus. The endpoint set is *not* broadcast: at web-scale dup rates
+    30–50% of all documents appear in some pair, so it is unbounded —
+    a shuffled anti-join (AQE downgrades it to broadcast when the set
+    really is small) is the only shape that survives the scale-up."""
     from . import dedup
 
     pairs = dedup.jaccard_prefix_join(
@@ -113,6 +116,6 @@ def dedup_clusters(
         pairs.select(F.col("id_b").alias(id_col))
     )
     singletons = doc.select(id_col).join(
-        F.broadcast(endpoints), id_col, "left_anti"
+        endpoints, id_col, "left_anti"
     ).select(id_col, F.col(id_col).alias("cluster_id"))
     return cc.unionByName(singletons)

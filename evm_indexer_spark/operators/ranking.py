@@ -10,8 +10,10 @@ Scale shape: tokenize → explode to (doc, term) postings → filter to the
 query terms FIRST (the selectivity is |query| / vocab, so the explode's
 shuffle carries only matching postings) → per-doc tf agg + a tiny
 per-term df agg that broadcasts back. Corpus constants (N, avgdl) ride
-along as a broadcast scalar. Two narrow shuffles regardless of corpus
-size; the posting explode itself is map-side only.
+along as a broadcast scalar. The per-doc length table is one narrow
+(id, double) row per document — O(corpus), so it is *never* broadcast;
+it shuffle-joins on id (AQE downgrades to broadcast when genuinely
+small). The posting explode itself is map-side only.
 """
 
 from __future__ import annotations
@@ -67,7 +69,7 @@ def bm25_scores(
 
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(dl), "id")
+        .join(dl, "id")
         .crossJoin(F.broadcast(const))
     )
     idf = F.log(

@@ -96,14 +96,17 @@ def cardinality(
     2^14-register buffer per pair, gigabytes of aggregation state for
     nothing (measured 15× slower at sf0.1). Split, the exact side is a
     plain two-phase distinct and the approx side keeps one sketch per
-    key; the final join is a broadcast over |keys| rows."""
+    key; the final join is on |keys| rows — unbounded for high-
+    cardinality keys, so no broadcast hint (AQE picks broadcast when
+    the key set really is small, and both sides share the same
+    groupBy(key) partitioning anyway)."""
     exact = df.groupBy(key).agg(
         F.count_distinct(F.col(value_col)).alias("n_distinct")
     )
     approx = df.groupBy(key).agg(
         F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct")
     )
-    return exact.join(F.broadcast(approx), key)
+    return exact.join(approx, key)
 
 
 def percentile_sketch_check(

@@ -60,19 +60,30 @@ def asof_join(
     if overlap:
         raise ValueError(f"right columns collide with left: {sorted(overlap)}")
 
+    # The right payload rides as ONE struct so the running fill is
+    # atomic per matched row: filling columns independently would mix an
+    # older row's value into a newer row's NULL column, diverging from
+    # DuckDB ASOF / pandas merge_asof (which attach the whole matched
+    # row, NULLs included). One last() over a struct also beats
+    # |payload| parallel window functions.
+    from pyspark.sql.types import StructField, StructType
+
+    rp_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in right_payload]
+    )
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(_L).alias("__side"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
+        F.lit(None).cast(rp_type).alias("__rp"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(_R).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c) for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("__rp"),
     )
     u = l_tag.unionByName(r_tag)
 
@@ -89,9 +100,12 @@ def asof_join(
     filled = u.select(
         "__side",
         *[F.col(c) for c in left_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+        F.last("__rp", ignorenulls=True).over(w).alias("__rp"),
     )
-    return filled.filter(F.col("__side") == _L).drop("__side")
+    return filled.filter(F.col("__side") == _L).select(
+        *left_cols,
+        *[F.col("__rp")[c].alias(c) for c in right_payload],
+    )
 
 
 def interval_join(

@@ -89,6 +89,7 @@ def stream_interval_join(
     end_col: str = "w_end",
     bin_seconds: int = 3600,
     watermark: str = "10 minutes",
+    max_interval_seconds: int = 86_400,
 ) -> DataFrame:
     """Stream-stream point-in-interval join: every point row joins the
     interval rows with ``start <= point_ts < end``.
@@ -96,13 +97,19 @@ def stream_interval_join(
     The streaming twin of ``operators.temporal.interval_join``, using
     the same time-binning trick — and here the bin is load-bearing
     twice: Spark refuses stream-stream joins without an equality
-    predicate, and the bin IS that equality key. Both sides carry a
-    watermark, and the residual range condition between the two
-    event-time columns (``point_ts < start + bin``-bounded window via
-    the shared bin, plus the explicit range filter) lets the state
-    store expire rows: state per side is O(watermark + bin_seconds) of
-    input, bounded regardless of stream length. Intervals longer than
-    one bin explode into one state row per covered bin — identical to
+    predicate, and the bin IS that equality key.
+
+    State eviction needs a range condition BETWEEN THE TWO WATERMARKED
+    columns (``point_ts`` and ``start_col``) — the ``point_ts <
+    end_col`` residual can't evict anything because ``end_col`` carries
+    no watermark, and the derived ``__bin`` key drops watermark
+    metadata. So the join adds ``point_ts < start_col +
+    max_interval_seconds``: with it, interval-side state is bounded by
+    O(watermark + max_interval) and point-side by O(watermark),
+    regardless of stream length. The contract is that no interval is
+    longer than *max_interval_seconds* (matches past the bound are
+    dropped — enforce upstream or raise the cap, paying state for it).
+    Intervals explode into one state row per covered bin, identical to
     the batch operator's explosion factor. Inner join (the batch twin's
     semantics)."""
     p = points.withWatermark(point_ts, watermark).withColumn(
@@ -121,5 +128,10 @@ def stream_interval_join(
         (p["__bin"] == i["__bin"])
         & (F.col(point_ts) >= F.col(start_col))
         & (F.col(point_ts) < F.col(end_col))
+        # eviction bound: watermarked col vs watermarked col (see above)
+        & (
+            F.col(point_ts)
+            < F.col(start_col) + F.expr(f"INTERVAL {max_interval_seconds} SECOND")
+        )
     )
     return p.join(i, cond, "inner").drop("__bin")

@@ -135,3 +135,44 @@ def test_prefix_join_equals_all_pairs(corpus):
             ).collect()
         }
         assert pruned == brute, f"threshold {t}: {pruned ^ brute}"
+
+
+def test_simhash_signature_long_doc_no_ansi_overflow(spark):
+    """A document with >=32768 tokens overflowed the old 16-bit/4-lane
+    SWAR packing's top lane under ANSI mode (sum of 40000 x 2^48 >
+    Long.MAX -> ARITHMETIC_OVERFLOW). The 21-bit/3-lane packing must
+    survive it and agree with a short doc's signature algebra."""
+    long_text = " ".join(f"tok{i % 97}" for i in range(40_000))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "tok0 tok1 tok2")], "id long, text string"
+    )
+    with_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = {r["id"]: r["sig"] for r in
+                dedup.simhash_signatures(df, "id", "text").collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", with_ansi)
+    assert set(rows) == {1, 2}
+
+
+def test_minhash_no_corpus_wide_shingle_sets(spark):
+    """Verification sets must be built only for candidate docs: the
+    collect_set aggregate has to sit above a semi-join with candidate
+    ids, never over the full corpus, and nothing may stay persisted
+    after the result is materialized."""
+    docs = [(i, f"totally unique document number {i} " * 3) for i in range(20)]
+    df = spark.createDataFrame(docs, "id long, text string")
+    out = dedup.minhash_near_duplicates(df, "id", "text")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # collect_set must not appear over a plain corpus scan: every
+    # occurrence sits above a join (the semi-join prune). Heuristic:
+    # the analyzed tree has a Join below each Aggregate[collect_set].
+    idx = plan.find("collect_set")
+    assert idx != -1
+    assert "Join" in plan[idx:], plan
+    # InMemoryRelation in the plan would mean a corpus-wide persist is
+    # back; the only materialization allowed is the candidate-pair
+    # localCheckpoint (which shows as LogicalRDD / scan of existing RDD)
+    assert "InMemoryRelation" not in plan, plan
+    out.collect()

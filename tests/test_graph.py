@@ -58,3 +58,16 @@ def test_dedup_clusters_planted(spark):
     # canonical-doc policy: keep id == cluster_id
     keep = {i for i, c in out.items() if i == c}
     assert keep == {0, 3, 4}
+
+
+def test_dedup_clusters_no_broadcast_hint_on_endpoints(spark):
+    """The pair-endpoint set is unbounded (at web-scale dup rates it is a
+    large fraction of the corpus), so the singleton anti-join must carry
+    no broadcast hint — AQE may still *choose* broadcast at runtime when
+    the set is genuinely small, which is exactly the desired split of
+    responsibility."""
+    docs = [(i, f"doc number {i} with shared filler words") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = graph.dedup_clusters(df, "doc_id", "text", threshold=0.3)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed

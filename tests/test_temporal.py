@@ -155,3 +155,19 @@ def test_asof_plan_single_shuffle(spark, quotes, trades):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_null_payload_column_attached_whole(spark):
+    """A right row with NULL in one payload column must be attached as a
+    whole row — its NULL wins over an older row's value. Per-column
+    fills would mix two right rows (DuckDB ASOF / merge_asof never do)."""
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "a"), (1, 20, None, "b")],
+        "k long, qts long, px double, src string",
+    )
+    left = spark.createDataFrame([(1, 25, "T1")], "k long, tts long, trade string")
+    row = temporal.asof_join(
+        left, right, on="k", left_ts="tts", right_ts="qts"
+    ).collect()[0]
+    # matched row is (qts=20, px=NULL, src='b'); px must NOT leak 100.0
+    assert row["src"] == "b" and row["px"] is None
