@@ -1334,44 +1334,32 @@ def q62(spark, sf):
 
 @register(
     "q63_editdist_near_dup",
-    # near-dup verification by edit distance over LSH-sized candidate
-    # groups: same-length-bucket prefix blocking keeps the pair space
-    # linear; levenshtein is native in both engines
+    # near-dup verification by edit distance with length-bucket blocking:
+    # |len(a)-len(b)| > 40 implies dist > 40, and bucket width 50 > 40
+    # means qualifying pairs sit in the same OR adjacent buckets — the
+    # oracle states the blocking declaratively (|Δbucket| <= 1); the
+    # Spark side realizes it as an exact equi-join (dedup.py)
     """
     WITH d AS (
-      SELECT doc_id, text, len(text) AS n FROM documents WHERE doc_id < 300
+      SELECT doc_id, text, len(text) // 50 AS bkt
+      FROM documents WHERE doc_id < 300
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            levenshtein(a.text, b.text) AS dist
     FROM d a JOIN d b
-      ON a.n // 50 = b.n // 50 AND a.doc_id < b.doc_id
+      ON abs(a.bkt - b.bkt) <= 1 AND a.doc_id < b.doc_id
     WHERE levenshtein(a.text, b.text) <= 40
     """,
 )
 def q63(spark, sf):
-    """Edit-distance near-dup pairs with length-bucket blocking.
+    """Edit-distance near-dup pairs, adjacent-length-bucket blocking +
+    threshold-early-exit levenshtein — see
+    ``operators.dedup.editdist_near_duplicates``."""
+    from .operators import dedup
 
-    The length bucket is the blocking key (|len(a)-len(b)| > k implies
-    dist > k, so same-bucket-or-neighbor blocking is the classic exact
-    prefilter; the catalog entry uses same-bucket only, mirrored in the
-    oracle). levenshtein runs JVM-side."""
-    doc = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id", "text", F.floor(F.length("text") / 50).alias("bucket"))
-    )
-    a = doc.select(
-        F.col("doc_id").alias("id_a"), F.col("text").alias("ta"), "bucket"
-    )
-    b = doc.select(
-        F.col("doc_id").alias("id_b"), F.col("text").alias("tb"), "bucket"
-    )
-    dist = F.levenshtein("ta", "tb")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dist <= 40)
-        .select("id_a", "id_b", dist.cast("bigint").alias("dist"))
+    doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return dedup.editdist_near_duplicates(
+        doc, "doc_id", "text", max_dist=40, bucket_width=50
     )
 
 

@@ -575,3 +575,66 @@ def winnow_fingerprints(
         .select("id", "fp")
         .distinct()
     )
+
+
+def editdist_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 40,
+    bucket_width: int = 50,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with length-bucket blocking.
+
+    ``|len(a) − len(b)| > max_dist ⇒ dist > max_dist``, so with
+    ``bucket_width > max_dist`` any qualifying pair sits in the same or
+    in *adjacent* length buckets — same-bucket-only blocking silently
+    drops pairs straddling a boundary (len 49 vs 51 with width 50).
+    The neighbor match stays an equi-join: the left side carries keys
+    {bucket, bucket+1}; a same-bucket pair matches once under
+    ``id_a < id_b`` and a cross-bucket pair matches once with the
+    shorter doc on the left, so no dedup pass is needed.
+
+    ``levenshtein``'s 3-arg threshold form (returns −1 above the bound)
+    lets the JVM matrix loop early-exit per row band instead of
+    computing the full O(|a|·|b|) table for pairs that are nowhere
+    near — the dominant cost, since blocking survivors are mostly
+    negatives.
+
+    Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist.
+    """
+    if bucket_width <= max_dist:
+        raise ValueError(
+            f"bucket_width ({bucket_width}) must exceed max_dist "
+            f"({max_dist}) for adjacent-bucket blocking to be exact"
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.floor(F.length(text_col) / bucket_width).alias("bkt"),
+    )
+    a = base.select(
+        F.col("id").alias("ia"),
+        F.col("t").alias("ta"),
+        F.col("bkt").alias("ba"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("key"),
+    )
+    b = base.select(
+        F.col("id").alias("ib"),
+        F.col("t").alias("tb"),
+        F.col("bkt").alias("key"),
+    )
+    matched = a.join(b, "key").filter(
+        ((F.col("ba") == F.col("key")) & (F.col("ia") < F.col("ib")))
+        | (F.col("ba") < F.col("key"))
+    )
+    dist = F.levenshtein("ta", "tb", max_dist)
+    return (
+        matched.withColumn("dist", dist.cast("bigint"))
+        .filter(F.col("dist") >= 0)
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "dist",
+        )
+    )

@@ -176,3 +176,28 @@ def test_minhash_no_corpus_wide_shingle_sets(spark):
     # localCheckpoint (which shows as LogicalRDD / scan of existing RDD)
     assert "InMemoryRelation" not in plan, plan
     out.collect()
+
+
+def test_editdist_straddling_buckets_found(spark):
+    """Pairs whose lengths straddle a bucket boundary (len 49 vs 51,
+    dist 2) must be found — same-bucket-only blocking missed them."""
+    docs = [
+        (1, "a" * 49),
+        (2, "a" * 51),          # adjacent bucket (0 vs 1), dist 2
+        (3, "b" * 120),
+        (4, "b" * 118 + "cc"),  # same bucket (2), dist 2
+        (5, "z" * 300),         # far from everything
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           dedup.editdist_near_duplicates(df, "id", "text",
+                                          max_dist=40, bucket_width=50).collect()}
+    assert out[(1, 2)] == 2
+    assert out[(3, 4)] == 2
+    assert all(5 not in p for p in out)
+    # each pair exactly once (the exploded neighbor keys must not dupe)
+    assert len(out) == 2
+
+    with pytest.raises(ValueError):
+        dedup.editdist_near_duplicates(df, "id", "text",
+                                       max_dist=50, bucket_width=50)
