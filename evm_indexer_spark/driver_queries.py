@@ -98,72 +98,73 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "q02_projection_range_scan",  # P1+P5+W1: GetAllBlockNumbersInRange analog
-    "SELECT o_orderkey FROM orders WHERE o_orderkey BETWEEN 1000 AND 1200 ORDER BY o_orderkey",
+    "q02_range_scans",  # P1+P5+P6+W1: number-range + time-range predicates,
+    # narrow projection, sorted output (GetAllBlockNumbersInRange /
+    # GetBlocksByTimeRange analogs in one pruned scan)
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE event_id BETWEEN 1000 AND 40000
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts < TIMESTAMP '2024-01-06 00:00:00'
+    ORDER BY event_id
+    """,
 )
 def q02(spark, sf):
+    ev = load_table(spark, sf, "events")
     return (
-        load_table(spark, sf, "orders")
-        .filter(F.col("o_orderkey").between(1000, 1200))
-        .select("o_orderkey")
-        .orderBy("o_orderkey")
+        ev.filter(
+            F.col("event_id").between(1000, 40000)
+            & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp_ntz"))
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
     )
 
 
 @register(
-    "q03_point_lookup",  # P4+W3: GetBlockByHash analog (PK point read)
-    "SELECT * FROM orders WHERE o_orderkey = 32",
-)
-def q03(spark, sf):
-    return load_table(spark, sf, "orders").filter(F.col("o_orderkey") == 32).limit(1)
-
-
-@register(
-    "q04_time_range_scan",  # P6: GetBlocksByTimeRange analog
+    "q03_point_lookups",  # P4+P9+W3: single-key point read (GetBlockByHash)
+    # and composite-PK read (event by blockhash+index), each LIMIT 1,
+    # cross-joined into one hash-checkable row
     """
-    SELECT event_id, ts, user_id, event_type, value FROM events
-    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           l.l_orderkey AS li_orderkey, l.l_linenumber, l.l_quantity
+    FROM (SELECT * FROM orders WHERE o_orderkey = 32) o
+    CROSS JOIN (SELECT * FROM lineitem
+                WHERE l_orderkey = 7 AND l_linenumber = 1) l
     """,
 )
-def q04(spark, sf):
-    ev = load_table(spark, sf, "events")
-    return ev.filter(
-        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
-        & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp_ntz"))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+def q03(spark, sf):
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") == 32)
+        .limit(1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter((F.col("l_orderkey") == 7) & (F.col("l_linenumber") == 1))
+        .limit(1)
+        .select(
+            F.col("l_orderkey").alias("li_orderkey"), "l_linenumber", "l_quantity"
+        )
+    )
+    return o.crossJoin(li)
 
 
 @register(
-    "q05_equality_filter",  # P7: from/to/origin equality analog
-    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R'",
+    "q05_predicate_filters",  # P7+P8: equality (from/to/origin analog) and
+    # non-empty-string inequality (contract <> '') in one filtered scan
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_linestatus FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus <> 'F'
+    """,
 )
 def q05(spark, sf):
     return (
         load_table(spark, sf, "lineitem")
-        .filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-    )
-
-
-@register(
-    "q06_inequality_filter",  # P8: contract <> '' analog
-    "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment <> 'BUILDING'",
-)
-def q06(spark, sf):
-    return (
-        load_table(spark, sf, "customer")
-        .filter(F.col("c_mktsegment") != "BUILDING")
-        .select("c_custkey", "c_mktsegment")
-    )
-
-
-@register(
-    "q07_composite_key_lookup",  # P9: (blockhash, index) composite PK analog
-    "SELECT * FROM lineitem WHERE l_orderkey = 7 AND l_linenumber = 1",
-)
-def q07(spark, sf):
-    return load_table(spark, sf, "lineitem").filter(
-        (F.col("l_orderkey") == 7) & (F.col("l_linenumber") == 1)
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") != "F"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_linestatus")
     )
 
 
@@ -228,16 +229,43 @@ def q10(spark, sf):
 
 
 @register(
-    "q11_count_over_join_range",  # A2: COUNT over join + range (6-variant family)
+    "q11_scalar_counts",  # A1+A2+A6: filtered count, count-over-join-window,
+    # and the sync-progress derivation — the reference's global scalar
+    # aggregates (it has no GROUP BY) in one cross-joined row
     """
-    SELECT count(*) AS "count"
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+    SELECT jw.join_window_count, fc.filtered_count,
+           sp.block_count, sp.head, sp.progress_pct
+    FROM (
+      SELECT count(*) AS join_window_count
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1995-02-01 00:00:00') jw
+    CROSS JOIN (
+      SELECT count(*) AS filtered_count FROM lineitem
+      WHERE l_discount >= 0.05) fc
+    CROSS JOIN (
+      SELECT count(*) AS block_count, max(o_orderkey) AS head,
+             count(*) / (max(o_orderkey) + 1) * 100 AS progress_pct
+      FROM orders) sp
     """,
 )
 def q11(spark, sf):
-    return q10(spark, sf).agg(F.count(F.lit(1)).alias("count"))
+    jw = q10(spark, sf).agg(F.count(F.lit(1)).alias("join_window_count"))
+    fc = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_discount") >= 0.05)
+        .agg(F.count(F.lit(1)).alias("filtered_count"))
+    )
+    sp = (
+        load_table(spark, sf, "orders")
+        .agg(F.count(F.lit(1)).alias("block_count"), F.max("o_orderkey").alias("head"))
+        .select(
+            "block_count",
+            "head",
+            (F.col("block_count") / (F.col("head") + 1) * 100).alias("progress_pct"),
+        )
+    )
+    return jw.crossJoin(fc).crossJoin(sp)
 
 
 @register(
@@ -288,37 +316,6 @@ def q14(spark, sf):
         F.min("o_orderkey").alias("oldest"),
         F.max("o_orderkey").alias("head"),
         F.count(F.lit(1)).alias("total"),
-    )
-
-
-@register(
-    "q15_filtered_count",  # A1: COUNT(*) with predicate
-    'SELECT count(*) AS "count" FROM lineitem WHERE l_discount >= 0.05',
-)
-def q15(spark, sf):
-    return (
-        load_table(spark, sf, "lineitem")
-        .filter(F.col("l_discount") >= 0.05)
-        .agg(F.count(F.lit(1)).alias("count"))
-    )
-
-
-@register(
-    "q16_sync_progress",  # A6: percent-complete derivation
-    """
-    SELECT count(*) AS block_count, max(o_orderkey) AS head,
-           count(*) / (max(o_orderkey) + 1) * 100 AS progress_pct
-    FROM orders
-    """,
-)
-def q16(spark, sf):
-    agg = load_table(spark, sf, "orders").agg(
-        F.count(F.lit(1)).alias("block_count"), F.max("o_orderkey").alias("head")
-    )
-    return agg.select(
-        "block_count",
-        "head",
-        (F.col("block_count") / (F.col("head") + 1) * 100).alias("progress_pct"),
     )
 
 
@@ -377,58 +374,44 @@ def q18(spark, sf):
 # ---------------------------------------------------------------------------
 
 @register(
-    "q19_hex_encode",  # F1: 0x-prefixed lowercase hex encoding
+    "q19_wire_encodings",  # F1+F4: 0x-prefixed lowercase hex encoding and
+    # exact decimal parse/cast of a money value, one projection
     """
-    SELECT doc_id, concat('0x', lower(hex(substr(text, 1, 16)))) AS hexpfx
-    FROM documents WHERE doc_id < 100
+    SELECT d.doc_id, concat('0x', lower(hex(substr(d.text, 1, 16)))) AS hexpfx,
+           CAST(CAST(d.n_chars AS DECIMAL(18,2)) / 100 AS DOUBLE) AS chars_dec
+    FROM documents d WHERE d.doc_id < 100
     """,
 )
 def q19(spark, sf):
+    # decimal cast for exactness, double for dtype-stable transport (see q01)
     doc = load_table(spark, sf, "documents")
     return doc.filter(F.col("doc_id") < 100).select(
         "doc_id",
         F.concat(
             F.lit("0x"), F.lower(F.hex(F.substring(F.col("text"), 1, 16)))
         ).alias("hexpfx"),
+        (F.col("n_chars").cast("decimal(18,2)") / 100)
+        .cast("double")
+        .alias("chars_dec"),
     )
 
 
 @register(
-    "q20_decimal_cast",  # F4: big-number decimal parse/cast
+    "q21_string_matches",  # F6+F7: case-insensitive equality filter plus a
+    # prefix/length-check column (the facade guardrail expressions)
     """
-    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_dec
-    FROM orders WHERE o_orderkey <= 200
+    SELECT c_custkey, starts_with(c_name, 'Customer#00000000') AS name_pfx
+    FROM customer WHERE lower(c_mktsegment) = 'building'
     """,
-)
-def q20(spark, sf):
-    # decimal cast for exactness, double for dtype-stable transport (see q01)
-    o = load_table(spark, sf, "orders")
-    return o.filter(F.col("o_orderkey") <= 200).select(
-        "o_orderkey", _dec("o_totalprice").cast("double").alias("total_dec")
-    )
-
-
-@register(
-    "q21_case_insensitive_match",  # F6: lower(a)==lower(b) matching
-    "SELECT c_custkey FROM customer WHERE lower(c_mktsegment) = 'building'",
 )
 def q21(spark, sf):
     return (
         load_table(spark, sf, "customer")
         .filter(F.lower(F.col("c_mktsegment")) == "building")
-        .select("c_custkey")
-    )
-
-
-@register(
-    "q22_prefix_match",  # F7: string prefix/length guardrail checks
-    "SELECT doc_id FROM documents WHERE text LIKE 'the %'",
-)
-def q22(spark, sf):
-    return (
-        load_table(spark, sf, "documents")
-        .filter(F.col("text").startswith("the "))
-        .select("doc_id")
+        .select(
+            "c_custkey",
+            F.col("c_name").startswith("Customer#00000000").alias("name_pfx"),
+        )
     )
 
 
@@ -517,30 +500,58 @@ def q28(spark, sf):
 
 
 @register(
-    "q29_token_stats_by_lang",
+    "q29_lang_token_stats",
+    # language-ID heuristic (stopword argmax, en > de > es > fr tie-break)
+    # feeding the per-language token statistics: lang-ID and corpus stats
+    # verified together — the group keys themselves are computed columns
     """
-    SELECT lang, count(*) AS n_docs,
+    WITH hits AS (
+      SELECT doc_id, text,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('the','and','of','to','in','is','that','for'))) AS en,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('der','die','und','das','ist','nicht','ein','mit'))) AS de,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('el','la','de','que','y','los','en','un'))) AS es,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('le','la','et','les','des','est','une','dans'))) AS fr
+      FROM documents),
+    pred AS (
+      SELECT doc_id, text,
+        CASE WHEN greatest(en,de,es,fr) = 0 THEN 'und'
+             WHEN en = greatest(en,de,es,fr) THEN 'en'
+             WHEN de = greatest(en,de,es,fr) THEN 'de'
+             WHEN es = greatest(en,de,es,fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM hits)
+    SELECT lang_pred, count(*) AS n_docs,
            CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens,
            CAST(sum(length(text)) AS BIGINT) AS total_chars
-    FROM documents GROUP BY lang
+    FROM pred GROUP BY lang_pred
     """,
 )
 def q29(spark, sf):
     doc = load_table(spark, sf, "documents")
-    return doc.groupBy("lang").agg(
+    return doc.select(
+        TX.lang_guess("text").alias("lang_pred"),
+        TX.token_count("text").alias("_tok"),
+        TX.char_count("text").alias("_chr"),
+    ).groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(TX.token_count("text")).alias("total_tokens"),
-        F.sum(TX.char_count("text")).alias("total_chars"),
+        F.sum("_tok").alias("total_tokens"),
+        F.sum("_chr").alias("total_chars"),
     )
 
 
 @register(
-    "q30_quality_metrics",
+    "q30_doc_metrics",
+    # per-doc quality metrics + BPE-ish subword count in one projection
     """
     SELECT doc_id,
            len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
            length(text) AS n_chars,
-           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s])')) AS n_bpe_tokens
     FROM documents WHERE doc_id < 200
     """,
 )
@@ -552,50 +563,29 @@ def q30(spark, sf):
         m["n_tokens"].alias("n_tokens"),
         m["n_chars"].alias("n_chars"),
         m["n_punct"].alias("n_punct"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
     )
 
 
 @register(
-    "q31_lang_id",
-    # same stopword-argmax heuristic, spelled in SQL; profile order
-    # en > de > es > fr is the tie-break on both sides
-    """
-    WITH hits AS (
-      SELECT doc_id,
-        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-            x -> x IN ('the','and','of','to','in','is','that','for'))) AS en,
-        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-            x -> x IN ('der','die','und','das','ist','nicht','ein','mit'))) AS de,
-        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-            x -> x IN ('el','la','de','que','y','los','en','un'))) AS es,
-        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-            x -> x IN ('le','la','et','les','des','est','une','dans'))) AS fr
-      FROM documents)
-    SELECT doc_id,
-      CASE WHEN greatest(en,de,es,fr) = 0 THEN 'und'
-           WHEN en = greatest(en,de,es,fr) THEN 'en'
-           WHEN de = greatest(en,de,es,fr) THEN 'de'
-           WHEN es = greatest(en,de,es,fr) THEN 'es'
-           ELSE 'fr' END AS lang_pred
-    FROM hits
-    """,
-)
-def q31(spark, sf):
-    doc = load_table(spark, sf, "documents")
-    return doc.select("doc_id", TX.lang_guess("text").alias("lang_pred"))
-
-
-@register(
-    "q32_fingerprint",
+    "q32_clean_fingerprint",
+    # control-char/whitespace normalization + canonical content digest —
+    # the two per-doc canonicalization transforms in one projection
     """
     SELECT doc_id,
-           md5(regexp_replace(lower(text), '[^A-Za-z0-9\\s]', '', 'g')) AS fp
+      trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F]', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS clean,
+      md5(regexp_replace(lower(text), '[^A-Za-z0-9\\s]', '', 'g')) AS fp
     FROM documents
     """,
 )
 def q32(spark, sf):
     doc = load_table(spark, sf, "documents")
-    return doc.select("doc_id", TX.fingerprint("text").alias("fp"))
+    return doc.select(
+        "doc_id",
+        corpus.clean_text("text").alias("clean"),
+        TX.fingerprint("text").alias("fp"),
+    )
 
 
 def _query_vec(spark, sf) -> list[float]:
@@ -625,13 +615,19 @@ def q33(spark, sf):
     )
 
 
-@register("q34_ann_cosine_lsh", None)  # hyperplane family — no SQL oracle
+@register("q34_ann_variants", None)  # hyperplane + KMeans families — no SQL
+# oracle (xxhash64 / KMeans centroids); recall is pytest-verified against
+# the brute-force truth in tests/test_similarity.py
 def q34(spark, sf):
     emb = load_table(spark, sf, "embeddings")
-    return similarity.lsh_cosine_topk(
-        emb, "vec_id", "embedding", _query_vec(spark, sf), k=10,
-        max_probe_hamming=2,
-    )
+    qv = _query_vec(spark, sf)
+    lsh = similarity.lsh_cosine_topk(
+        emb, "vec_id", "embedding", qv, k=10, max_probe_hamming=2
+    ).select(F.lit("lsh").alias("method"), "vec_id", "score")
+    ivf = similarity.ivf_topk(
+        emb, "vec_id", "embedding", qv, k=10, n_lists=8, nprobe=3
+    ).select(F.lit("ivf").alias("method"), F.col("id").alias("vec_id"), "score")
+    return lsh.unionByName(ivf)
 
 
 @register(
@@ -679,19 +675,6 @@ def q35(spark, sf):
     return similarity.embedding_near_duplicates(
         corpus, "id", "v", min_cosine=0.99, n_tables=4, dim=64
     )
-
-
-@register(
-    "q36_bpe_token_count",
-    """
-    SELECT doc_id,
-           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s])')) AS n_bpe_tokens
-    FROM documents WHERE doc_id < 200
-    """,
-)
-def q36(spark, sf):
-    doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return doc.select("doc_id", TX.bpe_ish_token_count("text").alias("n_bpe_tokens"))
 
 
 # ---------------------------------------------------------------------------
@@ -744,21 +727,41 @@ def q38(spark, sf):
 
 
 @register(
-    "q39_video_frame_offsets",
+    "q39_media_chunks",
+    # video frame offsets and audio chunk offsets — the two binary-slicing
+    # plans, union'd with a kind tag so both are hash-checked in one row set
     """
     WITH v AS (
       SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              1 + doc_id % 16 AS n_frames
-      FROM documents WHERE doc_id % 3 = 2)
-    SELECT doc_id, i AS frame_idx,
-           i * (n_bytes // n_frames) AS frame_off,
-           n_bytes // n_frames AS frame_len
+      FROM documents WHERE doc_id % 3 = 2),
+    a AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             32000 AS bpc  -- 16000 Hz * 2 bytes * 1 s
+      FROM documents WHERE doc_id % 3 = 1)
+    SELECT 'video' AS kind, doc_id, i AS chunk_idx,
+           i * (n_bytes // n_frames) AS chunk_off,
+           n_bytes // n_frames AS chunk_len
     FROM v, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
+    UNION ALL
+    SELECT 'audio' AS kind, doc_id, i AS chunk_idx, i * bpc AS chunk_off,
+           least(bpc, n_bytes - i * bpc) AS chunk_len
+    FROM a, UNNEST(generate_series(0, CAST(ceil(n_bytes * 1.0 / bpc) AS BIGINT) - 1)) AS u(i)
     """,
 )
 def q39(spark, sf):
     media = multimodal.synthesize_media(load_table(spark, sf, "documents"))
-    return multimodal.frame_offsets(media)
+    frames = multimodal.frame_offsets(media).select(
+        F.lit("video").alias("kind"),
+        "doc_id",
+        F.col("frame_idx").alias("chunk_idx"),
+        F.col("frame_off").alias("chunk_off"),
+        F.col("frame_len").alias("chunk_len"),
+    )
+    chunks = multimodal.audio_chunk_offsets(media, chunk_seconds=1.0).select(
+        F.lit("audio").alias("kind"), "doc_id", "chunk_idx", "chunk_off", "chunk_len"
+    )
+    return frames.unionByName(chunks)
 
 
 @register(
@@ -794,14 +797,6 @@ def q40(spark, sf):
     the operator itself needs no cap."""
     doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
     return dedup.jaccard_prefix_join(doc, "doc_id", "text", threshold=0.5)
-
-
-@register("q41_ann_ivf", None)  # KMeans coarse quantizer — no SQL oracle
-def q41(spark, sf):
-    emb = load_table(spark, sf, "embeddings")
-    return similarity.ivf_topk(
-        emb, "vec_id", "embedding", _query_vec(spark, sf), k=10, n_lists=8, nprobe=3
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -891,30 +886,28 @@ def q44(spark, sf):
 
 
 @register(
-    "q45_hash_sample",
+    "q45_samples",
+    # engine-portable md5 bucketing: uniform 10% hash sample + per-language
+    # stratified rates (en 50%, de 25%, others dropped), tagged and union'd
     """
-    SELECT doc_id, lang FROM documents
+    SELECT 'uniform' AS method, doc_id, lang FROM documents
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           % 100 < 10
+    UNION ALL
+    SELECT 'stratified' AS method, doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE -1 END
     """,
 )
 def q45(spark, sf):
     doc = load_table(spark, sf, "documents")
-    return corpus.hash_sample(doc, "doc_id", 10).select("doc_id", "lang")
-
-
-@register(
-    "q46_text_clean",
-    """
-    SELECT doc_id,
-      trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F]', ' ', 'g'),
-           '\\s+', ' ', 'g')) AS clean
-    FROM documents WHERE doc_id < 200
-    """,
-)
-def q46(spark, sf):
-    doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return doc.select("doc_id", corpus.clean_text("text").alias("clean"))
+    uni = corpus.hash_sample(doc, "doc_id", 10).select(
+        F.lit("uniform").alias("method"), "doc_id", "lang"
+    )
+    strat = corpus.stratified_sample(doc, "doc_id", "lang", {"en": 50, "de": 25}).select(
+        F.lit("stratified").alias("method"), "doc_id", "lang"
+    )
+    return uni.unionByName(strat)
 
 
 @register(
@@ -988,22 +981,6 @@ def q49(spark, sf):
 
 
 @register(
-    "q50_stratified_sample",
-    # per-language mixing rates: en 50%, de 25%, others dropped
-    """
-    SELECT doc_id, lang FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-          % 100 < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE -1 END
-    """,
-)
-def q50(spark, sf):
-    doc = load_table(spark, sf, "documents")
-    return corpus.stratified_sample(
-        doc, "doc_id", "lang", {"en": 50, "de": 25}
-    ).select("doc_id", "lang")
-
-
-@register(
     "q51_repetition_metrics",
     """
     WITH toks AS (
@@ -1025,23 +1002,6 @@ def q50(spark, sf):
 def q51(spark, sf):
     doc = load_table(spark, sf, "documents")
     return corpus.repetition_metrics(doc, "doc_id", "text")
-
-
-@register(
-    "q52_audio_chunk_offsets",
-    """
-    WITH a AS (
-      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-             32000 AS bpc  -- 16000 Hz * 2 bytes * 1 s
-      FROM documents WHERE doc_id % 3 = 1)
-    SELECT doc_id, i AS chunk_idx, i * bpc AS chunk_off,
-           least(bpc, n_bytes - i * bpc) AS chunk_len
-    FROM a, UNNEST(generate_series(0, CAST(ceil(n_bytes * 1.0 / bpc) AS BIGINT) - 1)) AS u(i)
-    """,
-)
-def q52(spark, sf):
-    media = multimodal.synthesize_media(load_table(spark, sf, "documents"))
-    return multimodal.audio_chunk_offsets(media, chunk_seconds=1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -1152,23 +1112,6 @@ def q55(spark, sf):
         F.col("day").cast("string").alias("day"),
         "event_type", "n_events", "total_value", "gid",
     )
-
-
-@register(
-    "q56_percentile_stats",
-    # exact interpolated percentiles == DuckDB quantile_cont
-    """
-    SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
-           round(quantile_cont(n_chars, 0.9), 4) AS p90,
-           round(quantile_cont(n_chars, 0.99), 4) AS p99
-    FROM documents GROUP BY lang
-    """,
-)
-def q56(spark, sf):
-    from .operators import stats
-
-    doc = load_table(spark, sf, "documents")
-    return stats.group_percentiles(doc, "lang", "n_chars", (0.5, 0.9, 0.99))
 
 
 @register(

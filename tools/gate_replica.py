@@ -84,11 +84,16 @@ def main() -> None:
             results[full] = {"err": f"spark: {type(e).__name__}: {e}"}
             print(f"{full}: SPARK ERR {type(e).__name__}: {str(e)[:200]}", flush=True)
             continue
+        spark_secs = round(time.time() - t0, 3)
         sql = oracles.get(full)
         if sql is None:
-            results[full] = {"err": "no_oracle", "spark_rows": len(sdf)}
-            print(f"{full}: no_oracle rows={len(sdf)} ({time.time()-t0:.1f}s)", flush=True)
+            results[full] = {
+                "err": "no_oracle", "spark_rows": len(sdf),
+                "spark_secs": spark_secs,
+            }
+            print(f"{full}: no_oracle rows={len(sdf)} ({spark_secs:.1f}s)", flush=True)
             continue
+        t1 = time.time()
         try:
             ddf = con.sql(sql).df()
         except Exception as e:  # noqa: BLE001
@@ -110,6 +115,11 @@ def main() -> None:
             else _hash(s) == _hash(d),
             "spark_rows": len(s),
             "oracle_rows": len(d),
+            # correctness + timing from ONE artifact: spark_secs is the
+            # cold per-query wall time (plan+execute+toPandas) on the
+            # vanilla session; duck_secs the oracle's, same machine
+            "spark_secs": spark_secs,
+            "duck_secs": round(time.time() - t1, 3),
         }
         results[full] = res
         status = "OK" if res["hash_match"] else "MISMATCH"
