@@ -210,10 +210,12 @@ def embedding_near_duplicates(
     bucket alone has ~(1-θ/π)^12 recall — near zero for borderline pairs;
     with T tables the miss probability is raised to the T-th power). All
     T buckets per row come out of one Arrow-batched matmul; the exploded
-    (table, bucket) key is a slim long pair, so the self-join shuffles
-    narrow keys plus one vector copy per table — the same shape banded
-    MinHash-LSH uses. Candidates dedupe across tables BEFORE the exact
-    cosine so verification cost is ∝ unique pairs.
+    bucket key is ONE slim long, and the self-join shuffles only
+    (id, bucket) rows — vectors never ride the bucket shuffle (they
+    would be copied ×n_tables). Candidates dedupe across tables first,
+    then the two vector re-joins attach each embedding once per unique
+    candidate id — the same candidate-prune shape MinHash verification
+    uses, so verification cost is ∝ unique pairs at any corpus size.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -240,29 +242,31 @@ def embedding_near_duplicates(
             ) | (t << n_planes)
         return pd.Series(list(out))
 
-    withb = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("bucket", F.explode(buckets_batch(F.col("v"))))
-        .persist()
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # slim bucket table: carry nothing but (id, bucket) through the
+    # self-join. NOT materialized — each join side recomputes the
+    # matmul+explode, a map-side pass that costs less than an eager
+    # checkpoint job at toy scale and less than caching T× bucket rows
+    # per executor at corpus scale
+    bucketed = vecs.select(
+        "id", F.explode(buckets_batch(F.col("v"))).alias("bucket")
     )
-    a, b = withb.alias("a"), withb.alias("b")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     candidates = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("v_a"),
-            F.col("b.v").alias("v_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = candidates.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+    ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
     cos = F.round(pair_cosine_batch()(F.col("v_a"), F.col("v_b")), 6)
     return (
-        candidates.withColumn("cosine", cos)
+        pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
