@@ -138,3 +138,133 @@ def test_zero_word_hex_matches_event_dict(spark):
         row = Row(origin="0x" + "11" * 20, index=0, topics=[], data=d,
                   txhash="0x" + "22" * 32, blockhash="0x" + "33" * 32)
         assert event_to_dict(row)["data"] == enc
+
+
+def test_keccak256_known_vectors():
+    """Public Keccak-256 vectors (pre-NIST padding): the empty-string and
+    'abc' digests every Ethereum implementation must reproduce, plus the
+    deliberate difference from NIST SHA3-256."""
+    import hashlib
+
+    from evm_indexer_spark.functions.keccak import keccak256
+
+    assert keccak256(b"").hex() == (
+        "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    assert keccak256(b"abc").hex() == (
+        "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    )
+    # multi-block absorb (> 136-byte rate)
+    assert len(keccak256(b"x" * 500)) == 32
+    assert keccak256(b"abc") != hashlib.sha3_256(b"abc").digest()
+
+
+def test_address_of_private_key_one():
+    """The address of private key 0x01 is public knowledge:
+    keccak(G)[12:] = 0x7e5f4552091a69125d5dfcb7b8c2659029395bdf."""
+    from evm_indexer_spark.functions import secp256k1 as ec
+    from evm_indexer_spark.functions.evmcrypto import public_key_bytes_to_address
+
+    pub = b"\x04" + ec.GX.to_bytes(32, "big") + ec.GY.to_bytes(32, "big")
+    assert public_key_bytes_to_address(pub) == (
+        "0x7e5f4552091a69125d5dfcb7b8c2659029395bdf"
+    )
+
+
+def test_ecdsa_recover_roundtrip():
+    """Sign with textbook ECDSA (independent formula), recover, compare:
+    the recovered key must equal d*G for a spread of keys and hashes."""
+    from evm_indexer_spark.functions import secp256k1 as ec
+    from evm_indexer_spark.functions.keccak import keccak256
+
+    for d in (1, 2, 0xDEADBEEF, ec.N - 5):
+        q = ec._mul(d, (ec.GX, ec.GY))
+        expect = b"\x04" + q[0].to_bytes(32, "big") + q[1].to_bytes(32, "big")
+        for msg in (b"hello", b"evm", b"\x00" * 32):
+            h = keccak256(msg)
+            r, s, rec = ec.ecdsa_sign(h, d, k=0x12345 + d)
+            assert ec.ecdsa_recover(h, r, s, rec) == expect
+
+
+def test_recover_sender_legacy_and_eip155():
+    """End-to-end sender recovery: build the signing hash, sign with a
+    known key, recover through the public API — both pre-EIP-155 (v=27/28)
+    and EIP-155 (v = chain_id*2 + 35/36) envelopes."""
+    from evm_indexer_spark.functions import secp256k1 as ec
+    from evm_indexer_spark.functions.evmcrypto import (
+        public_key_bytes_to_address,
+        recover_sender,
+    )
+
+    d = 0x1234567890ABCDEF
+    q = ec._mul(d, (ec.GX, ec.GY))
+    expected = public_key_bytes_to_address(
+        b"\x04" + q[0].to_bytes(32, "big") + q[1].to_bytes(32, "big")
+    )
+    tx = dict(nonce=7, gas_price=25_000_000_000, gas=21_000,
+              to="0x" + "ab" * 20, value=10**18, data=b"")
+
+    for chain_id in (None, 1, 137):
+        h = ec.legacy_signing_hash(
+            tx["nonce"], tx["gas_price"], tx["gas"],
+            bytes.fromhex("ab" * 20), tx["value"], tx["data"], chain_id,
+        )
+        r, s, rec = ec.ecdsa_sign(h, d, k=0x5DEECE66D)
+        v = rec + 27 if chain_id is None else chain_id * 2 + 35 + rec
+        got = recover_sender(
+            tx["nonce"], tx["gas_price"], tx["gas"], tx["to"],
+            tx["value"], tx["data"], v, r, s,
+        )
+        assert got == expected, f"chain_id={chain_id}"
+
+
+def test_rlp_encode_shapes():
+    """RLP yellow-paper examples: ints, strings, nested lists."""
+    from evm_indexer_spark.functions.secp256k1 import rlp_encode
+
+    assert rlp_encode(b"") == b"\x80"
+    assert rlp_encode(0) == b"\x80"
+    assert rlp_encode(b"\x0f") == b"\x0f"
+    assert rlp_encode(b"dog") == b"\x83dog"
+    assert rlp_encode([]) == b"\xc0"
+    assert rlp_encode([b"cat", b"dog"]) == b"\xc8\x83cat\x83dog"
+    assert rlp_encode(1024) == b"\x82\x04\x00"
+    long = b"a" * 56
+    assert rlp_encode(long) == b"\xb8\x38" + long
+
+
+def test_sender_recovery_udf_sparkside(spark):
+    """The batch UDF recovers the same address the scalar path does, and
+    yields NULL (not a crash) for garbage signatures."""
+    from evm_indexer_spark.functions import secp256k1 as ec
+    from evm_indexer_spark.functions.evmcrypto import (
+        public_key_bytes_to_address,
+        sender_recovery_udf,
+    )
+
+    d = 0xC0FFEE
+    q = ec._mul(d, (ec.GX, ec.GY))
+    expected = public_key_bytes_to_address(
+        b"\x04" + q[0].to_bytes(32, "big") + q[1].to_bytes(32, "big")
+    )
+    to = "0x" + "ab" * 20
+    h = ec.legacy_signing_hash(
+        1, 10**9, 21_000, bytes.fromhex("ab" * 20), 5, b"", 1
+    )
+    r, s, rec = ec.ecdsa_sign(h, d, k=99991)
+    rows = [
+        (1, str(10**9), 21_000, to, "5", "0x", 37 + rec, hex(r), hex(s)),
+        (1, str(10**9), 21_000, to, "5", "0x", 29, hex(r), hex(s)),  # bad v
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "nonce long, gasprice string, gas long, to string, value string, "
+        "data string, v long, r string, s string",
+    )
+    udf = sender_recovery_udf()
+    got = df.select(
+        udf("nonce", "gasprice", "gas", "to", "value", "data", "v", "r", "s")
+        .alias("from")
+    ).collect()
+    assert got[0]["from"] == expected
+    assert got[1]["from"] is None
