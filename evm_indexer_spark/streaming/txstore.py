@@ -1,0 +1,237 @@
+"""Atomic multi-table block store: manifest-committed snapshots on parquet.
+
+The reference persists each block inside ONE Postgres transaction
+(``StoreBlock``, ``app/db/block.go:24-106``): blocks, transactions and
+events can never be observed half-written. ``store.BlockStore`` (the
+default backend) relaxes that — its dynamic partition overwrite is
+idempotent and replayable, but a crash between the three table writes
+briefly exposes an inconsistent trio (documented there).
+
+This backend restores full cross-table atomicity with the mechanism
+table formats like Iceberg/Delta use, reduced to its core: immutable
+data objects + an atomically swapped manifest.
+
+- data layout: ``objects/{table}/b{bucket}/c{version}/part-*.parquet`` —
+  every rewrite of a bucket lands in a NEW version directory; nothing is
+  ever modified in place.
+- ``_manifest.json`` maps each (table, bucket) to its current version.
+  A commit writes all new bucket versions for ALL THREE tables first,
+  then swaps the manifest via write-temp + ``os.rename`` — atomic on a
+  POSIX filesystem (on object stores, the same role is played by a
+  conditional PUT). Readers resolve the manifest once and only ever see
+  a complete commit: a crash at ANY point before the rename leaves the
+  previous snapshot fully intact.
+- uncommitted/superseded version dirs are garbage, reclaimed by
+  ``vacuum()`` (never required for correctness).
+
+Scale shape: the manifest holds one entry per (table, bucket) — a
+20M-block chain at the default bucket size is a few hundred entries of
+JSON, and a micro-batch commit touches O(batch-span / bucket-size)
+buckets, so commit cost is independent of chain length. Reads pass the
+manifest's per-bucket paths straight to the parquet scan, so bucket
+pruning happens at PATH level (before listing), stricter than the
+default store's partition-value pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import BLOCK_BUCKET_SIZE, BLOCKS_SCHEMA, EVENTS_SCHEMA, TRANSACTIONS_SCHEMA
+from .store import bucket_of
+
+_SCHEMAS = {
+    "blocks": BLOCKS_SCHEMA,
+    "transactions": TRANSACTIONS_SCHEMA,
+    "events": EVENTS_SCHEMA,
+}
+_TABLES = ("blocks", "transactions", "events")
+
+
+class AtomicBlockStore:
+    """Drop-in alternative to ``store.BlockStore`` with atomic
+    cross-table commits (same public surface; ``start_ingest_stream``
+    and ``HistoricalQueries`` are storage-agnostic)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def _manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "tables": {t: {} for t in _TABLES}}
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._manifest_path())  # THE commit point
+
+    def _obj_dir(self, table: str, bucket: int, version: int) -> str:
+        return os.path.join(self.root, "objects", table, f"b{bucket}", f"c{version}")
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, table: str) -> DataFrame:
+        schema = T.StructType(
+            list(_SCHEMAS[table].fields) + [T.StructField("bucket", T.LongType())]
+        )
+        m = self._manifest()
+        paths = [
+            self._obj_dir(table, int(b), int(v))
+            for b, v in m["tables"].get(table, {}).items()
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def blocks(self) -> DataFrame:
+        return self.read("blocks").drop("bucket")
+
+    def transactions(self) -> DataFrame:
+        return self.read("transactions").drop("bucket")
+
+    def events(self) -> DataFrame:
+        return self.read("events").drop("bucket")
+
+    def historical_queries(self, config=None):
+        from ..config import DEFAULT_CONFIG
+        from ..operators.historical import HistoricalQueries
+
+        return HistoricalQueries(
+            self.read("blocks"),
+            self.read("transactions"),
+            self.read("events"),
+            config or DEFAULT_CONFIG,
+            bucket_size=BLOCK_BUCKET_SIZE,
+        )
+
+    # -- atomic upsert -----------------------------------------------------
+
+    def upsert_batch(
+        self, blocks: DataFrame, txs: DataFrame, events: DataFrame
+    ) -> None:
+        """Replace-by-number across all three tables in ONE commit.
+
+        All new bucket versions are fully written before the manifest
+        swap; a crash mid-write leaves only unreferenced object dirs.
+        Replay after a crash re-runs the identical idempotent merge.
+        """
+        manifest = self._manifest()
+        next_version = manifest["version"] + 1
+
+        blocks = blocks.withColumn("bucket", bucket_of(F.col("number")))
+        key = blocks.select(
+            F.col("hash").alias("_bh"), F.col("number").alias("_num"), "bucket"
+        )
+        txs = txs.join(key, txs["blockhash"] == key["_bh"], "inner").drop("_bh")
+        events = events.join(key, events["blockhash"] == key["_bh"], "inner").drop(
+            "_bh"
+        )
+
+        touched = [r[0] for r in blocks.select("bucket").distinct().collect()]
+        replaced = blocks.select(F.col("number").alias("_num")).distinct()
+
+        # survivors ∪ new, computed against the CURRENT snapshot
+        cur_blocks = self.read("blocks").filter(F.col("bucket").isin(touched))
+        new_blocks = cur_blocks.join(
+            replaced, cur_blocks["number"] == replaced["_num"], "left_anti"
+        ).unionByName(blocks.select(*[f.name for f in _SCHEMAS["blocks"]], "bucket"))
+        # child survivors: parent hash still present in the new block set
+        parents = new_blocks.select(F.col("hash").alias("_kh"))
+
+        def merge_children(table: str, batch: DataFrame) -> DataFrame:
+            existing = self.read(table).filter(F.col("bucket").isin(touched))
+            survivors = existing.join(
+                parents, existing["blockhash"] == F.col("_kh"), "left_semi"
+            )
+            cols = [f.name for f in _SCHEMAS[table]] + ["bucket"]
+            return survivors.select(*cols).unionByName(
+                batch.drop("_num").select(*cols)
+            )
+
+        merged = {
+            "blocks": new_blocks,
+            "transactions": merge_children("transactions", txs),
+            "events": merge_children("events", events),
+        }
+
+        new_entries: dict[str, dict[str, int]] = {t: {} for t in _TABLES}
+        for table, df in merged.items():
+            sort_key = "number" if table == "blocks" else "blockhash"
+            for b in touched:
+                out = self._obj_dir(table, int(b), next_version)
+                (
+                    df.filter(F.col("bucket") == b)
+                    .sortWithinPartitions(sort_key)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(out)
+                )
+                new_entries[table][str(int(b))] = next_version
+
+        # data durable → swap the manifest (the only mutation readers see)
+        for t in _TABLES:
+            manifest["tables"].setdefault(t, {}).update(new_entries[t])
+        manifest["version"] = next_version
+        self._commit_manifest(manifest)
+
+    # -- publish log (same semantics as BlockStore) ------------------------
+
+    def published(self) -> DataFrame:
+        path = os.path.join(self.root, "_published")
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], "number long, hash string")
+        return self.spark.read.parquet(path)
+
+    def mark_published(self, rows: DataFrame) -> None:
+        rows.select("number", "hash").write.mode("append").parquet(
+            os.path.join(self.root, "_published")
+        )
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self) -> int:
+        """Delete object dirs not referenced by the current manifest
+        (uncommitted writes, superseded versions). Returns dirs removed.
+        Never required for correctness — readers only follow the
+        manifest."""
+        import shutil
+
+        m = self._manifest()
+        live = {
+            self._obj_dir(t, int(b), int(v))
+            for t, buckets in m["tables"].items()
+            for b, v in buckets.items()
+        }
+        removed = 0
+        objroot = os.path.join(self.root, "objects")
+        for table in _TABLES:
+            tdir = os.path.join(objroot, table)
+            if not os.path.isdir(tdir):
+                continue
+            for bdir in os.listdir(tdir):
+                full_b = os.path.join(tdir, bdir)
+                for cdir in os.listdir(full_b):
+                    full = os.path.join(full_b, cdir)
+                    if full not in live:
+                        shutil.rmtree(full, ignore_errors=True)
+                        removed += 1
+        return removed

@@ -1,0 +1,109 @@
+"""AtomicBlockStore: cross-table snapshot atomicity (manifest commit),
+reorg replace, crash simulation, vacuum, and end-to-end stream ingest."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.streaming.ingest import process_raw_batch, start_ingest_stream
+from evm_indexer_spark.streaming.txstore import AtomicBlockStore
+
+from .test_streaming import make_raw, raw_block
+
+
+def test_upsert_and_reorg_replace(spark, tmp_path):
+    store = AtomicBlockStore(spark, str(tmp_path / "s"))
+    process_raw_batch(store, make_raw(spark, [raw_block(n) for n in range(3)]))
+    assert store.blocks().count() == 3
+    assert store.transactions().count() == 6
+    assert store.events().count() == 6
+
+    # reorg: same number, new hash → block replaced, children cascaded
+    process_raw_batch(store, make_raw(spark, [raw_block(1, salt="R")]))
+    blocks = store.blocks()
+    assert blocks.count() == 3
+    assert (
+        blocks.filter(F.col("number") == 1).first()["hash"]
+        == raw_block(1, salt="R")["hash"].lower()
+    )
+    old_hash = raw_block(1)["hash"].lower()
+    assert store.transactions().filter(F.col("blockhash") == old_hash).count() == 0
+    assert store.events().filter(F.col("blockhash") == old_hash).count() == 0
+
+
+def test_crash_before_manifest_swap_is_invisible(spark, tmp_path, monkeypatch):
+    """All data written but the manifest swap dies: readers still see the
+    previous snapshot for ALL THREE tables (the property the default
+    store lacks), vacuum reclaims the orphans, and replaying the batch
+    commits cleanly."""
+    store = AtomicBlockStore(spark, str(tmp_path / "s"))
+    process_raw_batch(store, make_raw(spark, [raw_block(0), raw_block(1)]))
+    before = {
+        t: getattr(store, t)().count()
+        for t in ("blocks", "transactions", "events")
+    }
+
+    def boom(_manifest):
+        raise OSError("simulated crash at commit point")
+
+    monkeypatch.setattr(store, "_commit_manifest", boom)
+    with pytest.raises(Exception, match="simulated crash"):
+        process_raw_batch(store, make_raw(spark, [raw_block(2), raw_block(3)]))
+    monkeypatch.undo()
+
+    # snapshot unchanged — no partial multi-table state observable
+    for t, n in before.items():
+        assert getattr(store, t)().count() == n, t
+    assert store.blocks().filter(F.col("number") >= 2).count() == 0
+
+    # orphaned object dirs exist, vacuum removes them, correctness intact
+    assert store.vacuum() > 0
+    for t, n in before.items():
+        assert getattr(store, t)().count() == n, t
+
+    # replay commits
+    process_raw_batch(store, make_raw(spark, [raw_block(2), raw_block(3)]))
+    assert store.blocks().count() == 4
+    assert store.vacuum() == 0 or store.blocks().count() == 4
+
+
+def test_manifest_is_single_commit_point(spark, tmp_path):
+    store = AtomicBlockStore(spark, str(tmp_path / "s"))
+    process_raw_batch(store, make_raw(spark, [raw_block(0)]))
+    m1 = json.load(open(str(tmp_path / "s" / "_manifest.json")))
+    process_raw_batch(store, make_raw(spark, [raw_block(1)]))
+    m2 = json.load(open(str(tmp_path / "s" / "_manifest.json")))
+    assert m2["version"] == m1["version"] + 1
+    # every referenced object dir exists on disk
+    for t, buckets in m2["tables"].items():
+        for b, v in buckets.items():
+            assert (
+                tmp_path / "s" / "objects" / t / f"b{b}" / f"c{v}"
+            ).is_dir()
+
+
+def test_stream_ingest_over_atomic_store(spark, tmp_path):
+    """The ingest stream is storage-agnostic: the atomic backend slots in
+    under start_ingest_stream with checkpoint restart + publish-once."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = AtomicBlockStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    with open(landing / "a.json", "w") as f:
+        for n in range(5):
+            f.write(json.dumps(raw_block(n)) + "\n")
+    start_ingest_stream(spark, str(landing), store, ckpt).awaitTermination(120)
+    assert store.blocks().count() == 5
+    assert store.published().count() == 5
+
+    with open(landing / "b.json", "w") as f:
+        f.write(json.dumps(raw_block(2, salt="R")) + "\n")
+    start_ingest_stream(spark, str(landing), store, ckpt).awaitTermination(120)
+    assert store.blocks().count() == 5
+    assert store.published().count() == 6  # reorged hash published once
+    pairs = [(r["number"], r["hash"]) for r in store.published().collect()]
+    assert len(pairs) == len(set(pairs))
