@@ -1,0 +1,336 @@
+"""Redis-protocol (RESP2) pub/sub transport: broker, client, consumer loop.
+
+The reference delivers notifications through Redis channels: publishers
+``PUBLISH`` JSON payloads to ``block``/``transaction``/``event``
+(``app/block/publish_block.go:36``), one consumer per root topic
+``SUBSCRIBE``s and fans matched payloads out to WebSocket clients
+(``app/pubsub/block.go:34-143``, ``transaction.go:39-160``,
+``event.go:42-141``). This module implements that transport from the
+public RESP2 protocol specification over stdlib sockets — no external
+broker or client library — so the full pub/sub path runs and is tested
+in this container; in production the same client code points at a real
+Redis/Valkey endpoint, and the engine side is unchanged.
+
+Pieces:
+
+- RESP2 wire codec (arrays / bulk strings / simple strings / integers);
+- ``RespBroker``: threaded TCP server speaking SUBSCRIBE / UNSUBSCRIBE /
+  PUBLISH / PING — exactly the verb set the reference uses via go-redis;
+- ``RespClient``: publish + subscribe/get_message, mirroring the
+  consumer loop's blocking read with timeout (1 s poll cadence,
+  ``pubsub/block.go:55``);
+- Python-side subscription matchers (``py_tx_match`` / ``py_event_match``)
+  twinning ``DoesMatchWithPublishedTransactionData`` /
+  ``...EventData`` (``subscription.go:159-199, 74-124``) for the
+  delivery loop, where payloads are decoded JSON dicts, not DataFrame
+  rows. Their Column twins live in ``functions.topics``; a test matrix
+  pins the two implementations together.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from collections.abc import Callable
+
+# -- RESP2 codec -------------------------------------------------------------
+
+
+def resp_encode(item) -> bytes:
+    """Encode a python value as RESP2 (ints, bytes/str, lists)."""
+    if isinstance(item, int):
+        return b":%d\r\n" % item
+    if isinstance(item, str):
+        item = item.encode()
+    if isinstance(item, (bytes, bytearray)):
+        return b"$%d\r\n%s\r\n" % (len(item), bytes(item))
+    if isinstance(item, (list, tuple)):
+        return b"*%d\r\n" % len(item) + b"".join(resp_encode(x) for x in item)
+    raise TypeError(f"cannot RESP-encode {type(item)}")
+
+
+def _read_line(rf) -> bytes:
+    line = rf.readline()
+    if not line:
+        raise ConnectionError("peer closed")
+    return line.rstrip(b"\r\n")
+
+
+def resp_decode(rf):
+    """Decode one RESP2 value from a buffered reader."""
+    line = _read_line(rf)
+    kind, body = line[:1], line[1:]
+    if kind == b"+":
+        return body.decode()
+    if kind == b"-":
+        raise RuntimeError(body.decode())
+    if kind == b":":
+        return int(body)
+    if kind == b"$":
+        n = int(body)
+        if n == -1:
+            return None
+        data = rf.read(n + 2)[:-2]
+        return data
+    if kind == b"*":
+        n = int(body)
+        if n == -1:
+            return None
+        return [resp_decode(rf) for _ in range(n)]
+    raise ValueError(f"bad RESP type byte: {kind!r}")
+
+
+# -- broker ------------------------------------------------------------------
+
+
+class _BrokerState:
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        # channel -> {wfile-writer callbacks}
+        self.subs: dict[str, set[Callable[[bytes], None]]] = {}
+
+
+class RespBroker:
+    """Minimal threaded RESP2 pub/sub broker (SUBSCRIBE / UNSUBSCRIBE /
+    PUBLISH / PING). ``port=0`` binds an ephemeral port; read it back
+    from ``.port``."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+        state = self._state = _BrokerState()
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                my_channels: set[str] = set()
+                wlock = threading.Lock()
+
+                def push(payload: bytes) -> None:
+                    with wlock:
+                        self.wfile.write(payload)
+                        self.wfile.flush()
+
+                try:
+                    while True:
+                        try:
+                            cmd = resp_decode(self.rfile)
+                        except (ConnectionError, ValueError):
+                            break
+                        if not isinstance(cmd, list) or not cmd:
+                            break
+                        verb = bytes(cmd[0]).upper()
+                        args = [bytes(a).decode() for a in cmd[1:]]
+                        if verb == b"PING":
+                            push(b"+PONG\r\n")
+                        elif verb == b"SUBSCRIBE":
+                            with state.lock:
+                                for ch in args:
+                                    state.subs.setdefault(ch, set()).add(push)
+                                    my_channels.add(ch)
+                                    n = len(my_channels)
+                                    push(resp_encode([b"subscribe", ch, n]))
+                        elif verb == b"UNSUBSCRIBE":
+                            with state.lock:
+                                for ch in args or list(my_channels):
+                                    state.subs.get(ch, set()).discard(push)
+                                    my_channels.discard(ch)
+                                    push(
+                                        resp_encode(
+                                            [b"unsubscribe", ch, len(my_channels)]
+                                        )
+                                    )
+                        elif verb == b"PUBLISH":
+                            ch, payload = args[0], cmd[2]
+                            with state.lock:
+                                targets = list(state.subs.get(ch, ()))
+                            msg = resp_encode([b"message", ch, bytes(payload)])
+                            delivered = 0
+                            for t in targets:
+                                try:
+                                    t(msg)
+                                    delivered += 1
+                                except OSError:
+                                    with state.lock:
+                                        state.subs.get(ch, set()).discard(t)
+                            push(resp_encode(delivered))
+                        else:
+                            push(b"-ERR unknown command\r\n")
+                finally:
+                    with state.lock:
+                        for ch in my_channels:
+                            state.subs.get(ch, set()).discard(push)
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    def start(self) -> "RespBroker":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+# -- client ------------------------------------------------------------------
+
+
+class _SockReader:
+    """Buffered socket reader with an inspectable buffer — ``makefile``
+    is unusable here because a read timeout poisons its buffer, and its
+    internal buffer can't be checked without triggering blocking I/O."""
+
+    def __init__(self, sock: socket.socket) -> None:
+        self._sock = sock
+        self._buf = b""
+
+    def _recv(self) -> None:
+        data = self._sock.recv(65536)
+        if not data:
+            raise ConnectionError("peer closed")
+        self._buf += data
+
+    def readline(self) -> bytes:
+        while b"\n" not in self._buf:
+            self._recv()
+        i = self._buf.index(b"\n") + 1
+        line, self._buf = self._buf[:i], self._buf[i:]
+        return line
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            self._recv()
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def has_buffered(self) -> bool:
+        return bool(self._buf)
+
+
+class RespClient:
+    """Tiny RESP2 client: ``publish`` on one connection, or turn the
+    connection into subscriber mode with ``subscribe`` + ``get_message``
+    (the go-redis usage pattern of the reference's consumer loops)."""
+
+    def __init__(self, host: str, port: int) -> None:
+        self._sock = socket.create_connection((host, port))
+        self._rf = _SockReader(self._sock)
+
+    def _cmd(self, *parts):
+        self._sock.sendall(resp_encode(list(parts)))
+        return resp_decode(self._rf)
+
+    def ping(self) -> bool:
+        return self._cmd(b"PING") == "PONG"
+
+    def publish(self, channel: str, payload: str | bytes) -> int:
+        if isinstance(payload, str):
+            payload = payload.encode()
+        return self._cmd(b"PUBLISH", channel.encode(), payload)
+
+    def subscribe(self, *channels: str) -> None:
+        self._sock.sendall(
+            resp_encode([b"SUBSCRIBE"] + [c.encode() for c in channels])
+        )
+        for _ in channels:
+            resp_decode(self._rf)  # consume subscribe confirmations
+
+    def get_message(self, timeout: float = 1.0) -> dict | None:
+        """Next pubsub message or None on timeout — the 1 s poll shape of
+        the reference's consumer loop (pubsub/block.go:55).
+
+        Readiness via ``select`` rather than a socket timeout: a timed-out
+        ``makefile`` reader refuses all further reads (CPython marks the
+        buffer poisoned), which would kill the long-lived consumer."""
+        import select
+
+        if not self._rf.has_buffered():  # wait for new socket data
+            ready, _, _ = select.select([self._sock], [], [], timeout)
+            if not ready:
+                return None
+        msg = resp_decode(self._rf)
+        if isinstance(msg, list) and len(msg) == 3 and bytes(msg[0]) == b"message":
+            return {"channel": bytes(msg[1]).decode(), "data": bytes(msg[2])}
+        return None
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+# -- python-side subscription matchers (consumer-loop twins of T9/T10) -------
+
+
+def _ci_eq(a: str, b: str) -> bool:
+    """CheckSimilarity, subscription.go:141-150 — case-insensitive."""
+    return a.lower() == b.lower()
+
+
+def py_tx_match(payload: dict, pattern: str) -> bool:
+    """DoesMatchWithPublishedTransactionData (subscription.go:159-199):
+    ``transaction/<from|*>/<to|*>``; an absent ``to`` (contract
+    creation) matches only the ``*`` to-slot."""
+    parts = pattern.split("/")
+    if parts[0] != "transaction" or len(parts) != 3:
+        return False
+    f, t = parts[1], parts[2]
+    from_ok = f == "*" or _ci_eq(payload.get("from", ""), f)
+    to_val = payload.get("to") or ""
+    to_ok = t == "*" if not to_val else (t == "*" or _ci_eq(to_val, t))
+    return from_ok and to_ok
+
+
+def py_event_match(payload: dict, pattern: str) -> bool:
+    """DoesMatchWithPublishedEventData (subscription.go:74-124):
+    ``event/<contract|*>/<t0>/<t1>/<t2>/<t3>``; an out-of-range topic
+    index matches only ``*``/empty."""
+    parts = pattern.split("/")
+    if parts[0] != "event" or len(parts) != 6:
+        return False
+    contract = parts[1]
+    if contract != "*" and not _ci_eq(payload.get("origin", ""), contract):
+        return False
+    topics = payload.get("topics") or []
+    for k, want in enumerate(parts[2:6]):
+        if want in ("*", ""):
+            continue
+        if k >= len(topics) or not _ci_eq(topics[k], want):
+            return False
+    return True
+
+
+def consume_loop(
+    client: RespClient,
+    subscriptions: dict[str, list[str]],
+    deliver: Callable[[str, str, dict], None],
+    max_messages: int,
+    poll_seconds: float = 1.0,
+) -> int:
+    """One consumer draining its subscribed channels and fanning matched
+    payloads out — the body of the reference's per-root consumer
+    goroutine. *subscriptions*: channel → subscription patterns.
+    *deliver*(pattern, channel, payload) is the WS write. Returns the
+    number of deliveries; exits after *max_messages* raw messages (the
+    caller owns lifecycle, matching the manager's context cancel)."""
+    matchers = {"transaction": py_tx_match, "event": py_event_match}
+    delivered = 0
+    for _ in range(max_messages):
+        msg = client.get_message(timeout=poll_seconds)
+        if msg is None:
+            continue
+        payload = json.loads(msg["data"])
+        for pattern in subscriptions.get(msg["channel"], []):
+            match = matchers.get(msg["channel"])
+            if match is None or match(payload, pattern):  # block: match-all
+                deliver(pattern, msg["channel"], payload)
+                delivered += 1
+    return delivered

@@ -1,0 +1,154 @@
+"""RESP pub/sub transport: wire codec, broker/client roundtrip, consumer
+delivery with T9/T10 matching, and python-vs-Column matcher parity."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from evm_indexer_spark.streaming.resp import (
+    RespBroker,
+    RespClient,
+    consume_loop,
+    py_event_match,
+    py_tx_match,
+    resp_decode,
+    resp_encode,
+)
+
+
+def test_resp_codec_roundtrip():
+    for val in [0, 42, b"", b"payload", ["SUBSCRIBE", b"block"], [b"a", 1, [b"b"]]]:
+        rf = io.BufferedReader(io.BytesIO(resp_encode(val)))
+        got = resp_decode(rf)
+        norm = lambda x: (
+            [norm(i) for i in x] if isinstance(x, list)
+            else x.encode() if isinstance(x, str) else x
+        )
+        assert norm(got) == norm(val)
+
+
+@pytest.fixture()
+def broker():
+    b = RespBroker().start()
+    yield b
+    b.stop()
+
+
+def test_publish_subscribe_roundtrip(broker):
+    sub = RespClient(broker.host, broker.port)
+    pub = RespClient(broker.host, broker.port)
+    assert pub.ping()
+    sub.subscribe("block")
+    assert pub.publish("block", b'{"number": 7}') == 1
+    msg = sub.get_message(timeout=5)
+    assert msg == {"channel": "block", "data": b'{"number": 7}'}
+    # no subscriber on other channels
+    assert pub.publish("transaction", b"{}") == 0
+    # timeout returns None, connection stays usable
+    assert sub.get_message(timeout=0.1) is None
+    assert pub.publish("block", b"x") == 1
+    assert sub.get_message(timeout=5)["data"] == b"x"
+    sub.close(), pub.close()
+
+
+def test_consumer_loop_matching_fanout(broker):
+    """README's four demo subscription shapes, driven over the real
+    transport: wildcard tx, fixed-pair tx, wildcard event, topic-pinned
+    event (README.md:560-689 examples)."""
+    sub = RespClient(broker.host, broker.port)
+    sub.subscribe("transaction", "event")
+    pub = RespClient(broker.host, broker.port)
+
+    a1, a2 = "0x" + "a" * 40, "0x" + "b" * 40
+    t0 = "0x" + "d" * 64
+    pub.publish("transaction", json.dumps({"from": a1.upper(), "to": a2}))
+    pub.publish("transaction", json.dumps({"from": a2, "contract": a1}))  # creation
+    pub.publish("event", json.dumps({"origin": a1, "topics": [t0]}))
+    pub.publish("event", json.dumps({"origin": a2, "topics": []}))
+
+    got: list[tuple[str, str]] = []
+    n = consume_loop(
+        sub,
+        {
+            "transaction": [f"transaction/{a1}/{a2}", "transaction/*/*"],
+            "event": [f"event/*/{t0}/*/*/*", "event/*/*/*/*/*"],
+        },
+        lambda pattern, channel, payload: got.append((channel, pattern)),
+        max_messages=4,
+        poll_seconds=2.0,
+    )
+    assert n == len(got) == 6
+    assert got.count(("transaction", "transaction/*/*")) == 2
+    assert got.count(("transaction", f"transaction/{a1}/{a2}")) == 1  # ci match
+    assert got.count(("event", f"event/*/{t0}/*/*/*")) == 1
+    assert got.count(("event", "event/*/*/*/*/*")) == 2
+    sub.close(), pub.close()
+
+
+def test_py_matchers_agree_with_column_matchers(spark):
+    """The consumer-loop matchers and the engine Column matchers must
+    implement identical T9/T10 semantics."""
+    from pyspark.sql import functions as F
+
+    from evm_indexer_spark.functions.topics import (
+        event_subscription_match,
+        tx_subscription_match,
+    )
+
+    a1, a2 = "0x" + "a" * 40, "0x" + "B" * 40
+    txs = [
+        {"from": a1, "to": a2},
+        {"from": a1, "to": None},  # contract creation
+        {"from": a2, "to": a1},
+    ]
+    tx_patterns = [
+        "transaction/*/*",
+        f"transaction/{a1}/*",
+        f"transaction/{a1.upper()}/{a2.lower()}",
+        f"transaction/*/{a1}",
+    ]
+    df = spark.createDataFrame(
+        [(t["from"], t["to"]) for t in txs], "from string, to string"
+    )
+    for pat in tx_patterns:
+        _, parts = pat.split("/", 1)
+        frm, to = parts.split("/")
+        col = [
+            r[0]
+            for r in df.select(
+                tx_subscription_match(F.col("from"), F.col("to"), frm, to)
+            ).collect()
+        ]
+        py = [py_tx_match(t, pat) for t in txs]
+        assert col == py, pat
+
+    t0, t1 = "0x" + "d" * 64, "0x" + "e" * 64
+    evs = [
+        {"origin": a1, "topics": [t0, t1]},
+        {"origin": a2, "topics": [t0]},
+        {"origin": a1, "topics": []},
+    ]
+    ev_patterns = [
+        "event/*/*/*/*/*",
+        f"event/{a1}/*/*/*/*",
+        f"event/*/{t0}/*/*/*",
+        f"event/*/{t0}/{t1}/*/*",
+        f"event/*/*/{t1}/*/*",
+    ]
+    edf = spark.createDataFrame(
+        [(e["origin"], e["topics"]) for e in evs],
+        "origin string, topics array<string>",
+    )
+    for pat in ev_patterns:
+        parts = pat.split("/")
+        col = [
+            r[0]
+            for r in edf.select(
+                event_subscription_match(F.col("origin"), F.col("topics"), parts[1:6])
+            ).collect()
+        ]
+        py = [py_event_match(e, pat) for e in evs]
+        assert col == py, pat
