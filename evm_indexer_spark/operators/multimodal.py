@@ -7,13 +7,18 @@ The reference engine has no media path; this extends the engine the way a
 ``mapInPandas`` stages so each executor core streams record batches
 without ever collecting to the driver.
 
-Real codec libraries (PIL / torchaudio / av) are NOT in this container,
-so the *decode* step is stubbed behind an import-try that raises a
-clearly-marked ``NotImplementedError`` — but everything Spark-side is
-real and tested: the schema, the bucket-friendly partitioning, the UDF
-signatures, and the Arrow batch shapes. The byte-histogram feature
-extractor is genuine vectorized numpy work, a stand-in with the same
-data movement profile as a real embedding model.
+Codec coverage is split honestly by what this container can run:
+**WAV and BMP decode are REAL** — RIFF parsed with stdlib ``wave``, BMP
+headers parsed by hand (``wav_features`` / ``image_pixel_stats`` /
+``resize_bmp``), with synthesizers emitting genuine containers so the
+round-trip is testable against independently computed expectations.
+Compressed codecs (JPEG/PNG/H.264 — PIL / torchaudio / av are NOT
+installed) stay stubbed behind an import-try raising a clearly-marked
+``NotImplementedError``; their Spark-side plumbing (schema,
+partitioning, UDF signatures, Arrow batch shapes) is identical to the
+real WAV/BMP paths, so swapping a codec in changes no plan shape. The
+byte-histogram feature extractor is genuine vectorized numpy work with
+the same data movement profile as a real embedding model.
 
 Scale notes: feature extraction is a narrow map (no shuffle); frame
 sampling explodes rows but stays partition-local; only a downstream
@@ -265,4 +270,205 @@ def audio_chunk_offsets(media: DataFrame, chunk_seconds: float = 1.0) -> DataFra
                 F.col("_bpc"), F.col("n_bytes") - F.col("chunk_idx") * F.col("_bpc")
             ).alias("chunk_len"),
         )
+    )
+
+
+# -- real codecs: WAV (stdlib wave) and BMP (manual header) ------------------
+#
+# Compressed formats (JPEG/PNG/H.264) stay stubbed — their codecs are not
+# in this container. WAV and BMP need nothing beyond the stdlib and
+# numpy, so for them the decode path is GENUINE end to end: real RIFF /
+# BITMAP headers are written by the synthesizers and parsed back by the
+# decoders, all inside Arrow-batched mapInPandas stages.
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_wav(
+    documents: DataFrame, n_samples: int = 160, sample_rate: int = 16_000
+) -> DataFrame:
+    """Real 16-bit mono PCM WAV payloads (RIFF container via stdlib
+    ``wave``), samples derived arithmetically from ``doc_id`` so tests
+    can recompute expected stats independently:
+    ``s[i] = (doc_id*31 + i*7) % 2048 - 1024``."""
+    import io
+    import wave
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                samples = ((int(did) * 31 + idx * 7) % 2048 - 1024).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse the RIFF/WAV container (stdlib ``wave``),
+    recover sample rate and PCM frames, emit peak and RMS amplitude —
+    the decode→ndarray→features shape of a production featurizer, with
+    an actual decoder in the middle."""
+    import io
+    import wave
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "peak", "rms")}
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(buf)), "rb") as w:
+                    rate = w.getframerate()
+                    frames = w.readframes(w.getnframes())
+                samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+                out["doc_id"].append(did)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(samples.size)
+                out["peak"].append(int(np.abs(samples).max()) if samples.size else 0)
+                out["rms"].append(
+                    float(np.sqrt((samples**2).mean())) if samples.size else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=WAV_FEATURES_SCHEMA
+    )
+
+
+def _bmp_encode(pixels: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP from an (h, w, 3) RGB uint8 array —
+    BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows padded to
+    4 bytes (the public BMP file format, no library needed)."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += pixels[y, :, ::-1].tobytes()  # RGB → BGR
+        body += b"\x00" * pad
+    return header + info + bytes(body)
+
+
+def _bmp_decode(data: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP back to (h, w, 3) RGB uint8."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    row = w * 3
+    pad = (-row) % 4
+    out = np.empty((abs(h), w, 3), dtype=np.uint8)
+    for i in range(abs(h)):
+        y = (abs(h) - 1 - i) if h > 0 else i  # bottom-up unless negative h
+        start = offset + i * (row + pad)
+        out[y] = np.frombuffer(data, dtype=np.uint8, count=row, offset=start).reshape(
+            w, 3
+        )[:, ::-1]
+    return out
+
+
+def synthesize_bmp(documents: DataFrame, width: int = 8, height: int = 6) -> DataFrame:
+    """Real BMP payloads with doc_id-derived pixels:
+    ``(r,g,b)[y,x] = ((did+x)%256, (did*2+y)%256, (x*y+did)%256)``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(width)
+        ys = np.arange(height)[:, None]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                px = np.stack(
+                    [
+                        np.broadcast_to((d + xs) % 256, (height, width)),
+                        np.broadcast_to((d * 2 + ys) % 256, (height, width)),
+                        (xs * ys + d) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(_bmp_encode(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse BMP headers, recover the pixel matrix,
+    emit per-channel means."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "mean_r", "mean_g", "mean_b")}
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                px = _bmp_decode(bytes(buf)).astype(np.float64)
+                out["doc_id"].append(did)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                for i, ch in enumerate("rgb"):
+                    out[f"mean_{ch}"].append(float(px[:, :, i].mean()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode, schema=IMAGE_STATS_SCHEMA
+    )
+
+
+def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize: decode BMP → nearest-neighbor resample in numpy →
+    re-encode BMP. Narrow Arrow map, payloads never leave executors."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for buf in pdf["payload"]:
+                px = _bmp_decode(bytes(buf))
+                h0, w0, _ = px.shape
+                yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                payloads.append(_bmp_encode(px[yi[:, None], xi]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        rz, schema="doc_id long, payload binary"
     )

@@ -105,3 +105,71 @@ def test_decode_stub_contract():
         multimodal.decode_image_batch(pd.Series([b"\x00"]))
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(None, 32, 32)
+
+
+class TestRealCodecs:
+    """WAV and BMP paths are genuine decode (stdlib wave / manual BMP
+    header parse) — expectations recomputed independently from the
+    synthesis formulas."""
+
+    def test_wav_roundtrip_features(self, spark):
+        import numpy as np
+
+        docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+        media = multimodal.synthesize_wav(docs, n_samples=160, sample_rate=16_000)
+        rows = {r["doc_id"]: r for r in
+                multimodal.wav_features(media).collect()}
+        assert set(rows) == set(range(8))
+        i = np.arange(160)
+        for did, r in rows.items():
+            samples = ((did * 31 + i * 7) % 2048 - 1024).astype(np.float64)
+            assert r["sample_rate"] == 16_000
+            assert r["n_samples"] == 160
+            assert r["peak"] == int(np.abs(samples).max())
+            assert abs(r["rms"] - float(np.sqrt((samples ** 2).mean()))) < 1e-9
+
+    def test_bmp_roundtrip_stats(self, spark):
+        import numpy as np
+
+        docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+        media = multimodal.synthesize_bmp(docs, width=8, height=6)
+        rows = {r["doc_id"]: r for r in
+                multimodal.image_pixel_stats(media).collect()}
+        xs, ys = np.arange(8), np.arange(6)[:, None]
+        for did, r in rows.items():
+            assert (r["width"], r["height"]) == (8, 6)
+            exp_r = float(np.broadcast_to((did + xs) % 256, (6, 8)).mean())
+            exp_g = float(np.broadcast_to((did * 2 + ys) % 256, (6, 8)).mean())
+            exp_b = float(((xs * ys + did) % 256).mean())
+            assert abs(r["mean_r"] - exp_r) < 1e-9
+            assert abs(r["mean_g"] - exp_g) < 1e-9
+            assert abs(r["mean_b"] - exp_b) < 1e-9
+
+    def test_bmp_resize_nearest_neighbor(self, spark):
+        docs = spark.createDataFrame([(3,)], "doc_id long")
+        media = multimodal.synthesize_bmp(docs, width=8, height=6)
+        resized = multimodal.resize_bmp(media, width=4, height=3)
+        stats = multimodal.image_pixel_stats(resized).collect()[0]
+        assert (stats["width"], stats["height"]) == (4, 3)
+        # nearest-neighbor keeps exact source values: resized pixel (0,0)
+        # must equal source pixel (0,0)
+        from evm_indexer_spark.operators.multimodal import _bmp_decode
+
+        src = _bmp_decode(bytes(media.collect()[0]["payload"]))
+        out = _bmp_decode(bytes(resized.collect()[0]["payload"]))
+        assert (out[0, 0] == src[0, 0]).all()
+
+    def test_wav_is_a_real_riff_container(self, spark):
+        docs = spark.createDataFrame([(1,)], "doc_id long")
+        payload = bytes(
+            multimodal.synthesize_wav(docs).collect()[0]["payload"]
+        )
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+    def test_bmp_decode_rejects_non_bmp(self):
+        import pytest as _pytest
+
+        from evm_indexer_spark.operators.multimodal import _bmp_decode
+
+        with _pytest.raises(ValueError, match="not a BMP"):
+            _bmp_decode(b"JUNKJUNKJUNK")
