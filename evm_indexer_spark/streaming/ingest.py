@@ -78,9 +78,18 @@ def start_ingest_stream(
     store: BlockStore,
     checkpoint_dir: str,
     config: EngineConfig = DEFAULT_CONFIG,
+    publish=None,
 ) -> StreamingQuery:
     """File-source streaming ingest: JSON block docs dropped into
     *landing_dir* flow through ``process_raw_batch`` under a checkpoint.
+
+    *publish*, when given, is called as ``publish(store, fresh)`` with
+    each batch's publish-once-fresh (number, hash) rows — e.g.
+    ``resp.make_resp_publisher`` pushing the reference's three
+    notification channels. Exactly-once delivery composes from T5: a
+    replayed batch yields an empty ``fresh`` set, so the publisher
+    never re-fires (at-least-once inside a batch if the publisher
+    itself dies mid-send, matching the reference's Redis semantics).
 
     T1's gap/regression detection is delegated to the T7 repair job
     (`repair_gaps`) rather than crashing the stream — a deliberate
@@ -94,7 +103,9 @@ def start_ingest_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        process_raw_batch(store, batch_df, batch_id)
+        fresh = process_raw_batch(store, batch_df, batch_id)
+        if publish is not None:
+            publish(store, fresh)
 
     return (
         raw_stream.writeStream.foreachBatch(handle)

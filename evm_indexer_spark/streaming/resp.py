@@ -334,3 +334,48 @@ def consume_loop(
                 deliver(pattern, msg["channel"], payload)
                 delivered += 1
     return delivered
+
+
+def publish_partitioned(payloads, host: str, port: int, channel: str) -> None:
+    """Publish a DataFrame's ``payload`` column to a RESP channel from
+    the EXECUTORS — one connection per partition, rows never collect to
+    the driver (the scale shape of S12: the reference's single-process
+    ``PublishBlock`` loop becomes partition-parallel fan-out; ordering
+    is per-partition, matching the reference's per-worker ordering)."""
+
+    def _part(rows) -> None:
+        client = None
+        try:
+            for row in rows:
+                if client is None:  # connect lazily: empty partitions skip
+                    client = RespClient(host, port)
+                client.publish(channel, row["payload"])
+        finally:
+            if client is not None:
+                client.close()
+
+    payloads.select("payload").foreachPartition(_part)
+
+
+def make_resp_publisher(host: str, port: int):
+    """Publisher callback for ``start_ingest_stream(publish=...)``: sends
+    the batch's fresh block notifications plus their transaction and
+    event payloads to the reference's three channels (block /
+    transaction / event — app/setup.go:55-60, publish order
+    block.go:22-52)."""
+    from .publish import block_payload, event_payload, tx_payload
+
+    def publish(store, fresh) -> None:
+        blocks = store.blocks().join(fresh, ["number", "hash"], "left_semi")
+        hashes = blocks.select("hash")
+        txs = store.transactions().join(
+            hashes.withColumnRenamed("hash", "blockhash"), "blockhash", "left_semi"
+        )
+        events = store.events().join(
+            hashes.withColumnRenamed("hash", "blockhash"), "blockhash", "left_semi"
+        )
+        publish_partitioned(block_payload(blocks), host, port, "block")
+        publish_partitioned(tx_payload(txs), host, port, "transaction")
+        publish_partitioned(event_payload(events), host, port, "event")
+
+    return publish

@@ -152,3 +152,47 @@ def test_py_matchers_agree_with_column_matchers(spark):
         ]
         py = [py_event_match(e, pat) for e in evs]
         assert col == py, pat
+
+
+def test_ingest_stream_publishes_to_resp_broker(spark, tmp_path, broker):
+    """Full S12 loop: file-source ingest -> publish-once fresh set ->
+    executor-side PUBLISH to the three channels -> subscribed consumer
+    receives every payload exactly once, including across a checkpoint
+    restart with duplicate re-delivery."""
+    from evm_indexer_spark.streaming.ingest import start_ingest_stream
+    from evm_indexer_spark.streaming.resp import make_resp_publisher
+    from evm_indexer_spark.streaming.store import BlockStore
+
+    from .test_streaming import raw_block
+
+    sub = RespClient(broker.host, broker.port)
+    sub.subscribe("block", "transaction", "event")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = BlockStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    pub = make_resp_publisher(broker.host, broker.port)
+
+    with open(landing / "a.json", "w") as f:
+        for n in range(3):
+            f.write(json.dumps(raw_block(n)) + "\n")
+    start_ingest_stream(spark, str(landing), store, ckpt, publish=pub).awaitTermination(120)
+
+    got: dict[str, list] = {"block": [], "transaction": [], "event": []}
+    while (msg := sub.get_message(timeout=2.0)) is not None:
+        got[msg["channel"]].append(json.loads(msg["data"]))
+    # 3 blocks x (1 block + 2 txs + 2 events) payloads
+    assert len(got["block"]) == 3
+    assert len(got["transaction"]) == 6
+    assert len(got["event"]) == 6
+    assert {b["number"] for b in got["block"]} == {0, 1, 2}
+    # wire shape matches the facade encoders (spot fields)
+    assert all(b["hash"].startswith("0x") for b in got["block"])
+
+    # duplicate re-delivery after restart: fresh set is empty -> nothing published
+    with open(landing / "b.json", "w") as f:
+        f.write(json.dumps(raw_block(1)) + "\n")
+    start_ingest_stream(spark, str(landing), store, ckpt, publish=pub).awaitTermination(120)
+    assert sub.get_message(timeout=2.0) is None
+    sub.close()
