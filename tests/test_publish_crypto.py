@@ -268,3 +268,28 @@ def test_sender_recovery_udf_sparkside(spark):
     ).collect()
     assert got[0]["from"] == expected
     assert got[1]["from"] is None
+
+
+def test_ecdsa_recover_property():
+    """Property check over random keys/nonces/hashes: recovery returns
+    exactly d*G. Bounded examples — pure-Python EC math is ~ms per op."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from evm_indexer_spark.functions import secp256k1 as ec
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(1, ec.N - 1),
+        st.integers(1, ec.N - 1),
+        st.binary(min_size=32, max_size=32),
+    )
+    def check(d, k, h):
+        q = ec._mul(d, (ec.GX, ec.GY))
+        expect = b"\x04" + q[0].to_bytes(32, "big") + q[1].to_bytes(32, "big")
+        r, s, rec = ec.ecdsa_sign(h, d, k)
+        if r == 0 or s == 0:  # degenerate nonce; signing would retry
+            return
+        assert ec.ecdsa_recover(h, r, s, rec) == expect
+
+    check()
