@@ -27,8 +27,9 @@ INGEST_BLOCKS = int(os.environ.get("SPARK_GRAFT_INGEST_BLOCKS", "8000"))
 # runs per query: run 1 is the cold one-shot (plan build + codegen +
 # execute), further runs measure steady-state engine throughput — the
 # number that actually extrapolates to a long-lived cluster, where
-# codegen/scheduling constants amortize to zero
-REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+# codegen/scheduling constants amortize to zero. Warm = min over the
+# steady runs (3 total keeps one outlier from defining the number).
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 
 def bench_duckdb_oracles() -> tuple[float, dict[str, float]]:

@@ -466,7 +466,10 @@ def jaccard_prefix_join(
     from pyspark.sql import Window as W
 
     if strategy == "auto":
-        strategy = "brute" if df.count() < brute_below else "prefix"
+        # limit-count probe: reads at most brute_below rows (LocalLimit
+        # short-circuits the scan) — same decision as a full count at a
+        # fraction of the probe job's cost
+        strategy = "brute" if df.limit(brute_below).count() < brute_below else "prefix"
     if strategy == "brute":
         return jaccard_all_pairs(df, id_col, text_col, shingle_n, threshold)
 
