@@ -475,7 +475,12 @@ def jaccard_prefix_join(
 
     # two consumers (ranked prefix + verification sets) — persist or the
     # shingle pass re-runs per consumer
-    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    # single consumer (ranked) — NOT persisted: pinning corpus-wide
+    # shingle rows in executor storage is the O(corpus) hazard this
+    # operator exists to avoid; the verification sets below come from a
+    # second, candidate-pruned shingle pass instead (same invariant as
+    # minhash_near_duplicates)
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
     # document frequency as a window over the shingle partition — one
     # exchange on s, no groupBy+join round trip
     ranked = (
@@ -485,10 +490,16 @@ def jaccard_prefix_join(
             "rk", F.row_number().over(W.partitionBy("id").orderBy("df", "s"))
         )
     )
+    # prefix rows are the self-join input (read by BOTH sides): persist
+    # the slim (id, rare-shingle) subset — ~(1−t) of each doc's
+    # shingles, strictly smaller than the corpus shingle set and
+    # comparable to the shuffle files the join writes anyway
+    # (MEMORY_AND_DISK spills; blocks are reclaimed by the context
+    # cleaner once the result DataFrame is released)
     prefix = ranked.filter(
         F.col("rk")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "s")
+    ).select("id", "s").persist()
     cand = (
         prefix.alias("a")
         .join(
@@ -505,8 +516,11 @@ def jaccard_prefix_join(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    cand_docs = df.join(
+        cand_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
     sets = (
-        sh.join(cand_ids, "id", "left_semi")
+        shingle_rows(cand_docs, id_col, text_col, shingle_n)
         .groupBy("id")
         .agg(F.collect_set("s").alias("sh"))
     )
