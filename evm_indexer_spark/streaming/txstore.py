@@ -27,10 +27,13 @@ data objects + an atomically swapped manifest.
 Scale shape: the manifest holds one entry per (table, bucket) — a
 20M-block chain at the default bucket size is a few hundred entries of
 JSON, and a micro-batch commit touches O(batch-span / bucket-size)
-buckets, so commit cost is independent of chain length. Reads pass the
-manifest's per-bucket paths straight to the parquet scan, so bucket
-pruning happens at PATH level (before listing), stricter than the
-default store's partition-value pruning.
+buckets, so commit cost is independent of chain length. ``read()``
+returns the whole table (all manifest paths); bucket predicates prune
+via parquet row-group stats — each object file holds exactly one
+bucket value, so min==max stats skip whole files. True path-level
+pruning (resolving only the needed buckets' paths from the manifest
+before the scan) is a natural extension for point/window reads via
+``read_buckets``.
 """
 
 from __future__ import annotations
@@ -97,6 +100,24 @@ class AtomicBlockStore:
         paths = [
             self._obj_dir(table, int(b), int(v))
             for b, v in m["tables"].get(table, {}).items()
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read_buckets(self, table: str, buckets: list[int]) -> DataFrame:
+        """Scan ONLY the given buckets' current object dirs — path-level
+        pruning resolved from the manifest before the parquet scan even
+        lists files. A guardrail-bounded number-window read (≤100
+        blocks) touches 1-2 directories regardless of chain length."""
+        schema = T.StructType(
+            list(_SCHEMAS[table].fields) + [T.StructField("bucket", T.LongType())]
+        )
+        entries = self._manifest()["tables"].get(table, {})
+        paths = [
+            self._obj_dir(table, int(b), int(entries[str(int(b))]))
+            for b in buckets
+            if str(int(b)) in entries
         ]
         if not paths:
             return self.spark.createDataFrame([], schema)

@@ -107,3 +107,24 @@ def test_stream_ingest_over_atomic_store(spark, tmp_path):
     assert store.published().count() == 6  # reorged hash published once
     pairs = [(r["number"], r["hash"]) for r in store.published().collect()]
     assert len(pairs) == len(set(pairs))
+
+
+def test_read_buckets_prunes_paths(spark, tmp_path):
+    """read_buckets must resolve only the requested buckets' object dirs
+    from the manifest — the scan's file index never sees other buckets."""
+    from evm_indexer_spark.schemas import BLOCK_BUCKET_SIZE
+
+    store = AtomicBlockStore(spark, str(tmp_path / "s"))
+    far = BLOCK_BUCKET_SIZE * 5  # lands in bucket 5
+    process_raw_batch(store, make_raw(spark, [raw_block(0), raw_block(far)]))
+
+    b0 = store.read_buckets("blocks", [0])
+    assert [r["number"] for r in b0.collect()] == [0]
+    plan = b0._jdf.queryExecution().executedPlan().toString()
+    # one object dir in the file index (the full read would list two)
+    assert "InMemoryFileIndex(1 paths)" in plan, plan
+    full = store.read("blocks")._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryFileIndex(2 paths)" in full, full
+
+    # unknown bucket → empty frame, correct schema
+    assert store.read_buckets("blocks", [99]).count() == 0
