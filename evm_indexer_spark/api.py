@@ -58,6 +58,15 @@ def parse_number(number: str, msg: str = "Failed to parse integer") -> int:
     return n
 
 
+def fits_long(n: int) -> bool:
+    """True iff *n* is representable in a signed-64 column — the
+    existence precondition behind ``long_or_not_found``. Count-shaped
+    endpoints use this directly: a nonexistent block yields count 0,
+    not an error, so values above 2^63−1 must ALSO yield 0 there
+    (consistent observable behavior for equally absent blocks)."""
+    return n <= _INT64_MAX
+
+
 def long_or_not_found(n: int) -> int:
     """Guard a parsed uint64 headed for a LongType column literal.
 

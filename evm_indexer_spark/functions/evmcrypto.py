@@ -130,8 +130,11 @@ def sender_recovery_udf():
     from pyspark.sql.functions import pandas_udf
 
     def _i(x) -> int:
-        if x is None:
-            return 0
+        # a missing signature field is unrecoverable, never zero — v=0 is
+        # a VALID raw parity, so coercing NULL→0 would fabricate a
+        # plausible-but-wrong sender address (silent store corruption)
+        if x is None or (isinstance(x, float) and pd.isna(x)):
+            raise ValueError("missing signature field")
         s = str(x)
         return int(s, 16) if s.startswith("0x") else int(s)
 

@@ -17,7 +17,14 @@ from typing import Any
 
 from pyspark.sql import DataFrame, Row
 
-from .api import is_address, is_hash, long_or_not_found, parse_number, range_checker
+from .api import (
+    fits_long,
+    is_address,
+    is_hash,
+    long_or_not_found,
+    parse_number,
+    range_checker,
+)
 from .config import DEFAULT_CONFIG, EngineConfig
 from .errors import NotFoundError, ValidationError
 from .operators.historical import HistoricalQueries
@@ -180,7 +187,11 @@ class GraphQLResolvers:
         return _all(self.q.get_transactions_by_block_hash(hash), tx_model)
 
     def transaction_count_by_block_number(self, number: str) -> int:
-        n = long_or_not_found(parse_number(number, "Bad Block Number"))
+        # counts answer 0 for absent blocks — a number above the signed-64
+        # ceiling is just as absent, so 0, not the lookup paths' not-found
+        n = parse_number(number, "Bad Block Number")
+        if not fits_long(n):
+            return 0
         return _scalar(self.q.get_transaction_count_by_block_number(n))
 
     def transactions_by_block_number(self, number: str):

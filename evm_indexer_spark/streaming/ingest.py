@@ -37,7 +37,7 @@ from .store import BlockStore
 
 
 def process_raw_batch(
-    store: BlockStore, raw: DataFrame, batch_id: int = 0
+    store: BlockStore, raw: DataFrame, batch_id: int = 0, on_fresh=None
 ) -> DataFrame:
     """One micro-batch: normalize → dedup → upsert → publish-once.
 
@@ -45,6 +45,15 @@ def process_raw_batch(
     numbers+hashes not seen in the publish log — T5 semantics,
     queue.go:155-189). Duplicate header delivery inside or across
     batches is a no-op.
+
+    *on_fresh*, when given, is called with ``(store, fresh)`` BEFORE the
+    publish log is appended — delivery order matters: if the callback
+    (e.g. a pub/sub send) dies, the batch fails with the log untouched,
+    the replay recomputes the same fresh set and re-sends — at-least-
+    once, deduped downstream by (number, hash), exactly the reference's
+    publish-before-persist semantics (block.go:22-52, fetch.go:34).
+    Appending the log first would silently drop notifications on a
+    mid-publish crash (at-most-once).
     """
     # malformed landing docs parse to null key fields under the declared
     # schema (PERMISSIVE mode) — drop them; the gap they leave is healed
@@ -68,6 +77,8 @@ def process_raw_batch(
     # append to — without materializing first, a later re-evaluation would
     # see its own append and report nothing as fresh
     fresh = fresh.localCheckpoint(eager=True)
+    if on_fresh is not None:
+        on_fresh(store, fresh)
     store.mark_published(fresh)
     return fresh
 
@@ -86,10 +97,11 @@ def start_ingest_stream(
     *publish*, when given, is called as ``publish(store, fresh)`` with
     each batch's publish-once-fresh (number, hash) rows — e.g.
     ``resp.make_resp_publisher`` pushing the reference's three
-    notification channels. Exactly-once delivery composes from T5: a
-    replayed batch yields an empty ``fresh`` set, so the publisher
-    never re-fires (at-least-once inside a batch if the publisher
-    itself dies mid-send, matching the reference's Redis semantics).
+    notification channels. It runs BEFORE the publish log is appended
+    (see ``process_raw_batch``): a publisher crash fails the batch with
+    the log untouched, so the replay re-sends — at-least-once delivery,
+    deduplicated downstream by (number, hash); a cleanly replayed batch
+    has an empty fresh set and re-fires nothing.
 
     T1's gap/regression detection is delegated to the T7 repair job
     (`repair_gaps`) rather than crashing the stream — a deliberate
@@ -103,9 +115,7 @@ def start_ingest_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = process_raw_batch(store, batch_df, batch_id)
-        if publish is not None:
-            publish(store, fresh)
+        process_raw_batch(store, batch_df, batch_id, on_fresh=publish)
 
     return (
         raw_stream.writeStream.foreachBatch(handle)

@@ -119,7 +119,20 @@ class RespBroker:
                         if not isinstance(cmd, list) or not cmd:
                             break
                         verb = bytes(cmd[0]).upper()
-                        args = [bytes(a).decode() for a in cmd[1:]]
+                        # channel names decode as UTF-8; a PUBLISH PAYLOAD
+                        # stays raw bytes (RESP is binary-safe — decoding
+                        # it would kill the connection on any non-UTF-8
+                        # blob, which real Redis happily accepts)
+                        try:
+                            args = [
+                                bytes(a).decode()
+                                for a in (
+                                    cmd[1:2] if verb == b"PUBLISH" else cmd[1:]
+                                )
+                            ]
+                        except UnicodeDecodeError:
+                            push(b"-ERR invalid channel name\r\n")
+                            continue
                         if verb == b"PING":
                             push(b"+PONG\r\n")
                         elif verb == b"SUBSCRIBE":
@@ -140,6 +153,12 @@ class RespBroker:
                                         )
                                     )
                         elif verb == b"PUBLISH":
+                            if len(cmd) != 3:
+                                push(
+                                    b"-ERR wrong number of arguments for "
+                                    b"'publish'\r\n"
+                                )
+                                continue
                             ch, payload = args[0], cmd[2]
                             with state.lock:
                                 targets = list(state.subs.get(ch, ()))
@@ -248,14 +267,26 @@ class RespClient:
 
         Readiness via ``select`` rather than a socket timeout: a timed-out
         ``makefile`` reader refuses all further reads (CPython marks the
-        buffer poisoned), which would kill the long-lived consumer."""
+        buffer poisoned), which would kill the long-lived consumer.
+
+        Once a frame has STARTED, the decode reads under a hard 30 s
+        socket timeout: a broker stalling mid-frame raises
+        ``ConnectionError`` (dead connection — resync inside a
+        byte-stream protocol is impossible) instead of hanging the
+        consumer loop forever past its poll cadence."""
         import select
 
         if not self._rf.has_buffered():  # wait for new socket data
             ready, _, _ = select.select([self._sock], [], [], timeout)
             if not ready:
                 return None
-        msg = resp_decode(self._rf)
+        self._sock.settimeout(30.0)
+        try:
+            msg = resp_decode(self._rf)
+        except (TimeoutError, socket.timeout) as exc:
+            raise ConnectionError("broker stalled mid-frame") from exc
+        finally:
+            self._sock.settimeout(None)
         if isinstance(msg, list) and len(msg) == 3 and bytes(msg[0]) == b"message":
             return {"channel": bytes(msg[1]).decode(), "data": bytes(msg[2])}
         return None

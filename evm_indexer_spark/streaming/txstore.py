@@ -197,16 +197,24 @@ class AtomicBlockStore:
         new_entries: dict[str, dict[str, int]] = {t: {} for t in _TABLES}
         for table, df in merged.items():
             sort_key = "number" if table == "blocks" else "blockhash"
-            for b in touched:
-                out = self._obj_dir(table, int(b), next_version)
-                (
-                    df.filter(F.col("bucket") == b)
-                    .sortWithinPartitions(sort_key)
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(out)
-                )
-                new_entries[table][str(int(b))] = next_version
+            # one write per touched bucket (the manifest maps buckets to
+            # versions, so each bucket needs its own directory) — persist
+            # the merged frame across the loop or every bucket write
+            # re-runs the snapshot read + replace/survivor joins
+            df = df.persist()
+            try:
+                for b in touched:
+                    out = self._obj_dir(table, int(b), next_version)
+                    (
+                        df.filter(F.col("bucket") == b)
+                        .sortWithinPartitions(sort_key)
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(out)
+                    )
+                    new_entries[table][str(int(b))] = next_version
+            finally:
+                df.unpersist()
 
         # data durable → swap the manifest (the only mutation readers see)
         for t in _TABLES:
@@ -229,12 +237,21 @@ class AtomicBlockStore:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self) -> int:
+    def vacuum(self, min_age_seconds: float = 3600.0) -> int:
         """Delete object dirs not referenced by the current manifest
-        (uncommitted writes, superseded versions). Returns dirs removed.
-        Never required for correctness — readers only follow the
-        manifest."""
+        (uncommitted writes, superseded versions) and older than
+        *min_age_seconds*. Returns dirs removed.
+
+        The grace period is load-bearing when vacuum runs concurrently
+        with a writer: an in-flight ``upsert_batch`` has already written
+        its next-version dirs but not yet swapped the manifest — they
+        are unreferenced *right now* but about to be committed. Deleting
+        only dirs older than the longest plausible commit (the same
+        retention reasoning as Delta/Iceberg VACUUM) keeps concurrent
+        maintenance safe; pass 0 only when no writer can be active.
+        """
         import shutil
+        import time
 
         m = self._manifest()
         live = {
@@ -243,6 +260,7 @@ class AtomicBlockStore:
             for b, v in buckets.items()
         }
         removed = 0
+        cutoff = time.time() - min_age_seconds
         objroot = os.path.join(self.root, "objects")
         for table in _TABLES:
             tdir = os.path.join(objroot, table)
@@ -252,7 +270,13 @@ class AtomicBlockStore:
                 full_b = os.path.join(tdir, bdir)
                 for cdir in os.listdir(full_b):
                     full = os.path.join(full_b, cdir)
-                    if full not in live:
-                        shutil.rmtree(full, ignore_errors=True)
-                        removed += 1
+                    if full in live:
+                        continue
+                    try:
+                        if os.path.getmtime(full) > cutoff:
+                            continue
+                    except OSError:
+                        continue
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed += 1
         return removed

@@ -84,12 +84,12 @@ def start_to_memory(
 def stream_interval_join(
     points: DataFrame,
     intervals: DataFrame,
+    max_interval_seconds: int,
     point_ts: str = "ts",
     start_col: str = "w_start",
     end_col: str = "w_end",
     bin_seconds: int = 3600,
     watermark: str = "10 minutes",
-    max_interval_seconds: int = 86_400,
 ) -> DataFrame:
     """Stream-stream point-in-interval join: every point row joins the
     interval rows with ``start <= point_ts < end``.
@@ -106,9 +106,12 @@ def stream_interval_join(
     metadata. So the join adds ``point_ts < start_col +
     max_interval_seconds``: with it, interval-side state is bounded by
     O(watermark + max_interval) and point-side by O(watermark),
-    regardless of stream length. The contract is that no interval is
-    longer than *max_interval_seconds* (matches past the bound are
-    dropped — enforce upstream or raise the cap, paying state for it).
+    regardless of stream length. *max_interval_seconds* is therefore a
+    REQUIRED argument, not a default: it is a semantic contract —
+    matches past the bound are silently dropped (unlike the batch twin
+    ``operators.temporal.interval_join``, which has no bound) — so the
+    caller must state the workload's true maximum interval length and
+    enforce it upstream.
     Intervals explode into one state row per covered bin, identical to
     the batch operator's explosion factor. Inner join (the batch twin's
     semantics)."""

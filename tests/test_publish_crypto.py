@@ -255,6 +255,9 @@ def test_sender_recovery_udf_sparkside(spark):
     rows = [
         (1, str(10**9), 21_000, to, "5", "0x", 37 + rec, hex(r), hex(s)),
         (1, str(10**9), 21_000, to, "5", "0x", 29, hex(r), hex(s)),  # bad v
+        # NULL v: must be NULL out, never coerced to parity 0 (which
+        # would fabricate a plausible-but-wrong sender)
+        (1, str(10**9), 21_000, to, "5", "0x", None, hex(r), hex(s)),
     ]
     df = spark.createDataFrame(
         rows,
@@ -268,6 +271,7 @@ def test_sender_recovery_udf_sparkside(spark):
     ).collect()
     assert got[0]["from"] == expected
     assert got[1]["from"] is None
+    assert got[2]["from"] is None
 
 
 def test_ecdsa_recover_property():

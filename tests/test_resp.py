@@ -196,3 +196,36 @@ def test_ingest_stream_publishes_to_resp_broker(spark, tmp_path, broker):
     start_ingest_stream(spark, str(landing), store, ckpt, publish=pub).awaitTermination(120)
     assert sub.get_message(timeout=2.0) is None
     sub.close()
+
+
+def test_publisher_failure_leaves_log_untouched_and_replays(spark, tmp_path):
+    """Delivery is at-least-once: a publisher crash must fail the batch
+    BEFORE the publish log is appended, so the retry recomputes the same
+    fresh set and re-sends — appending first would silently drop the
+    notifications forever."""
+    from evm_indexer_spark.streaming.ingest import process_raw_batch
+    from evm_indexer_spark.streaming.store import BlockStore
+
+    from .test_streaming import make_raw, raw_block
+
+    store = BlockStore(spark, str(tmp_path / "s"))
+    raw = make_raw(spark, [raw_block(0), raw_block(1)])
+
+    calls: list[int] = []
+
+    def dying_publisher(store_, fresh):
+        calls.append(fresh.count())
+        raise ConnectionError("broker down")
+
+    with pytest.raises(ConnectionError):
+        process_raw_batch(store, raw, on_fresh=dying_publisher)
+    assert store.published().count() == 0  # log untouched
+    assert calls == [2]
+
+    sent: list[int] = []
+    process_raw_batch(store, raw, on_fresh=lambda s, f: sent.append(f.count()))
+    assert sent == [2]  # replay re-delivers the SAME fresh set
+    assert store.published().count() == 2
+    # a further replay is a no-op end to end
+    process_raw_batch(store, raw, on_fresh=lambda s, f: sent.append(f.count()))
+    assert sent == [2, 0]

@@ -179,7 +179,7 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     i_schema = "wid long, w_start timestamp, w_end timestamp"
     ps = spark.readStream.schema(p_schema).json(str(p_dir))
     istr = spark.readStream.schema(i_schema).json(str(i_dir))
-    joined = stream_interval_join(ps, istr)
+    joined = stream_interval_join(ps, istr, max_interval_seconds=86_400)
     q = (
         joined.writeStream.format("memory").queryName("sij")
         .outputMode("append")

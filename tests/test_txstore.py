@@ -59,15 +59,18 @@ def test_crash_before_manifest_swap_is_invisible(spark, tmp_path, monkeypatch):
         assert getattr(store, t)().count() == n, t
     assert store.blocks().filter(F.col("number") >= 2).count() == 0
 
-    # orphaned object dirs exist, vacuum removes them, correctness intact
-    assert store.vacuum() > 0
+    # the default grace period protects possibly-in-flight commits:
+    # freshly written orphans survive a concurrent-safe vacuum
+    assert store.vacuum() == 0
+    # with the writer known-dead, age 0 reclaims them; correctness intact
+    assert store.vacuum(min_age_seconds=0) > 0
     for t, n in before.items():
         assert getattr(store, t)().count() == n, t
 
     # replay commits
     process_raw_batch(store, make_raw(spark, [raw_block(2), raw_block(3)]))
     assert store.blocks().count() == 4
-    assert store.vacuum() == 0 or store.blocks().count() == 4
+    assert store.vacuum(min_age_seconds=0) == 0 or store.blocks().count() == 4
 
 
 def test_manifest_is_single_commit_point(spark, tmp_path):
