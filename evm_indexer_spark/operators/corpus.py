@@ -202,3 +202,75 @@ def chunk_tokens(
             " ", F.slice(F.col("__t"), F.col("chunk_idx") * stride + 1, chunk_size)
         ).alias("chunk_text"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.9,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", table A1 — the public filter set most pretraining
+    pipelines start from), each as a boolean column plus the composite
+    ``gopher_ok``:
+
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_word_len, max_mean_word_len];
+    - #/… symbols per word below *max_symbol_word_ratio*;
+    - ≤ *max_ellipsis_line_frac* of lines ending in an ellipsis and
+      ≤ *max_bullet_line_frac* starting with a bullet;
+    - at least *min_stop_hits* occurrences of common English stopwords
+      (the "contains real prose" proxy).
+
+    All native expressions (split/regexp_count/filter-free) over one
+    projection — a pure map, no shuffle; compose with
+    ``repetition_metrics`` for the intra-doc repetition rules, which
+    need a grouped pass.
+    """
+    from ..functions.text import stopword_hits
+
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words)
+    mean_wl = (F.length(F.regexp_replace(c, r"\s+", ""))) / n_words
+    n_symbols = F.regexp_count(c, F.lit(r"(#|\.\.\.|…)"))
+    lines = F.split(c, r"\n")
+    n_lines = F.size(lines)
+    n_ellipsis_end = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    n_bullet_start = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*([-*•]|\d+[.)])\s"))
+    )
+    stops = stopword_hits(
+        c, ["the", "be", "to", "of", "and", "that", "have", "with"]
+    )
+
+    word_count_ok = n_words.between(min_words, max_words)
+    word_len_ok = mean_wl.between(min_mean_word_len, max_mean_word_len)
+    symbol_ok = (n_symbols / n_words) <= max_symbol_word_ratio
+    ellipsis_ok = (n_ellipsis_end / n_lines) <= max_ellipsis_line_frac
+    bullet_ok = (n_bullet_start / n_lines) <= max_bullet_line_frac
+    stop_ok = stops >= min_stop_hits
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        word_count_ok.alias("word_count_ok"),
+        word_len_ok.alias("word_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        bullet_ok.alias("bullet_ok"),
+        stop_ok.alias("stop_ok"),
+        (
+            word_count_ok & word_len_ok & symbol_ok
+            & ellipsis_ok & bullet_ok & stop_ok
+        ).alias("gopher_ok"),
+    )

@@ -98,3 +98,47 @@ def test_stratified_sample_rates(docs):
     assert 0.1 < de_kept / de_total < 0.45
     # sampling is a pure filter: kept rows are a subset of the corpus keyset
     assert out.count() == en_kept + de_kept
+
+
+class TestGopherQuality:
+    def _flags(self, spark, text):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return corpus.gopher_quality_flags(df, "doc_id", "text").collect()[0]
+
+    def test_good_prose_passes(self, spark):
+        text = ("the quick brown fox jumps over that lazy dog and runs away "
+                "to be with the other foxes of note and have dinner ") * 3
+        r = self._flags(spark, text)
+        assert r["gopher_ok"], r.asDict()
+
+    def test_too_short_fails_word_count_only(self, spark):
+        r = self._flags(spark, "the cat and the hat have to be")
+        assert not r["word_count_ok"] and not r["gopher_ok"]
+        assert r["stop_ok"]  # plenty of stopwords, rule independence
+
+    def test_symbol_spam_fails(self, spark):
+        base = "the word and more of that to be with have " * 10
+        r = self._flags(spark, base + "#tag " * 30)
+        assert not r["symbol_ok"] and not r["gopher_ok"]
+
+    def test_bullet_wall_fails(self, spark):
+        bullets = "\n".join(f"- item {i} of the list to have" for i in range(40))
+        r = self._flags(spark, bullets)
+        assert not r["bullet_ok"] and not r["gopher_ok"]
+
+    def test_ellipsis_teasers_fail(self, spark):
+        lines = "\n".join(
+            f"the story number {i} continues with more..." for i in range(20)
+        )
+        r = self._flags(spark, lines)
+        assert not r["ellipsis_ok"] and not r["gopher_ok"]
+
+    def test_no_stopwords_fails(self, spark):
+        words = " ".join(f"zqx{i}" for i in range(80))
+        r = self._flags(spark, words)
+        assert not r["stop_ok"] and not r["gopher_ok"]
+
+    def test_mean_word_length_bounds(self, spark):
+        longwords = " ".join("pneumonoultramicroscopic" for _ in range(60))
+        r = self._flags(spark, "the of and to be that have with " + longwords)
+        assert not r["word_len_ok"]

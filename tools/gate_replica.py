@@ -22,7 +22,7 @@ import time
 import duckdb
 import pandas as pd
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = __import__("os").environ.get("GATE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
