@@ -225,3 +225,86 @@ class BlockStore:
             os.rename(retired, path)  # roll back: keep the old log live
             raise
         shutil.rmtree(retired, ignore_errors=True)
+
+
+# -- hash→bucket hint index (SURVEY §7 risk 3) ------------------------------
+#
+# Point lookups by hash (P4: GetBlockByHash / GetTransactionByHash) can't
+# prune the number-bucketed layout — the hash says nothing about the
+# bucket. The reference leans on a Postgres B-tree; the columnar analog
+# is a SLIM append-only side index (hash, bucket): ~50 bytes/block, so
+# even a 20M-block chain indexes in ~1 GB of narrow parquet that scans
+# in a trice vs. the full fact tables, and the bucket it yields turns
+# the point read into a one-partition scan. Maintained alongside the
+# publish log, compacted the same way.
+
+
+class HashIndex:
+    """Append-only (hash, bucket) hint index over a ``BlockStore``."""
+
+    def __init__(self, store: BlockStore) -> None:
+        self.store = store
+
+    def _path(self) -> str:
+        return self.store._path("_hashidx")
+
+    def append(self, blocks: DataFrame) -> None:
+        """Record a batch's block hashes (call right after
+        ``upsert_batch`` with the same normalized blocks)."""
+        blocks.select(
+            F.lower("hash").alias("hash"), bucket_of(F.col("number")).alias("bucket")
+        ).write.mode("append").parquet(self._path())
+
+    def read(self) -> DataFrame:
+        import os as _os
+
+        if not _os.path.isdir(self._path()):
+            return self.store.spark.createDataFrame([], "hash string, bucket long")
+        return self.store.spark.read.parquet(self._path())
+
+    def bucket_of_hash(self, block_hash: str) -> int | None:
+        """Resolve a block hash to its bucket; None if unindexed. One
+        scan of the slim index — never of the fact tables. Reorged-away
+        hashes may linger (like the publish log); the caller's point
+        read simply finds no row in the bucket, which is correct."""
+        rows = (
+            self.read()
+            .filter(F.col("hash") == block_hash.lower())
+            .select("bucket")
+            .limit(1)
+            .collect()
+        )
+        return int(rows[0][0]) if rows else None
+
+    def lookup_block(self, block_hash: str) -> DataFrame:
+        """P4 point read pruned through the index: resolve the bucket,
+        then scan ONLY that bucket of ``blocks``. Falls back to the full
+        scan when the hash is unindexed (pre-index history)."""
+        b = self.bucket_of_hash(block_hash)
+        blocks = self.store.read("blocks")
+        if b is not None:
+            blocks = blocks.filter(F.col("bucket") == b)
+        return blocks.filter(F.lower(F.col("hash")) == block_hash.lower()).drop(
+            "bucket"
+        )
+
+    def compact(self) -> None:
+        """Dedup + rewrite (same crash-safe rename swap as the publish
+        log would need; the index is advisory, so a lost index only
+        costs performance, never correctness)."""
+        import shutil
+
+        path = self._path()
+        import os as _os
+
+        if not _os.path.isdir(path):
+            return
+        tmp = path + "_compacting"
+        self.read().dropDuplicates(["hash"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        retired = path + "_retired"
+        shutil.rmtree(retired, ignore_errors=True)
+        _os.rename(path, retired)
+        _os.rename(tmp, path)
+        shutil.rmtree(retired, ignore_errors=True)

@@ -81,3 +81,40 @@ def test_pruned_results_match_unpruned(store):
     b = sorted(r["number"] for r in plain.get_blocks_by_number_range(frm, frm + 20).collect())
     # only 100000..100015 exist in-range (bucket 0 ends at number 29)
     assert a == b and len(a) == 16
+
+
+def test_hash_index_prunes_point_lookup(spark, tmp_path):
+    """P4 by hash through the hint index scans one bucket, not the chain
+    (SURVEY §7 risk 3); unindexed hashes fall back to the full scan."""
+    import json
+
+    from evm_indexer_spark.streaming.ingest import process_raw_batch
+    from evm_indexer_spark.streaming.store import BlockStore, HashIndex
+    from evm_indexer_spark.schemas import BLOCK_BUCKET_SIZE
+
+    from .test_streaming import make_raw, raw_block
+
+    store = BlockStore(spark, str(tmp_path / "s"))
+    far = BLOCK_BUCKET_SIZE * 7
+    docs = [raw_block(0), raw_block(1), raw_block(far)]
+    process_raw_batch(store, make_raw(spark, docs))
+    idx = HashIndex(store)
+    from evm_indexer_spark.sources.normalize import normalize_blocks
+
+    idx.append(normalize_blocks(make_raw(spark, docs)))
+
+    target = raw_block(far)["hash"].lower()
+    assert idx.bucket_of_hash(target) == 7
+    row = idx.lookup_block(target).collect()
+    assert len(row) == 1 and row[0]["number"] == far
+    # the pruned read filters on the bucket value BEFORE the hash match
+    plan = idx.lookup_block(target)._jdf.queryExecution().optimizedPlan().toString()
+    assert "bucket" in plan and "= 7" in plan.replace("7L", "7"), plan
+
+    # unindexed hash → full-scan fallback still answers
+    process_raw_batch(store, make_raw(spark, [raw_block(2)]))  # not appended to idx
+    assert idx.lookup_block(raw_block(2)["hash"]).count() == 1
+    assert idx.bucket_of_hash(raw_block(2)["hash"]) is None
+
+    idx.compact()
+    assert idx.bucket_of_hash(target) == 7
