@@ -280,9 +280,16 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     packing was measurably cheaper but its bit-48 lane overflows a
     signed sum at ≥32768 tokens — a job-killing exception under ANSI.
     """
+    # ENFORCE the lane bound by truncation: tokens beyond 2^21−1 would
+    # silently carry into the neighboring counter lane; a deterministic
+    # signature over the first 2M tokens is strictly better than a
+    # corrupted one (and such documents should be pre-chunked upstream
+    # anyway)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(_norm_tokens(F.col(text_col))).alias("t"),
+        F.explode(
+            F.slice(_norm_tokens(F.col(text_col)), 1, (1 << 21) - 1)
+        ).alias("t"),
     ).withColumn("h", F.xxhash64("t"))
     # lane group g packs counters for bits 3g..3g+2 (group 21: bit 63)
     packed = []
