@@ -67,6 +67,12 @@ class AtomicBlockStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
+    def _path(self, name: str) -> str:
+        """Side-table path (publish log, hash index) — same contract as
+        ``BlockStore._path`` so ``HashIndex`` and the publish helpers
+        work against either backend."""
+        return os.path.join(self.root, name)
+
     # -- manifest ----------------------------------------------------------
 
     def _manifest_path(self) -> str:

@@ -131,3 +131,19 @@ def test_read_buckets_prunes_paths(spark, tmp_path):
 
     # unknown bucket → empty frame, correct schema
     assert store.read_buckets("blocks", [99]).count() == 0
+
+
+def test_hash_index_works_over_atomic_store(spark, tmp_path):
+    from evm_indexer_spark.schemas import BLOCK_BUCKET_SIZE
+    from evm_indexer_spark.sources.normalize import normalize_blocks
+    from evm_indexer_spark.streaming.store import HashIndex
+
+    store = AtomicBlockStore(spark, str(tmp_path / "s"))
+    far = BLOCK_BUCKET_SIZE * 4
+    raw = make_raw(spark, [raw_block(0), raw_block(far)])
+    process_raw_batch(store, raw)
+    idx = HashIndex(store)
+    idx.append(normalize_blocks(raw))
+    target = raw_block(far)["hash"]
+    assert idx.bucket_of_hash(target) == 4
+    assert idx.lookup_block(target).collect()[0]["number"] == far
