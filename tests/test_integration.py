@@ -74,3 +74,88 @@ def test_depth_gate_over_ingested_store(store):
 
     confirmed = confirmed_blocks(store.blocks(), depth=20)
     assert confirmed.agg(F.max("number")).collect()[0][0] == N_BLOCKS - 1 - 20
+
+
+def test_grand_loop_all_components(spark, tmp_path):
+    """Capstone: file-source ingest over the ATOMIC store with RESP
+    publishing, hash-index maintenance, a reorg inside confirmation
+    depth, a confirmed-pass replacement, and gap repair — every round-3
+    component composed in one run, publish-exactly-once throughout."""
+    import json
+
+    from evm_indexer_spark.sources.normalize import normalize_blocks, RAW_BLOCK_SCHEMA
+    from evm_indexer_spark.streaming.ingest import (
+        confirmed_mismatches,
+        process_raw_batch,
+        repair_gaps,
+        start_ingest_stream,
+    )
+    from evm_indexer_spark.streaming.resp import (
+        RespBroker,
+        RespClient,
+        make_resp_publisher,
+    )
+    from evm_indexer_spark.streaming.store import HashIndex
+    from evm_indexer_spark.streaming.txstore import AtomicBlockStore
+
+    from .test_streaming import make_raw, raw_block
+
+    broker = RespBroker().start()
+    try:
+        sub = RespClient(broker.host, broker.port)
+        sub.subscribe("block")
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        store = AtomicBlockStore(spark, str(tmp_path / "store"))
+        ckpt = str(tmp_path / "ckpt")
+        publish = make_resp_publisher(broker.host, broker.port)
+
+        # leg 1: blocks 0..5 with a gap at 3
+        with open(landing / "a.json", "w") as f:
+            for n in (0, 1, 2, 4, 5):
+                f.write(json.dumps(raw_block(n)) + "\n")
+        start_ingest_stream(
+            spark, str(landing), store, ckpt, publish=publish
+        ).awaitTermination(180)
+        idx = HashIndex(store)
+        idx.append(normalize_blocks(make_raw(spark, [raw_block(n) for n in (0, 1, 2, 4, 5)])))
+
+        assert [r[0] for r in repair_gaps(spark, store, 0, 5).collect()] == [3]
+        notif = 0
+        while sub.get_message(timeout=1.5):
+            notif += 1
+        assert notif == 5
+
+        # leg 2: reorg block 5 across a checkpoint restart
+        with open(landing / "b.json", "w") as f:
+            f.write(json.dumps(raw_block(5, salt="R")) + "\n")
+            f.write(json.dumps(raw_block(3)) + "\n")  # heal the gap too
+        start_ingest_stream(
+            spark, str(landing), store, ckpt, publish=publish
+        ).awaitTermination(180)
+        assert store.blocks().count() == 6
+        assert repair_gaps(spark, store, 0, 5).count() == 0
+        notif2 = 0
+        while sub.get_message(timeout=1.5):
+            notif2 += 1
+        assert notif2 == 2  # the reorged 5 + the healed 3, once each
+
+        # leg 3: confirmed pass finds a deeper mismatch at 1, replace
+        refetched = make_raw(spark, [raw_block(0), raw_block(1, salt="DEEP")])
+        mism = confirmed_mismatches(store, refetched).collect()
+        assert [r["number"] for r in mism] == [1]
+        process_raw_batch(store, make_raw(spark, [raw_block(1, salt="DEEP")]))
+        assert confirmed_mismatches(store, refetched).count() == 0
+
+        # hash index still resolves a surviving block; the reorged-away
+        # old hash finds no row (stale hint is harmless)
+        assert idx.lookup_block(raw_block(2)["hash"]).count() == 1
+        assert idx.lookup_block(raw_block(5)["hash"]).count() == 0
+
+        # publish-once globally: no duplicate (number, hash) ever
+        pairs = [(r["number"], r["hash"]) for r in store.published().collect()]
+        assert len(pairs) == len(set(pairs)) == 8  # 6 + reorg5 + deep1
+        sub.close()
+    finally:
+        broker.stop()
