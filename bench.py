@@ -100,7 +100,12 @@ def bench_ingest(spark) -> tuple[float, float, int]:
 
 
 def main() -> None:
-    spark = get_spark("evm-indexer-spark-bench")
+    # the console progress bar interleaves \r frames with stdout, which
+    # is what corrupted the driver-parsed JSON line in BENCH_r01-r03
+    spark = get_spark(
+        "evm-indexer-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     try:
         sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
         try:
@@ -162,32 +167,37 @@ def main() -> None:
         warm_oracle_subset = sum(
             v for k, v in warm.items() if k in duck_timings
         )
-        print(
-            json.dumps(
-                {
-                    "metric": "catalog_total_runtime",
-                    "value": round(total, 4),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf,
-                    "queries_warm": warm,
-                    "warm_total_sec": round(warm_total, 4),
-                    "duckdb_oracle_total_sec": round(duck_total, 4),
-                    "queries_duckdb": duck_timings,
-                    "warm_oracle_subset_sec": round(warm_oracle_subset, 4),
-                    "warm_vs_duckdb_ratio": round(
-                        warm_oracle_subset / duck_total, 2
-                    )
-                    if duck_total
-                    else None,
-                    "ingest_blocks_per_sec": round(ingest_n / ingest_s, 1),
-                    "ingest_cold_blocks_per_sec": round(
-                        ingest_n / ingest_cold_s, 1
-                    ),
-                    "ingest_blocks": ingest_n,
-                }
-            )
-        )
+        metrics = {
+            "metric": "catalog_total_runtime",
+            "value": round(total, 4),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "queries_warm": warm,
+            "warm_total_sec": round(warm_total, 4),
+            "duckdb_oracle_total_sec": round(duck_total, 4),
+            "queries_duckdb": duck_timings,
+            "warm_oracle_subset_sec": round(warm_oracle_subset, 4),
+            "warm_vs_duckdb_ratio": round(warm_oracle_subset / duck_total, 2)
+            if duck_total
+            else None,
+            "ingest_blocks_per_sec": round(ingest_n / ingest_s, 1),
+            "ingest_cold_blocks_per_sec": round(ingest_n / ingest_cold_s, 1),
+            "ingest_blocks": ingest_n,
+        }
+        line = json.dumps(metrics)
+        # the driver scrapes stdout, where progress-bar carriage returns
+        # have historically corrupted the final line (BENCH_r01-r03 all
+        # parsed as null) — write the same object to a file too, and
+        # flush stderr first so the JSON line is the unambiguous tail
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_out.json"), "w"
+        ) as fh:
+            fh.write(line + "\n")
+        sys.stderr.flush()
+        print()
+        print(line, flush=True)
     finally:
         spark.stop()
 
