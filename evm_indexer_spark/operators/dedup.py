@@ -223,11 +223,10 @@ def minhash_near_duplicates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # three consumers (id-prune union ×2 + the pair join):
-        # localCheckpoint materializes once, eagerly, and truncates the
-        # signature/self-join lineage; the blocks are released with the
-        # DataFrame (no persist left pinned across calls)
-        .localCheckpoint()
+        # three consumers (id-prune union ×2 + the pair join) — all read
+        # the same dedup Exchange, which AQE materializes once and
+        # reuses; nothing persisted or checkpointed (a checkpoint here
+        # pinned executor blocks for the session lifetime)
     )
 
     # Exact Jaccard verification: shingle sets are built ONLY for
@@ -342,9 +341,12 @@ def simhash_near_duplicates(
     assert 64 % n_blocks == 0
     width = 64 // n_blocks
     mask = (1 << width) - 1
-    # the bucketed signatures self-join: persist so the signature
-    # aggregation runs once, not per join side
-    sigs = simhash_signatures(df, id_col, text_col).persist()
+    # the bucketed signatures self-join on identical subtrees: the
+    # signature aggregation materializes once as a shuffle stage and the
+    # second side reads it back as a ReusedExchange — no persist (a
+    # lazily-leaked cache was the round-3 retention hazard), no pinned
+    # executor storage
+    sigs = simhash_signatures(df, id_col, text_col)
     bucketed = sigs.select(
         "id",
         "sig",
@@ -414,9 +416,12 @@ def jaccard_all_pairs(
     (``minhash_near_duplicates``), never a whole-corpus operation.
     Output: (id_a, id_b, jaccard double rounded to 4) with id_a < id_b.
     """
-    # three consumers (sizes + both self-join sides): persist or the
-    # shingle pipeline runs three times
-    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    # three consumers (sizes + both self-join sides): the self-join
+    # sides dedupe through exchange reuse; the sizes branch re-runs the
+    # map-side shingle pass, which is the right trade — this brute path
+    # only ever runs on sub-`brute_below` corpora (see
+    # jaccard_prefix_join), and a persist here leaked across calls
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")
@@ -480,13 +485,15 @@ def jaccard_prefix_join(
     if strategy == "brute":
         return jaccard_all_pairs(df, id_col, text_col, shingle_n, threshold)
 
-    # two consumers (ranked prefix + verification sets) — persist or the
-    # shingle pass re-runs per consumer
-    # single consumer (ranked) — NOT persisted: pinning corpus-wide
-    # shingle rows in executor storage is the O(corpus) hazard this
-    # operator exists to avoid; the verification sets below come from a
-    # second, candidate-pruned shingle pass instead (same invariant as
-    # minhash_near_duplicates)
+    # NOT persisted: pinning corpus-wide shingle rows in executor
+    # storage is the O(corpus) hazard this operator exists to avoid —
+    # and a pinned-forever DataFrame.persist (CacheManager holds it
+    # until an explicit unpersist; the context cleaner never reclaims
+    # it) was the round-3 retention leak. The multi-consumer reads
+    # below dedupe through Catalyst exchange reuse instead: identical
+    # shuffle subtrees materialize once as shuffle files on disk
+    # (ReusedExchange in the plan), which is exactly the scale-safe
+    # shape — spilled, not pinned.
     sh = shingle_rows(df, id_col, text_col, shingle_n)
     # document frequency as a window over the shingle partition — one
     # exchange on s, no groupBy+join round trip
@@ -497,16 +504,13 @@ def jaccard_prefix_join(
             "rk", F.row_number().over(W.partitionBy("id").orderBy("df", "s"))
         )
     )
-    # prefix rows are the self-join input (read by BOTH sides): persist
-    # the slim (id, rare-shingle) subset — ~(1−t) of each doc's
-    # shingles, strictly smaller than the corpus shingle set and
-    # comparable to the shuffle files the join writes anyway
-    # (MEMORY_AND_DISK spills; blocks are reclaimed by the context
-    # cleaner once the result DataFrame is released)
+    # prefix rows are the self-join input — ~(1−t) of each doc's
+    # rarest shingles; both join sides are the same subtree, so the
+    # window pipeline runs once and the second side is a ReusedExchange
     prefix = ranked.filter(
         F.col("rk")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "s").persist()
+    ).select("id", "s")
     cand = (
         prefix.alias("a")
         .join(
@@ -515,19 +519,20 @@ def jaccard_prefix_join(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # three consumers (id-prune union ×2 + pair join)
-        .persist()
+        # three consumers (id-prune union ×2 + pair join) — all read the
+        # same dedup Exchange, which AQE materializes once and reuses
     )
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    cand_docs = df.join(
-        cand_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
-    )
+    # verification sets reuse the ALREADY-SHUFFLED shingle rows (the
+    # window pass partitioned them by id) pruned to candidate ids —
+    # no re-tokenization of candidate docs, no second corpus pass
     sets = (
-        shingle_rows(cand_docs, id_col, text_col, shingle_n)
+        ranked.select("id", "s")
+        .join(cand_ids, "id", "left_semi")
         .groupBy("id")
         .agg(F.collect_set("s").alias("sh"))
     )

@@ -25,6 +25,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the executor blocks behind a localCheckpointed DataFrame.
+
+    DataFrame-level localCheckpoints are NOT reclaimed by the context
+    cleaner (the session keeps the LogicalRDD reachable), so an
+    iterative loop that abandons one per round accumulates storage for
+    the session lifetime — the round-3 retention leak. Unpersisting the
+    underlying RDD is irreversible (the lineage was truncated), so this
+    must only run once nothing will read the checkpoint again."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort; a stopped session has nothing to release
+
+
+def release_cached(df: DataFrame) -> None:
+    """Release every localCheckpoint a result DataFrame still pins.
+
+    ``connected_components`` (and thus ``dedup_clusters``) returns a
+    plan over its final checkpointed label table; that table stays in
+    executor storage until the session ends. Long-lived services that
+    call these per request should call ``release_cached(result)`` after
+    fully consuming the result — afterwards the DataFrame can no longer
+    be recomputed."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -45,43 +81,52 @@ def connected_components(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).distinct()
     sym = sym.persist()
+    try:
+        vertex = sym.select(F.col("s").alias("node")).distinct()
+        if nodes is not None:
+            extra = nodes.select(
+                F.col(nodes.columns[0]).alias("node")
+            ).distinct()
+            vertex = vertex.unionByName(extra).distinct()
+        labels = vertex.select("node", F.col("node").alias("component"))
+        labels = labels.localCheckpoint()
 
-    vertex = sym.select(F.col("s").alias("node")).distinct()
-    if nodes is not None:
-        extra = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
-        vertex = vertex.unionByName(extra).distinct()
-    labels = vertex.select("node", F.col("node").alias("component"))
-    labels = labels.localCheckpoint()
-
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iter):
-        prop = sym.join(
-            labels, sym["s"] == labels["node"], "inner"
-        ).select(F.col("d").alias("node"), "component")
-        merged = (
-            prop.unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+        for _ in range(max_iter):
+            prop = sym.join(
+                labels, sym["s"] == labels["node"], "inner"
+            ).select(F.col("d").alias("node"), "component")
+            merged = (
+                prop.unionByName(labels)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            # pointer jump: component <- component's component (path
+            # halving); every component value is itself a node, so the
+            # inner join is total
+            lk = merged.select(
+                F.col("node").alias("c_node"),
+                F.col("component").alias("c_comp"),
+            )
+            superseded = labels
+            labels = (
+                merged.join(lk, merged["component"] == lk["c_node"], "inner")
+                .select("node", F.col("c_comp").alias("component"))
+                .localCheckpoint()  # eager: materialized here, so the
+                # previous round's checkpoint has no remaining readers
+            )
+            _release_checkpoint(superseded)
+            cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+            if cur_sum == prev_sum:
+                # the final label table stays checkpointed — it IS the
+                # returned data; callers can free it with release_cached
+                return labels
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
         )
-        # pointer jump: component <- component's component (path halving);
-        # every component value is itself a node, so the inner join is total
-        lk = merged.select(
-            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
-        )
-        labels = (
-            merged.join(lk, merged["component"] == lk["c_node"], "inner")
-            .select("node", F.col("c_comp").alias("component"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
-            sym.unpersist()
-            return labels
-        prev_sum = cur_sum
-    sym.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations"
-    )
+    finally:
+        sym.unpersist()
 
 
 def dedup_clusters(
@@ -103,19 +148,29 @@ def dedup_clusters(
     corpus. The endpoint set is *not* broadcast: at web-scale dup rates
     30–50% of all documents appear in some pair, so it is unbounded —
     a shuffled anti-join (AQE downgrades it to broadcast when the set
-    really is small) is the only shape that survives the scale-up."""
+    really is small) is the only shape that survives the scale-up.
+
+    Storage lifecycle: the pair cache is released before returning; the
+    final label table (one slim row per pair endpoint) stays
+    checkpointed for the result's lifetime — long-lived services should
+    ``release_cached(result)`` once done with it."""
     from . import dedup
 
     pairs = dedup.jaccard_prefix_join(
         doc, id_col, text_col, shingle_n=shingle_n, threshold=threshold
     ).select("id_a", "id_b").persist()
-    cc = connected_components(pairs, "id_a", "id_b").select(
-        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
-    )
-    endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
-        pairs.select(F.col("id_b").alias(id_col))
-    )
+    try:
+        # the closure is materialized round by round (localCheckpoint +
+        # convergence actions), so once it returns, nothing downstream
+        # re-reads `pairs` — its vertex set IS the pair-endpoint set,
+        # which lets the singleton anti-join run against `cc` instead of
+        # the (now released) pair cache
+        cc = connected_components(pairs, "id_a", "id_b").select(
+            F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+        )
+    finally:
+        pairs.unpersist()
     singletons = doc.select(id_col).join(
-        endpoints, id_col, "left_anti"
+        cc.select(id_col), id_col, "left_anti"
     ).select(id_col, F.col(id_col).alias("cluster_id"))
     return cc.unionByName(singletons)
