@@ -95,21 +95,51 @@ def global_row_number(
     is gone by construction)."""
     import pandas as pd  # noqa: F401 — mapInPandas batch type
 
+    from pyspark.sql.types import NumericType
+
     cols = list(order_by)
     if _BUCKET in df.columns:
         raise ValueError(f"column name {_BUCKET!r} is reserved")
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
 
-    n_rows = df.count()
-    if n_rows == 0:
-        return df.withColumn(id_col, F.lit(start).cast("long")).limit(0)
-
-    bounds = _sample_boundaries(df, cols, n_part, n_rows)
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + _lex_gt(cols, b).cast("int")
-    bucketed = df.withColumn(_BUCKET, bucket)
+    bucketed = None
+    n_buckets = n_part
+    if isinstance(df.schema[cols[0]].dataType, NumericType):
+        # numeric fast path: equal-width buckets on the first key column
+        # — count/min/max in ONE agg job and an O(1) bucket expression
+        # (a chain of per-boundary lexicographic predicates costs the
+        # optimizer ~1.5s per build at 32 partitions; width_bucket is a
+        # single node). Uneven buckets only skew partition sizes — the
+        # offsets below make any assignment correct.
+        n_rows, lo, hi = df.agg(
+            F.count(F.lit(1)), F.min(cols[0]), F.max(cols[0])
+        ).collect()[0]
+        if n_rows == 0:
+            return df.withColumn(id_col, F.lit(start).cast("long")).limit(0)
+        if lo is not None and hi is not None and lo < hi:
+            n_buckets = n_part * 4  # finer grain absorbs mild skew
+            bucketed = df.withColumn(
+                _BUCKET,
+                F.width_bucket(
+                    F.col(cols[0]).cast("double"),
+                    F.lit(float(lo)),
+                    F.lit(float(hi)),
+                    F.lit(n_buckets),
+                ).cast("int"),
+            )
+    else:
+        n_rows = df.count()
+        if n_rows == 0:
+            return df.withColumn(id_col, F.lit(start).cast("long")).limit(0)
+    if bucketed is None:
+        # generic path: sampled lexicographic boundaries over the full
+        # key (non-numeric leading column, or a constant one)
+        bounds = _sample_boundaries(df, cols, n_part, n_rows)
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + _lex_gt(cols, b).cast("int")
+        bucketed = df.withColumn(_BUCKET, bucket)
 
     # pass: rows per bucket -> exclusive cumulative offsets (<= n_part
     # numbers on the driver; the scan is column-pruned to the key cols)
@@ -159,6 +189,6 @@ def global_row_number(
             yield out[out_cols]
 
     ranged = bucketed.repartitionByRange(
-        max(1, min(n_part, len(bounds) + 1)), _BUCKET
+        max(1, n_part), _BUCKET
     ).sortWithinPartitions(_BUCKET, *cols)
     return ranged.mapInPandas(number, schema=out_schema)
