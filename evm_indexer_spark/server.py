@@ -20,20 +20,18 @@ Route → handler parity (status codes match the gin branches):
   ``SubscriptionManager`` (``{"code": 0|1, "message": ...}`` payloads,
   ``app/pubsub/pubsub.go`` semantics)
 
-The GraphQL executor is intentionally minimal: one top-level field with
-scalar/list arguments and an optional flat selection set — the shape
-every query in the reference's ``schema.graphqls`` takes. Nested
-fragments/aliases/variables-in-directives are out of scope and answered
-with a GraphQL error, not a crash.
+GraphQL documents are executed by :mod:`evm_indexer_spark.gqlexec` — a
+spec-conformant query executor (multi-field documents, aliases, nested
+selections, fragments, variables, ``@skip``/``@include``), matching the
+gqlgen executor the reference generates
+(``app/rest/graph/generated/generated.go``).
 """
 
 from __future__ import annotations
 
 import base64
 import hashlib
-import inspect
 import json
-import re
 import struct
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable
@@ -41,6 +39,7 @@ from urllib.parse import parse_qs, urlparse
 
 from .api import RestFacade
 from .errors import NotFoundError, ValidationError
+from .gqlexec import GraphQLExecutor
 from .graphql import GraphQLResolvers
 from .streaming.subscribe import SubscriptionManager
 
@@ -49,58 +48,6 @@ _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 _PLAYGROUND = b"""<!DOCTYPE html><html><head><title>GraphQL playground</title>
 </head><body><p>POST GraphQL queries to this endpoint as
 {"query": "..."}.</p></body></html>"""
-
-
-def _camel_to_snake(name: str) -> str:
-    return re.sub(r"(?<=[a-z0-9])([A-Z])", r"_\1", name).lower()
-
-
-_ARG_ALIASES = {"from": "frm"}  # `from` is a Python keyword
-
-
-class _MinimalGraphQL:
-    """Execute `{ field(args) { selection } }` against GraphQLResolvers."""
-
-    _FIELD_RE = re.compile(
-        r"^\s*(?:query\b[^{]*)?\{\s*(\w+)\s*(?:\(([^)]*)\))?\s*(?:\{([^}]*)\})?\s*\}\s*$",
-        re.S,
-    )
-    _ARG_RE = re.compile(r'(\w+)\s*:\s*("[^"]*"|\[[^\]]*\]|-?\d+)')
-
-    def __init__(self, resolvers: GraphQLResolvers) -> None:
-        self.resolvers = resolvers
-
-    def execute(self, query: str) -> dict[str, Any]:
-        m = self._FIELD_RE.match(query or "")
-        if not m:
-            return {"errors": [{"message": "unsupported query shape"}]}
-        field, raw_args, selection = m.group(1), m.group(2) or "", m.group(3)
-        method = getattr(self.resolvers, _camel_to_snake(field), None)
-        if method is None or field.startswith("_"):
-            return {"errors": [{"message": f"unknown field {field!r}"}]}
-        args: dict[str, Any] = {}
-        for name, val in self._ARG_RE.findall(raw_args):
-            args[_ARG_ALIASES.get(name, name)] = json.loads(val)
-        try:
-            sig_params = [
-                p
-                for p in inspect.signature(method).parameters
-                if p != "self"
-            ]
-            result = method(*[args[p] for p in sig_params])
-        except KeyError as e:
-            return {"errors": [{"message": f"missing argument {e.args[0]!r}"}]}
-        except (ValidationError, NotFoundError) as e:
-            return {"errors": [{"message": str(e)}]}
-        if selection:
-            wanted = selection.split()
-            if isinstance(result, dict):
-                result = {k: v for k, v in result.items() if k in wanted}
-            elif isinstance(result, list):
-                result = [
-                    {k: v for k, v in r.items() if k in wanted} for r in result
-                ]
-        return {"data": {field: result}}
 
 
 def _ws_accept_key(key: str) -> str:
@@ -155,7 +102,7 @@ def make_server(
     ``/v1/synced`` — the reference reads the same pair from its
     ``StatusHolder``.
     """
-    gql = _MinimalGraphQL(resolvers) if resolvers is not None else None
+    gql = GraphQLExecutor(resolvers) if resolvers is not None else None
     get_status = status or (lambda: (0, 0.0))
 
     class Handler(BaseHTTPRequestHandler):
@@ -215,7 +162,14 @@ def make_server(
                 doc = json.loads(self.rfile.read(length) or b"{}")
             except json.JSONDecodeError:
                 return self._json(400, {"msg": "Bad request body"})
-            self._json(200, gql.execute(doc.get("query", "")))
+            self._json(
+                200,
+                gql.execute(
+                    doc.get("query", ""),
+                    variables=doc.get("variables") or {},
+                    operation_name=doc.get("operationName"),
+                ),
+            )
 
         def _websocket(self) -> None:
             key = self.headers.get("Sec-WebSocket-Key", "")

@@ -202,3 +202,39 @@ def test_ws_subscription_protocol(srv):
     # close frame
     s.sendall(b"\x88\x80\x00\x00\x00\x00")
     s.close()
+
+
+def test_graphql_two_field_document_with_variables(srv):
+    """The reference playground shape: a named operation, two top-level
+    fields (one aliased), variables, and a fragment — executed verbatim
+    (round-4 executor; the round-3 one rejected multi-field documents)."""
+    doc = """
+    query Demo($n: String!, $lo: String! = "0", $hi: String!) {
+      pinned: blockByNumber(number: $n) { ...bits }
+      blocksByNumberRange(from: $lo, to: $hi) { number }
+    }
+    fragment bits on Block { hash number }
+    """
+    code, body = _post(
+        srv,
+        "/v1/graphql",
+        {"query": doc, "variables": {"n": "3", "hi": "2"}},
+    )
+    assert code == 200 and "errors" not in body
+    assert body["data"]["pinned"]["number"] == "3"
+    assert set(body["data"]["pinned"]) == {"hash", "number"}
+    assert [b["number"] for b in body["data"]["blocksByNumberRange"]] == [
+        "0", "1", "2",
+    ]
+
+
+def test_graphql_variables_and_operation_name_route(srv):
+    doc = """
+    query A { blockByNumber(number: "1") { number } }
+    query B { blockByNumber(number: "2") { number } }
+    """
+    code, body = _post(
+        srv, "/v1/graphql", {"query": doc, "operationName": "B"}
+    )
+    assert code == 200
+    assert body["data"]["blockByNumber"]["number"] == "2"
