@@ -669,11 +669,14 @@ def q35(spark, sf):
         ).alias("v"),
     )
     corpus = emb.unionByName(perturbed)
-    # 4 tables keep the per-pair miss probability ~2e-6 at the planted
-    # cosine (≈0.99995) — recall-safe for the hash gate at a third less
-    # candidate-generation work than the 6-table default
+    # 6 tables: the OR-construction must scale with the PAIR count, not
+    # the corpus — at sf1 the scaled dataset plants ~380k qualifying
+    # pairs, and 4 tables (miss ≈ 2e-5/pair at the low end of the
+    # planted cosine spread) dropped 8 of them in the sf1 gate replica.
+    # Six tables put the expected misses at << 1 through sf10 while the
+    # exact verification stage keeps precision at 1.0.
     return similarity.embedding_near_duplicates(
-        corpus, "id", "v", min_cosine=0.99, n_tables=4, dim=64
+        corpus, "id", "v", min_cosine=0.99, n_tables=6, dim=64
     )
 
 

@@ -159,3 +159,138 @@ def test_grand_loop_all_components(spark, tmp_path):
         sub.close()
     finally:
         broker.stop()
+
+
+def test_resp_depth_reorg_broker_restart_at_least_once(spark, tmp_path):
+    """Round-4 capstone extension: ingest → publish → consumer-loop
+    delivery on ALL THREE notification channels, with a depth-3 reorg
+    and a broker restart mid-stream. Delivery is at-least-once (the
+    reference publishes before logging — block.go:22-52 — so a crash
+    between the two re-sends on retry); downstream consumers dedup by
+    entity key, which this test performs and asserts exact."""
+    import json
+
+    from evm_indexer_spark.streaming.ingest import start_ingest_stream
+    from evm_indexer_spark.streaming.resp import (
+        RespBroker,
+        RespClient,
+        consume_loop,
+        make_resp_publisher,
+    )
+    from evm_indexer_spark.streaming.store import BlockStore
+
+    from .test_streaming import raw_block
+
+    broker = RespBroker().start()
+    host, port = broker.host, broker.port
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = BlockStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    publish = make_resp_publisher(host, port)
+
+    def drain(client, channels=("block", "transaction", "event")):
+        got = {c: [] for c in channels}
+        while True:
+            msg = client.get_message(timeout=1.5)
+            if msg is None:
+                return got
+            got[msg["channel"]].append(json.loads(msg["data"]))
+
+    try:
+        # ---- leg 1: blocks 0..4 delivered on all three channels
+        sub = RespClient(host, port)
+        sub.subscribe("block", "transaction", "event")
+        with open(landing / "a.json", "w") as f:
+            for n in range(5):
+                f.write(json.dumps(raw_block(n)) + "\n")
+        start_ingest_stream(
+            spark, str(landing), store, ckpt, publish=publish
+        ).awaitTermination(180)
+        got1 = drain(sub)
+        assert len(got1["block"]) == 5
+        assert len(got1["transaction"]) == 10  # 2 per block
+        assert len(got1["event"]) == 10  # 1 log per tx
+        sub.close()
+
+        # ---- broker restart mid-stream (same port; consumers reconnect
+        # the way the reference's redis clients do)
+        broker.stop()
+        broker = RespBroker(host=host, port=port).start()
+        sub2 = RespClient(host, port)
+        sub2.subscribe("block", "transaction", "event")
+
+        # ---- leg 2 after restart: new tip 5 plus a DEPTH-3 reorg of
+        # block 2 (tip - 3, inside the confirmation window)
+        with open(landing / "b.json", "w") as f:
+            f.write(json.dumps(raw_block(5)) + "\n")
+            f.write(json.dumps(raw_block(2, salt="R")) + "\n")
+        start_ingest_stream(
+            spark, str(landing), store, ckpt, publish=publish
+        ).awaitTermination(180)
+
+        # store state: still 6 numbers; number 2 now carries the reorged
+        # hash and the old block-2 rows cascaded away
+        assert store.blocks().count() == 6
+        new2 = raw_block(2, salt="R")["hash"].lower()  # store lowercases (S7)
+        old2 = raw_block(2)["hash"]
+        hashes = {r["hash"] for r in store.blocks().collect()}
+        assert new2 in hashes and old2 not in hashes
+        assert (
+            store.transactions().filter(f"blockhash = '{old2}'").count() == 0
+        )
+
+        # consumer-loop fan-out with wildcard patterns across the
+        # restarted broker: 2 fresh blocks (tip 5 + reorged 2), their
+        # 4 txs and 4 events
+        delivered: list[tuple[str, dict]] = []
+        n = consume_loop(
+            sub2,
+            {
+                "block": ["block"],
+                "transaction": ["transaction/*/*"],
+                "event": ["event/*/*/*/*/*"],
+            },
+            lambda pattern, channel, payload: delivered.append(
+                (channel, payload)
+            ),
+            max_messages=10,
+            poll_seconds=1.5,
+        )
+        by_ch = {c: [p for ch, p in delivered if ch == c]
+                 for c in ("block", "transaction", "event")}
+        assert len(by_ch["block"]) == 2
+        assert {b["hash"] for b in by_ch["block"]} == {
+            raw_block(5)["hash"].lower(), new2,
+        }
+        assert len(by_ch["transaction"]) == 4
+        assert len(by_ch["event"]) == 4
+
+        # ---- at-least-once: replay the publisher for the same fresh
+        # set (a retry after crashing between publish and log) and
+        # dedup downstream by entity key
+        fresh = store.blocks().select("number", "hash").filter(
+            f"number = 5 OR hash = '{new2}'"
+        )
+        publish(store, fresh)
+        dup = drain(sub2)
+        assert len(dup["block"]) == 2  # duplicates really were re-sent
+        all_blocks = by_ch["block"] + dup["block"]
+        assert len(all_blocks) == 4
+        # downstream dedup: unique (number, hash) back to exactly-once
+        assert len({(b["number"], b["hash"]) for b in all_blocks}) == 2
+        all_txs = by_ch["transaction"] + dup["transaction"]
+        assert len(all_txs) == 8
+        assert len({t["hash"] for t in all_txs}) == 4
+        all_events = by_ch["event"] + dup["event"]
+        assert len({(e["blockHash"], e["index"]) for e in all_events}) == 4
+
+        # the publish-once log itself never grew duplicates: one row per
+        # (number, hash), including both block-2 incarnations
+        pairs = [
+            (r["number"], r["hash"]) for r in store.published().collect()
+        ]
+        assert len(pairs) == len(set(pairs)) == 7  # 0..5 + reorged 2
+        sub2.close()
+    finally:
+        broker.stop()
