@@ -61,21 +61,76 @@ def release_cached(df: DataFrame) -> None:
         pass
 
 
+def _driver_union_find(rows, node_type) -> list[tuple]:
+    """Min-label components of a small edge list, driver-side."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return [(n, comp_min[find(n)]) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     nodes: DataFrame | None = None,
     max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable through the
     undirected edge set. *nodes* (single-column) adds isolated vertices
     (label = themselves); omitted, the vertex set is the edge endpoints.
 
     Returns (node, component) — component is the min id in the group.
-    Rounds needed ≈ log2(diameter) thanks to pointer jumping; raises if
-    the fixpoint isn't reached within *max_iter* rounds.
+
+    Cost-based execution, the same reasoning Spark applies choosing
+    broadcast vs shuffle joins: a ``limit(K+1)`` probe (LocalLimit
+    short-circuits the scan) checks whether the edge list fits the
+    driver; if so, one job collects it and union-find labels it locally
+    — the iterative path costs ~10 tiny Spark jobs of pure scheduling
+    floor on sparse pair sets, driver union-find costs one. Above the
+    threshold (web-scale dedup, where pair sets are unbounded) the
+    distributed hash-min + pointer-jumping loop runs: rounds ≈
+    log2(diameter); raises if the fixpoint isn't reached within
+    *max_iter* rounds.
     """
+    if nodes is None and driver_threshold > 0:
+        probe = (
+            edges.select(src, dst).limit(driver_threshold + 1).collect()
+        )
+        if len(probe) <= driver_threshold:
+            node_type = edges.schema[src].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("node", node_type),
+                    StructField("component", node_type),
+                ]
+            )
+            labeled = _driver_union_find(
+                [(r[0], r[1]) for r in probe], node_type
+            )
+            return edges.sparkSession.createDataFrame(labeled, schema)
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
@@ -158,18 +213,15 @@ def dedup_clusters(
 
     pairs = dedup.jaccard_prefix_join(
         doc, id_col, text_col, shingle_n=shingle_n, threshold=threshold
-    ).select("id_a", "id_b").persist()
-    try:
-        # the closure is materialized round by round (localCheckpoint +
-        # convergence actions), so once it returns, nothing downstream
-        # re-reads `pairs` — its vertex set IS the pair-endpoint set,
-        # which lets the singleton anti-join run against `cc` instead of
-        # the (now released) pair cache
-        cc = connected_components(pairs, "id_a", "id_b").select(
-            F.col("node").alias(id_col), F.col("component").alias("cluster_id")
-        )
-    finally:
-        pairs.unpersist()
+    ).select("id_a", "id_b")
+    # single consumer: the closure materializes eagerly (driver
+    # union-find below the threshold, localCheckpoint rounds above), and
+    # its vertex set IS the pair-endpoint set, so the singleton anti-join
+    # runs against `cc` — nothing downstream re-reads `pairs`, hence no
+    # persist (the round-3 retention leak site)
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
     singletons = doc.select(id_col).join(
         cc.select(id_col), id_col, "left_anti"
     ).select(id_col, F.col(id_col).alias("cluster_id"))

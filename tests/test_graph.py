@@ -37,8 +37,11 @@ def test_self_loop_and_duplicate_edges(spark):
 
 
 def test_max_iter_guard(spark):
+    # driver_threshold=0 forces the distributed loop, whose round bound
+    # is what the guard protects (the driver fast path never iterates)
     with pytest.raises(RuntimeError, match="converge"):
-        _cc(spark, [(i, i + 1) for i in range(8)], max_iter=1)
+        _cc(spark, [(i, i + 1) for i in range(8)], max_iter=1,
+            driver_threshold=0)
 
 
 def test_dedup_clusters_planted(spark):
@@ -71,3 +74,12 @@ def test_dedup_clusters_no_broadcast_hint_on_endpoints(spark):
     out = graph.dedup_clusters(df, "doc_id", "text", threshold=0.3)
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)]
+    fast = _cc(spark, edges)  # under threshold -> driver union-find
+    dist = _cc(spark, edges, driver_threshold=0)  # forced distributed
+    assert fast == dist == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+    }
