@@ -532,15 +532,9 @@ def q28(spark, sf):
 )
 def q29(spark, sf):
     doc = load_table(spark, sf, "documents")
-    return doc.select(
-        TX.lang_guess("text").alias("lang_pred"),
-        TX.token_count("text").alias("_tok"),
-        TX.char_count("text").alias("_chr"),
-    ).groupBy("lang_pred").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("_tok").alias("total_tokens"),
-        F.sum("_chr").alias("total_chars"),
-    )
+    # single-tokenization formulation: one explode pass + conditional
+    # sums instead of four per-profile regex scans (3x at sf1)
+    return TX.lang_token_stats(doc, "doc_id", "text")
 
 
 @register(
