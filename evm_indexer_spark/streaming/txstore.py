@@ -85,13 +85,88 @@ class AtomicBlockStore:
         except FileNotFoundError:
             return {"version": 0, "tables": {t: {} for t in _TABLES}}
 
+    def _archive_dir(self) -> str:
+        return os.path.join(self.root, "manifests")
+
+    def _archive_path(self, version: int) -> str:
+        return os.path.join(self._archive_dir(), f"v{version}.json")
+
     def _commit_manifest(self, manifest: dict) -> None:
+        # archive the snapshot FIRST (immutable history for time
+        # travel), then swap the pointer. A crash in between leaves an
+        # archive whose version exceeds the pointer — never served
+        # (read_at guards version <= current) and overwritten verbatim
+        # by the retried commit, which reuses the same next version.
+        os.makedirs(self._archive_dir(), exist_ok=True)
+        with open(self._archive_path(manifest["version"]), "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self._manifest_path())  # THE commit point
+
+    # -- time travel -------------------------------------------------------
+
+    def snapshots(self) -> list[int]:
+        """Committed snapshot versions available for time travel,
+        ascending (archived manifests at or below the current pointer;
+        history may start later than 1 after a retention vacuum)."""
+        current = self._manifest()["version"]
+        out = []
+        try:
+            for name in os.listdir(self._archive_dir()):
+                if name.startswith("v") and name.endswith(".json"):
+                    v = int(name[1:-5])
+                    if v <= current:
+                        out.append(v)
+        except FileNotFoundError:
+            pass
+        return sorted(out)
+
+    def _manifest_at(self, version: int) -> dict:
+        current = self._manifest()
+        if version == current["version"]:
+            return current
+        if version > current["version"]:
+            raise ValueError(f"snapshot {version} was never committed")
+        try:
+            with open(self._archive_path(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {version} is not retained (vacuumed or never "
+                "committed)"
+            ) from None
+
+    def read_at(self, table: str, version: int) -> DataFrame:
+        """The table exactly as it was at snapshot *version* — reorgs
+        and all. Objects are immutable, so this is just resolving paths
+        from the archived manifest (the Iceberg/Delta time-travel
+        mechanism, reduced to its core)."""
+        schema = T.StructType(
+            list(_SCHEMAS[table].fields) + [T.StructField("bucket", T.LongType())]
+        )
+        m = self._manifest_at(version)
+        paths = [
+            self._obj_dir(table, int(b), int(v))
+            for b, v in m["tables"].get(table, {}).items()
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def blocks_at(self, version: int) -> DataFrame:
+        return self.read_at("blocks", version).drop("bucket")
+
+    def transactions_at(self, version: int) -> DataFrame:
+        return self.read_at("transactions", version).drop("bucket")
+
+    def events_at(self, version: int) -> DataFrame:
+        return self.read_at("events", version).drop("bucket")
 
     def _obj_dir(self, table: str, bucket: int, version: int) -> str:
         return os.path.join(self.root, "objects", table, f"b{bucket}", f"c{version}")
@@ -243,10 +318,14 @@ class AtomicBlockStore:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, min_age_seconds: float = 3600.0) -> int:
-        """Delete object dirs not referenced by the current manifest
-        (uncommitted writes, superseded versions) and older than
-        *min_age_seconds*. Returns dirs removed.
+    def vacuum(
+        self, min_age_seconds: float = 3600.0, retain_snapshots: int = 2
+    ) -> int:
+        """Delete object dirs referenced by neither the current manifest
+        nor the *retain_snapshots* most recent archived snapshots, and
+        older than *min_age_seconds*. Returns dirs removed. Archived
+        manifests falling out of retention are dropped too, so
+        ``snapshots()`` reflects what ``read_at`` can actually serve.
 
         The grace period is load-bearing when vacuum runs concurrently
         with a writer: an in-flight ``upsert_batch`` has already written
@@ -259,12 +338,21 @@ class AtomicBlockStore:
         import shutil
         import time
 
-        m = self._manifest()
-        live = {
-            self._obj_dir(t, int(b), int(v))
-            for t, buckets in m["tables"].items()
-            for b, v in buckets.items()
-        }
+        retained = self.snapshots()[-max(retain_snapshots, 0):] if retain_snapshots else []
+        live = set()
+        for m in [self._manifest()] + [self._manifest_at(v) for v in retained]:
+            live |= {
+                self._obj_dir(t, int(b), int(v))
+                for t, buckets in m["tables"].items()
+                for b, v in buckets.items()
+            }
+        # drop out-of-retention archives (their objects may go below)
+        for v in self.snapshots():
+            if v not in retained:
+                try:
+                    os.remove(self._archive_path(v))
+                except OSError:
+                    pass
         removed = 0
         cutoff = time.time() - min_age_seconds
         objroot = os.path.join(self.root, "objects")

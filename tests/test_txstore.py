@@ -147,3 +147,54 @@ def test_hash_index_works_over_atomic_store(spark, tmp_path):
     target = raw_block(far)["hash"]
     assert idx.bucket_of_hash(target) == 4
     assert idx.lookup_block(target).collect()[0]["number"] == far
+
+
+def test_time_travel_across_reorg(spark, tmp_path):
+    """Snapshot reads serve the table exactly as of an earlier commit —
+    including the pre-reorg block — from immutable objects + archived
+    manifests (the Iceberg/Delta mechanism)."""
+    store = AtomicBlockStore(spark, str(tmp_path / "s"))
+    process_raw_batch(store, make_raw(spark, [raw_block(0), raw_block(1)]))
+    process_raw_batch(store, make_raw(spark, [raw_block(2)]))
+    process_raw_batch(store, make_raw(spark, [raw_block(1, salt="R")]))
+
+    assert store.snapshots() == [1, 2, 3]
+    old1 = raw_block(1)["hash"].lower()
+    new1 = raw_block(1, salt="R")["hash"].lower()
+
+    # current: reorged hash; snapshot 2: the original
+    assert {r["hash"] for r in store.blocks().collect()} >= {new1}
+    assert old1 not in {r["hash"] for r in store.blocks().collect()}
+    snap2 = {r["hash"] for r in store.blocks_at(2).collect()}
+    assert old1 in snap2 and new1 not in snap2
+    assert store.blocks_at(1).count() == 2
+    assert store.blocks_at(3).count() == store.blocks().count()
+    # children travel together with their parents
+    assert store.transactions_at(2).filter(
+        F.col("blockhash") == old1
+    ).count() == 2
+
+    with pytest.raises(ValueError, match="never committed"):
+        store.read_at("blocks", 9)
+
+
+def test_vacuum_respects_snapshot_retention(spark, tmp_path):
+    store = AtomicBlockStore(spark, str(tmp_path / "s"))
+    for n in range(4):
+        process_raw_batch(store, make_raw(spark, [raw_block(n)]))
+    assert store.snapshots() == [1, 2, 3, 4]
+
+    # retain the last 2: snapshots 1-2 fall out of history, their
+    # superseded objects get reclaimed, and retained reads still work
+    removed = store.vacuum(min_age_seconds=0, retain_snapshots=2)
+    assert removed >= 0
+    assert store.snapshots() == [3, 4]
+    assert store.blocks_at(3).count() == 3
+    assert store.blocks().count() == 4
+    with pytest.raises(ValueError, match="not retained"):
+        store.read_at("blocks", 1)
+
+    # retain nothing but current: history gone, current intact
+    store.vacuum(min_age_seconds=0, retain_snapshots=0)
+    assert store.snapshots() == []
+    assert store.blocks().count() == 4
