@@ -216,3 +216,34 @@ def test_block_string_and_comments():
 def test_empty_selection_set_rejected():
     with pytest.raises(GraphQLExecutionError):
         parse_document("{ f { } }")
+
+
+def test_parser_total_on_arbitrary_input():
+    """The transport parser must be total: any input either parses or
+    raises GraphQLExecutionError — never an unhandled exception (a
+    public endpoint sees arbitrary bytes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200))
+    def run(src):
+        try:
+            parse_document(src)
+        except GraphQLExecutionError:
+            pass
+
+    run()
+
+
+def test_executor_total_on_arbitrary_documents(ex):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=120))
+    def run(src):
+        out = ex.execute(src)
+        assert isinstance(out, dict) and ("data" in out or "errors" in out)
+
+    run()
