@@ -364,6 +364,11 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.blk", "bb.bv")
+    # NOT hinted: forcing SHUFFLE_HASH here (to share one signature
+    # stage via ReusedExchange) measured WORSE at both sf0.1 (2.9 vs
+    # 2.7s) and sf1 (12.0 vs 9.0s warm) — recomputing the cheap
+    # signature aggregate into a broadcast beats shuffling both
+    # exploded sides; AQE's cost model already picks right per scale
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
