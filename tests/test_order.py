@@ -56,3 +56,41 @@ def test_percentile_sketch_check_all_ok(spark):
     assert len(rows) == 3
     for r in rows:
         assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"]
+
+
+def test_string_keys_take_generic_boundary_path(spark):
+    """Non-numeric leading keys use the sampled lexicographic-boundary
+    path (width_bucket only handles numerics) — same contract."""
+    df = spark.range(0, 3000).select(
+        F.format_string("k%07d", (F.col("id") * 2654435761) % 3000).alias("k")
+    ).distinct()
+    n = df.count()
+    got = order.global_row_number(df, ["k"], num_partitions=8).toPandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert list(got["row_id"]) == list(range(1, n + 1))
+
+
+def test_multi_column_mixed_type_keys(spark):
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        F.col("id").alias("sub"),
+    )
+    got = order.global_row_number(df, ["g", "sub"], num_partitions=8).toPandas()
+    got = got.sort_values(["g", "sub"]).reset_index(drop=True)
+    assert list(got["row_id"]) == list(range(1, 2001))
+
+
+def test_hypothesis_random_long_keys(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(-2**40, 2**40), min_size=1, max_size=200, unique=True))
+    def run(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        rows = order.global_row_number(df, ["k"], num_partitions=4).collect()
+        by_k = {r["k"]: r["row_id"] for r in rows}
+        for rank, k in enumerate(sorted(keys), start=1):
+            assert by_k[k] == rank
+
+    run()
