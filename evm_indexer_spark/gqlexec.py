@@ -517,6 +517,14 @@ class GraphQLExecutor:
             except (ValidationError, NotFoundError, GraphQLExecutionError) as e:
                 errors.append({"message": str(e), "path": [key]})
                 data[key] = None
+            except Exception:
+                # gqlgen recovers resolver panics into a generic envelope
+                # entry rather than a 500 (graph/generated panic handler);
+                # mirror that for unexpected resolver/Spark failures.
+                errors.append(
+                    {"message": "internal system error", "path": [key]}
+                )
+                data[key] = None
         envelope: dict[str, Any] = {"data": data}
         if errors:
             envelope["errors"] = errors
@@ -553,9 +561,16 @@ class GraphQLExecutor:
         return coerced
 
     def _resolve_root(self, sel, variables):
-        method = getattr(
-            self.resolvers, _camel_to_snake(sel["name"]), None
-        )
+        # Schema field names are wired through graphql.FIELD_MAP — the
+        # authoritative camelCase→resolver mapping (parity checklist vs
+        # schema.graphqls). _camel_to_snake alone mis-splits runs like
+        # lastXEventsFromContract → last_xevents_from_contract.
+        from .graphql import FIELD_MAP
+
+        resolver_name = FIELD_MAP.get(sel["name"])
+        if resolver_name is None:
+            resolver_name = _camel_to_snake(sel["name"])
+        method = getattr(self.resolvers, resolver_name, None)
         if method is None or sel["name"].startswith("_"):
             raise GraphQLExecutionError(f"unknown field {sel['name']!r}")
         import inspect

@@ -112,10 +112,16 @@ def connected_components(
     log2(diameter); raises if the fixpoint isn't reached within
     *max_iter* rounds.
     """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e_cached = None
     if nodes is None and driver_threshold > 0:
-        probe = (
-            edges.select(src, dst).limit(driver_threshold + 1).collect()
-        )
+        # The probe and the distributed path both consume the upstream
+        # pair pipeline — often the dominant cost (LSH/Jaccard joins).
+        # Cache the slim 2-column projection first so partitions the
+        # probe materializes are reused instead of recomputed when the
+        # edge list exceeds the threshold (the exact web-scale case).
+        e_cached = e.persist()
+        probe = e_cached.limit(driver_threshold + 1).collect()
         if len(probe) <= driver_threshold:
             node_type = edges.schema[src].dataType
             from pyspark.sql.types import StructField, StructType
@@ -129,9 +135,9 @@ def connected_components(
             labeled = _driver_union_find(
                 [(r[0], r[1]) for r in probe], node_type
             )
+            e_cached.unpersist()
             return edges.sparkSession.createDataFrame(labeled, schema)
 
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).distinct()
@@ -182,6 +188,8 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+        if e_cached is not None:
+            e_cached.unpersist()
 
 
 def dedup_clusters(

@@ -66,7 +66,12 @@ def _sample_boundaries(
     else:
         frac = min(1.0, (target * 1.5) / n_rows)
         rows = keyed.sample(withReplacement=False, fraction=frac, seed=42).collect()
-    tuples = sorted(set(tuple(r) for r in rows))
+    # rows containing nulls can't be compared for boundary ranking (and
+    # _lex_gt already routes them to bucket 0, nulls-first); drop them
+    # from the boundary pool — this only affects balance, not ids
+    tuples = sorted(
+        set(t for t in (tuple(r) for r in rows) if None not in t)
+    )
     if len(tuples) < 2:
         return []
     step = len(tuples) / n_part
@@ -118,15 +123,25 @@ def global_row_number(
         if n_rows == 0:
             return df.withColumn(id_col, F.lit(start).cast("long")).limit(0)
         if lo is not None and hi is not None and lo < hi:
+            # (a NaN min/max fails the lo < hi check, so frames holding
+            # NaN keys fall through to the generic sampled path, whose
+            # `>` predicates follow Spark's NaN-sorts-last semantics)
             n_buckets = n_part * 4  # finer grain absorbs mild skew
             bucketed = df.withColumn(
                 _BUCKET,
-                F.width_bucket(
-                    F.col(cols[0]).cast("double"),
-                    F.lit(float(lo)),
-                    F.lit(float(hi)),
-                    F.lit(n_buckets),
-                ).cast("int"),
+                # null keys -> bucket 0, matching the nulls-first order
+                # of the within-partition asc sort; width_bucket would
+                # return NULL and break the int-keyed offset table
+                F.when(F.col(cols[0]).isNull(), F.lit(0))
+                .otherwise(
+                    F.width_bucket(
+                        F.col(cols[0]).cast("double"),
+                        F.lit(float(lo)),
+                        F.lit(float(hi)),
+                        F.lit(n_buckets),
+                    )
+                )
+                .cast("int"),
             )
     else:
         n_rows = df.count()

@@ -162,13 +162,18 @@ def make_server(
                 doc = json.loads(self.rfile.read(length) or b"{}")
             except json.JSONDecodeError:
                 return self._json(400, {"msg": "Bad request body"})
+            query = doc.get("query", "") if isinstance(doc, dict) else None
+            variables = doc.get("variables") or {} if isinstance(doc, dict) else None
+            op_name = doc.get("operationName") if isinstance(doc, dict) else None
+            if (
+                not isinstance(query, str)
+                or not isinstance(variables, dict)
+                or not (op_name is None or isinstance(op_name, str))
+            ):
+                return self._json(400, {"msg": "Bad request body"})
             self._json(
                 200,
-                gql.execute(
-                    doc.get("query", ""),
-                    variables=doc.get("variables") or {},
-                    operation_name=doc.get("operationName"),
-                ),
+                gql.execute(query, variables=variables, operation_name=op_name),
             )
 
         def _websocket(self) -> None:

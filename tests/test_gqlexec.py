@@ -247,3 +247,73 @@ def test_executor_total_on_arbitrary_documents(ex):
         assert isinstance(out, dict) and ("data" in out or "errors" in out)
 
     run()
+
+
+def test_every_field_map_key_resolves_end_to_end():
+    """Every schema field in graphql.FIELD_MAP must route to its resolver
+    through the executor — including names _camel_to_snake mis-splits
+    (lastXEventsFromContract). Stub resolvers are generated with the REAL
+    resolver signatures so argument wiring is exercised too."""
+    import inspect
+
+    from evm_indexer_spark import graphql as g
+
+    reverse_alias = {"frm": "from", "fa": "fromAccount", "ta": "toAccount"}
+
+    class AllFields:
+        def __init__(self):
+            self.calls = []
+
+    for field, method in g.FIELD_MAP.items():
+        real = getattr(g.GraphQLResolvers, method)
+        params = [
+            p for p in inspect.signature(real).parameters if p != "self"
+        ]
+        is_count = "count" in method
+        body = "self.calls.append(%r); return %s" % (
+            method, "7" if is_count else "{'hash': '0x1'}"
+        )
+        src = "def f(self%s): %s" % (
+            "".join(", " + p for p in params), body
+        )
+        ns: dict = {}
+        exec(src, ns)  # noqa: S102 — test-only stub generation
+        setattr(AllFields, method, ns["f"])
+
+    stub = AllFields()
+    ex = GraphQLExecutor(stub)
+    for field, method in g.FIELD_MAP.items():
+        real = getattr(g.GraphQLResolvers, method)
+        params = [
+            p for p in inspect.signature(real).parameters if p != "self"
+        ]
+        args = []
+        for p in params:
+            name = reverse_alias.get(p, p)
+            val = '["0x0"]' if p == "topics" else '"1"'
+            args.append(f"{name}: {val}")
+        arg_src = "(" + ", ".join(args) + ")" if args else ""
+        sel = "" if "count" in method else " { hash }"
+        out = ex.execute("{ %s%s%s }" % (field, arg_src, sel))
+        assert "errors" not in out, (field, out)
+        expected = 7 if "count" in method else {"hash": "0x1"}
+        assert out["data"][field] == expected, field
+        assert stub.calls[-1] == method
+
+
+def test_unexpected_resolver_exception_becomes_internal_error():
+    """gqlgen recovers resolver panics into a generic envelope entry;
+    arbitrary Python exceptions (Py4J analysis errors, model bugs) must
+    do the same instead of escaping to the HTTP layer."""
+
+    class Boom:
+        def block_by_number(self, number):
+            raise RuntimeError("py4j exploded")
+
+    out = GraphQLExecutor(Boom()).execute(
+        '{ blockByNumber(number: "1") { hash } }'
+    )
+    assert out["data"]["blockByNumber"] is None
+    assert out["errors"] == [
+        {"message": "internal system error", "path": ["blockByNumber"]}
+    ]

@@ -94,3 +94,40 @@ def test_hypothesis_random_long_keys(spark):
             assert by_k[k] == rank
 
     run()
+
+
+def test_null_keys_numeric_fast_path(spark):
+    """NULL leading keys must land in bucket 0 (nulls-first asc order),
+    not crash the offset table (width_bucket returns NULL on NULL)."""
+    df = spark.range(0, 200).select(
+        F.when(F.col("id") < 5, None).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    got = order.global_row_number(df, ["k"], num_partitions=8)
+    rows = got.collect()
+    assert sorted(r["row_id"] for r in rows) == list(range(1, 201))
+    # nulls-first: the 5 null keys take ids 1..5 (any order among
+    # themselves — null ties are arbitrary), non-nulls follow key order
+    null_ids = sorted(r["row_id"] for r in rows if r["k"] is None)
+    assert null_ids == [1, 2, 3, 4, 5]
+    nonnull = sorted(
+        (r["k"], r["row_id"]) for r in rows if r["k"] is not None
+    )
+    ids = [rid for _, rid in nonnull]
+    assert ids == list(range(6, 201))
+
+
+def test_null_keys_generic_string_path(spark):
+    df = spark.range(0, 120).select(
+        F.when(F.col("id") < 3, None)
+        .otherwise(F.format_string("k%05d", F.col("id")))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    got = order.global_row_number(df, ["k"], num_partitions=6)
+    rows = got.collect()
+    assert sorted(r["row_id"] for r in rows) == list(range(1, 121))
+    null_ids = sorted(r["row_id"] for r in rows if r["k"] is None)
+    assert null_ids == [1, 2, 3]
+    nonnull = sorted((r["k"], r["row_id"]) for r in rows if r["k"] is not None)
+    assert [rid for _, rid in nonnull] == list(range(4, 121))

@@ -238,3 +238,18 @@ def test_graphql_variables_and_operation_name_route(srv):
     )
     assert code == 200
     assert body["data"]["blockByNumber"]["number"] == "2"
+
+
+def test_graphql_non_string_query_is_400(srv):
+    for bad in [{"query": {"a": 1}}, {"query": 7}, {"query": ["x"]}, [1, 2]]:
+        code, body = _post(srv, "/v1/graphql", bad)
+        assert code == 400, bad
+        assert body == {"msg": "Bad request body"}
+
+
+def test_graphql_non_dict_variables_is_400(srv):
+    code, body = _post(
+        srv, "/v1/graphql", {"query": "{ __typename }", "variables": [1]}
+    )
+    assert code == 400
+    assert body == {"msg": "Bad request body"}
