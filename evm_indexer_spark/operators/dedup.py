@@ -258,8 +258,32 @@ def minhash_near_duplicates(
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sig) 64-bit SimHash per document.
+def _token_hash(col: Column, token_hash: str) -> Column:
+    """Per-token 64-bit-ish hash column.
+
+    ``xxhash64`` — JVM-native, fastest, but private to Spark.
+    ``md5_60`` — first 15 hex chars of md5 as a 60-bit bigint
+    (``conv(substr(md5(t),1,15),16,10)``): reproducible in any engine
+    with md5 (DuckDB: ``('0x' || substr(md5(t),1,15))::BIGINT``), which
+    makes signature-valued outputs independently checkable by an
+    external oracle. Costs one md5 per token instead of one xxhash64;
+    use for auditability, not for the hot path.
+    """
+    if token_hash == "xxhash64":
+        return F.xxhash64(col)
+    if token_hash == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown token_hash {token_hash!r}")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_hash: str = "xxhash64",
+    n_bits: int = 64,
+) -> DataFrame:
+    """(id, sig) *n_bits*-bit SimHash per document.
 
     Scale shape: explode tokens → xxhash64 once per token → per-bit
     popcount votes → fold into the signature. The bit-i vote sum is
@@ -284,17 +308,20 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # signature over the first 2M tokens is strictly better than a
     # corrupted one (and such documents should be pre-chunked upstream
     # anyway)
+    if not (0 < n_bits <= 64):
+        raise ValueError("n_bits must be in 1..64")
+    n_groups = (n_bits + 2) // 3
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.slice(_norm_tokens(F.col(text_col)), 1, (1 << 21) - 1)
         ).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
-    # lane group g packs counters for bits 3g..3g+2 (group 21: bit 63)
+    ).withColumn("h", _token_hash(F.col("t"), token_hash))
+    # lane group g packs counters for bits 3g..3g+2
     packed = []
-    for g in range(22):
+    for g in range(n_groups):
         lanes = None
-        for j, bit in enumerate(range(3 * g, min(3 * g + 3, 64))):
+        for j, bit in enumerate(range(3 * g, min(3 * g + 3, n_bits))):
             e = F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1))
             if j:
                 e = F.shiftleft(e, 21 * j)
@@ -302,7 +329,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         packed.append(F.sum(lanes).alias(f"p{g}"))
     agg = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed)
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         g, lane = divmod(i, 3)
         ones = F.shiftrightunsigned(F.col(f"p{g}"), 21 * lane).bitwiseAND(
             F.lit(0x1FFFFF)
@@ -326,6 +353,8 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     n_blocks: int = 4,
+    token_hash: str = "xxhash64",
+    n_bits: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs via multi-block bucketing.
 
@@ -337,16 +366,24 @@ def simhash_near_duplicates(
     (id, sig, blk, value) rows on a uniform key — candidate blow-up is
     confined to within-bucket groups, same shape as the MinHash band
     join.
+
+    Parameter economics: wider blocks (small *n_blocks*) keep buckets
+    selective — the scale configuration. ``max_hamming < n_blocks``
+    makes recall exact by pigeonhole but shrinks block width, growing
+    bucket occupancy toward n²; affordable only on corpora small enough
+    to verify densely (the driver's correctness gate runs that way, via
+    ``token_hash='md5_60'`` so an external engine can recompute the
+    signatures).
     """
-    assert 64 % n_blocks == 0
-    width = 64 // n_blocks
+    assert n_bits % n_blocks == 0
+    width = n_bits // n_blocks
     mask = (1 << width) - 1
     # the bucketed signatures self-join on identical subtrees: the
     # signature aggregation materializes once as a shuffle stage and the
     # second side reads it back as a ReusedExchange — no persist (a
     # lazily-leaked cache was the round-3 retention hazard), no pinned
     # executor storage
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, token_hash, n_bits)
     bucketed = sigs.select(
         "id",
         "sig",

@@ -127,6 +127,7 @@ def lsh_cosine_topk(
     max_probe_hamming: int = 1,
     n_tables: int = 4,
     seed: int = 42,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Approximate cosine top-k: a row is a candidate when, in ANY of
     *n_tables* independent hyperplane tables, its sign bucket is within
@@ -171,7 +172,10 @@ def lsh_cosine_topk(
             ok |= ham <= max_probe_hamming
         return pd.Series(ok)
 
-    return cosine_topk(df.filter(probe_match(F.col(vec_col))), id_col, vec_col, query, k)
+    return cosine_topk(
+        df.filter(probe_match(F.col(vec_col))), id_col, vec_col, query, k,
+        round_digits=round_digits,
+    )
 
 
 def pair_cosine_batch():
@@ -334,6 +338,7 @@ def ivf_cosine_topk(
     query: list[float],
     k: int = 10,
     nprobe: int = 4,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Search only the *nprobe* closest cells, exact cosine inside them.
 
@@ -343,7 +348,7 @@ def ivf_cosine_topk(
     """
     probe = ivf_probe_lists(query, centroids, nprobe)
     cell = assigned.filter(F.col("list_id").isin(probe))
-    return cosine_topk(cell, "id", "v", query, k)
+    return cosine_topk(cell, "id", "v", query, k, round_digits=round_digits)
 
 
 def ivf_topk(
@@ -355,11 +360,12 @@ def ivf_topk(
     n_lists: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Build-and-search convenience for the query catalog; real
     deployments build once (``ivf_build``) and search many times."""
     assigned, centroids = ivf_build(df, id_col, vec_col, n_lists, seed)
-    return ivf_cosine_topk(assigned, centroids, query, k, nprobe)
+    return ivf_cosine_topk(assigned, centroids, query, k, nprobe, round_digits)
 
 
 def ivf_write(
