@@ -26,6 +26,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -154,3 +156,210 @@ def interval_join(
         .filter((F.col(start_col) <= F.col(point_ts)) & upper)
         .drop("__bin")
     )
+
+
+def interval_aggregate(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    id_cols: Sequence[str],
+    value_col: str | None = None,
+    sum_scale: int = 1_000_000,
+    end_inclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """COUNT(+SUM) of the points inside every interval — the algebraic
+    fast path of ``interval_join`` + groupBy, via distributed prefix
+    sums: O(|points| + |intervals|) instead of O(matching pairs).
+
+    agg([s, e)) = P(e⁻) − P(s⁻) where P(t) is the running prefix
+    (count, sum) of all points strictly before t. Every interval
+    contributes two boundary probe rows (sign −1 at start, +1 at end);
+    points and probes merge into one totally-ordered stream, the prefix
+    is computed with the same literal-bucket two-phase range partition
+    ``operators.order`` uses (sampled once, deterministic under
+    recomputation, nothing persisted), and a final tiny groupBy over
+    2·|intervals| probe rows emits one row per interval.
+
+    Scale shape: one count/min/max agg job, one small per-bucket totals
+    job, then a single range shuffle of slim (ts, tag, cnt, sval) rows
+    — no pair blow-up. A 1-hour window over a 1M-events/hour stream
+    costs the pair join ~1M pair-visits per interval; this path costs 2
+    probe rows per interval regardless of density.
+
+    Exactness: sums run in ``value*sum_scale`` int64 (associative,
+    order-independent — float running sums drift by ~n·eps·Σ|x|, which
+    breaks hash-stable comparisons). The caller picks *sum_scale* so
+    scaled values stay integral and partition totals fit int64; values
+    with more precision than the scale are rounded into it.
+
+    Output: *id_cols* + ``n_points`` (long) + ``total_<value_col>``
+    (double, unrounded) when *value_col* is given. Intervals with no
+    points are INCLUDED with n_points = 0 (filter afterwards for
+    inner-join semantics). Rows with NULL timestamps/bounds are
+    dropped, matching SQL range-predicate semantics.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = points.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+
+    ts_d = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    sval = (
+        F.round(F.col(value_col) * sum_scale).cast("long")
+        if value_col
+        else F.lit(0).cast("long")
+    )
+    id_types = {c: intervals.schema[c].dataType for c in id_cols}
+    ev = points.filter(F.col(point_ts).isNotNull()).select(
+        ts_d.alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(1).cast("long").alias("__cnt"),
+        sval.alias("__sv"),
+        F.lit(0).alias("__sign"),
+        *[F.lit(None).cast(id_types[c]).alias(c) for c in id_cols],
+    )
+    iv = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
+    # start probes read P(<s) (tag 0 sorts before same-ts points: points
+    # at ts == s belong to the window, so they must NOT be in the start
+    # prefix); end probes read P(<e), or P(<=e) when end_inclusive
+    # (tag 2 sorts after same-ts points)
+    end_tag = 2 if end_inclusive else 0
+    probes = iv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.unix_micros(F.col(start_col).cast("timestamp")).alias(
+                        "__ts"
+                    ),
+                    F.lit(0).alias("__tag"),
+                    F.lit(-1).alias("__sign"),
+                ),
+                F.struct(
+                    F.unix_micros(F.col(end_col).cast("timestamp")).alias(
+                        "__ts"
+                    ),
+                    F.lit(end_tag).alias("__tag"),
+                    F.lit(1).alias("__sign"),
+                ),
+            )
+        ).alias("__b"),
+        *[F.col(c) for c in id_cols],
+    ).select(
+        F.col("__b.__ts").alias("__ts"),
+        F.col("__b.__tag").alias("__tag"),
+        F.lit(0).cast("long").alias("__cnt"),
+        F.lit(0).cast("long").alias("__sv"),
+        F.col("__b.__sign").alias("__sign"),
+        *id_cols,
+    )
+    u = ev.unionByName(probes)
+
+    # literal-driven equal-width time buckets (order.py's numeric fast
+    # path): one agg job for the range, an O(1) bucket expression, and
+    # deterministic assignment under any recomputation
+    n_rows, lo, hi = u.agg(
+        F.count(F.lit(1)), F.min("__ts"), F.max("__ts")
+    ).collect()[0]
+    out_schema = StructType(
+        [StructField(c, id_types[c]) for c in id_cols]
+        + [
+            StructField("__sign", u.schema["__sign"].dataType),
+            StructField("__pc", LongType()),
+            StructField("__ps", LongType()),
+        ]
+    )
+    if n_rows == 0:
+        empty = spark.createDataFrame([], out_schema)
+        return _finish_interval_agg(empty, id_cols, value_col, sum_scale)
+    n_buckets = n_part * 4
+    if lo is not None and hi is not None and lo < hi:
+        bucket = (
+            F.width_bucket(
+                F.col("__ts").cast("double"),
+                F.lit(float(lo)),
+                F.lit(float(hi)),
+                F.lit(n_buckets),
+            )
+            .cast("int")
+            .alias("__bk")
+        )
+    else:
+        bucket = F.lit(1).alias("__bk")
+    b = u.select("*", bucket)
+
+    totals = {
+        r[0]: (r[1], r[2])
+        for r in b.groupBy("__bk")
+        .agg(F.sum("__cnt"), F.sum("__sv"))
+        .collect()
+    }
+    offsets: dict[int, tuple[int, int]] = {}
+    acc_c, acc_s = 0, 0
+    for k in sorted(totals):
+        offsets[k] = (acc_c, acc_s)
+        acc_c += int(totals[k][0])
+        acc_s += int(totals[k][1])
+    b_off = spark.sparkContext.broadcast(offsets)
+    out_names = [f.name for f in out_schema.fields]
+
+    def scan(it):
+        import numpy as np
+
+        offs = b_off.value
+        cur_bk = None
+        run_c = run_s = 0
+        for batch in it:
+            if not len(batch):
+                continue
+            bks = batch["__bk"].to_numpy()
+            cnt = batch["__cnt"].to_numpy(dtype="int64")
+            sv = batch["__sv"].to_numpy(dtype="int64")
+            pc = np.empty(len(batch), dtype="int64")
+            ps = np.empty(len(batch), dtype="int64")
+            i = 0
+            while i < len(batch):
+                bk = bks[i]
+                j = int(np.searchsorted(bks, bk, side="right"))
+                if bk != cur_bk:
+                    cur_bk = bk
+                    run_c, run_s = offs.get(int(bk), (0, 0))
+                pc[i:j] = run_c + np.cumsum(cnt[i:j])
+                ps[i:j] = run_s + np.cumsum(sv[i:j])
+                run_c, run_s = int(pc[j - 1]), int(ps[j - 1])
+                i = j
+            mask = batch["__sign"].to_numpy() != 0
+            if not mask.any():
+                continue
+            out = batch.loc[mask, [*id_cols, "__sign"]].copy()
+            out["__pc"] = pc[mask]
+            out["__ps"] = ps[mask]
+            yield out[out_names]
+
+    ranged = b.repartitionByRange(
+        max(1, n_part), "__bk"
+    ).sortWithinPartitions("__bk", "__ts", "__tag")
+    scanned = ranged.mapInPandas(scan, schema=out_schema)
+    return _finish_interval_agg(scanned, id_cols, value_col, sum_scale)
+
+
+def _finish_interval_agg(
+    scanned: DataFrame,
+    id_cols: Sequence[str],
+    value_col: str | None,
+    sum_scale: int,
+) -> DataFrame:
+    aggs = [F.sum(F.col("__sign") * F.col("__pc")).alias("n_points")]
+    if value_col:
+        aggs.append(
+            (
+                F.sum(F.col("__sign") * F.col("__ps"))
+                / F.lit(float(sum_scale))
+            ).alias(f"total_{value_col}")
+        )
+    return scanned.groupBy(*id_cols).agg(*aggs)

@@ -171,3 +171,80 @@ def test_asof_null_payload_column_attached_whole(spark):
     ).collect()[0]
     # matched row is (qts=20, px=NULL, src='b'); px must NOT leak 100.0
     assert row["src"] == "b" and row["px"] is None
+
+
+def test_interval_aggregate_vs_theta(spark):
+    """Prefix-sum interval aggregation must equal theta-join + groupBy:
+    overlapping/nested/empty windows, points exactly on both edges."""
+    pts = spark.createDataFrame(
+        [
+            (i, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=37 * i),
+             round(0.01 * i, 2))
+            for i in range(400)
+        ],
+        "pid long, pts timestamp, v double",
+    )
+    iv = spark.createDataFrame(
+        [
+            (0, _ts("2024-01-01 00:01:00"), _ts("2024-01-01 00:02:00")),
+            (1, _ts("2024-01-01 00:00:30"), _ts("2024-01-01 01:10:00")),
+            (2, _ts("2024-01-01 00:59:23"), _ts("2024-01-01 00:59:23")),  # empty
+            (3, _ts("2024-01-01 01:00:00"), _ts("2024-01-01 01:30:00")),
+            # exact-edge window: start and end both on point timestamps
+            (4, _ts("2024-01-01 00:00:37"), _ts("2024-01-01 00:01:51")),
+            (5, _ts("2030-01-01 00:00:00"), _ts("2030-01-01 01:00:00")),  # no pts
+        ],
+        "wid long, ws timestamp, we timestamp",
+    )
+    for inclusive in (False, True):
+        upper = (
+            F.col("pts") <= F.col("we") if inclusive else F.col("pts") < F.col("we")
+        )
+        naive = (
+            pts.join(iv, (F.col("ws") <= F.col("pts")) & upper)
+            .groupBy("wid")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 4).alias("tv"))
+        )
+        got = temporal.interval_aggregate(
+            pts, iv, "pts", "ws", "we", id_cols=["wid"], value_col="v",
+            end_inclusive=inclusive,
+        )
+        gmap = {
+            r["wid"]: (r["n_points"], round(r["total_v"], 4) if r["total_v"] is not None else None)
+            for r in got.collect()
+        }
+        nmap = {r["wid"]: (r["n"], r["tv"]) for r in naive.collect()}
+        # every interval appears; empties carry zero
+        assert set(gmap) == {0, 1, 2, 3, 4, 5}
+        for wid, (n, tv) in nmap.items():
+            assert gmap[wid] == (n, tv), (inclusive, wid, gmap[wid], (n, tv))
+        for wid in set(gmap) - set(nmap):
+            assert gmap[wid][0] == 0
+
+
+def test_interval_aggregate_count_only_and_empty(spark):
+    pts = spark.createDataFrame([], "pid long, pts timestamp")
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"))],
+        "wid long, ws timestamp, we timestamp",
+    )
+    out = temporal.interval_aggregate(pts, iv, "pts", "ws", "we", id_cols=["wid"])
+    rows = out.collect()
+    assert [(r["wid"], r["n_points"]) for r in rows] == [(1, 0)]
+    assert "total_" not in " ".join(out.columns)
+
+
+def test_interval_aggregate_no_pair_explosion_plan(spark):
+    """The plan must contain no join at all — density-independence is
+    the operator's reason to exist."""
+    pts = spark.createDataFrame(
+        [(i, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=i)) for i in range(100)],
+        "pid long, pts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"))],
+        "wid long, ws timestamp, we timestamp",
+    )
+    out = temporal.interval_aggregate(pts, iv, "pts", "ws", "we", id_cols=["wid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
