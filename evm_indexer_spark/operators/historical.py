@@ -36,6 +36,11 @@ class HistoricalQueries:
     ``query.go`` queries).
     """
 
+    #: beyond this many buckets a window read falls back to the full
+    #: table — the path list itself would bloat the plan, and a window
+    #: that wide is outside the guardrail economics anyway
+    MAX_PRUNED_BUCKETS = 1024
+
     def __init__(
         self,
         blocks: DataFrame,
@@ -43,6 +48,7 @@ class HistoricalQueries:
         events: DataFrame,
         config: EngineConfig = DEFAULT_CONFIG,
         bucket_size: int | None = None,
+        bucket_reader=None,
     ) -> None:
         """*bucket_size*: when the tables come from the bucket-partitioned
         store (and still carry the ``bucket`` partition column), number
@@ -50,20 +56,43 @@ class HistoricalQueries:
         ``bucket = number // size`` on its own, and without the explicit
         predicate a range query scans every partition. Use
         ``BlockStore.historical_queries()`` to get a correctly wired
-        instance."""
+        instance.
+
+        *bucket_reader*: optional ``(table_name, [bucket, ...]) ->
+        DataFrame`` resolving ONLY the named buckets' storage paths
+        before the scan (``AtomicBlockStore.read_buckets``) — true
+        path-level pruning for number-window and point-by-number reads,
+        the columnar analog of the reference's B-tree point-read
+        economics (``model.go:16-18``). Without it, pruning relies on
+        the ``bucket`` predicate reaching partition/row-group stats."""
         self.blocks = blocks
         self.transactions = transactions
         self.events = events
         self.config = config
         self.bucket_size = bucket_size
+        self.bucket_reader = bucket_reader
+
+    def _bucketed(self, table: str, frm: int, to: int) -> DataFrame:
+        """The *table* source for a number window [frm, to]: manifest
+        path-pruned when a bucket_reader is wired, else the full table
+        (whose callers add the bucket-column predicate)."""
+        full = getattr(self, table)
+        if not self.bucket_reader or not self.bucket_size or frm > to:
+            return full
+        lo, hi = frm // self.bucket_size, to // self.bucket_size
+        if hi - lo + 1 > self.MAX_PRUNED_BUCKETS:
+            return full
+        return self.bucket_reader(table, list(range(lo, hi + 1)))
 
     # -- internal join helpers ---------------------------------------------
 
     def _blocks_in_number_range(self, frm: int, to: int) -> DataFrame:
         """Range predicate on number (P5); with a known bucket layout the
-        equivalent bucket range is added for partition pruning."""
-        out = self.blocks.filter(F.col("number").between(frm, to))
-        if self.bucket_size and "bucket" in self.blocks.columns:
+        equivalent bucket range is added for partition pruning, and a
+        wired bucket_reader resolves only the touched buckets' paths."""
+        src = self._bucketed("blocks", frm, to)
+        out = src.filter(F.col("number").between(frm, to))
+        if self.bucket_size and "bucket" in src.columns:
             out = out.filter(
                 F.col("bucket").between(frm // self.bucket_size, to // self.bucket_size)
             )
@@ -112,8 +141,13 @@ class HistoricalQueries:
         return self.blocks.filter(F.col("hash") == _lc(hash_)).limit(1)
 
     def get_block_by_number(self, number: int) -> DataFrame:
-        """query.go:92-105."""
-        return self.blocks.filter(F.col("number") == number).limit(1)
+        """query.go:92-105 — with a bucket_reader this is a ONE-bucket
+        scan, the B-tree-point-read analog."""
+        return (
+            self._bucketed("blocks", number, number)
+            .filter(F.col("number") == number)
+            .limit(1)
+        )
 
     def get_blocks_by_number_range(self, frm: int, to: int) -> DataFrame:
         """query.go:109-121 — ORDER BY number asc."""
@@ -137,7 +171,11 @@ class HistoricalQueries:
         return self.transactions.filter(F.col("blockhash") == _lc(block_hash))
 
     def _block_hash_for_number(self, number: int) -> DataFrame:
-        return self.blocks.filter(F.col("number") == number).select("hash")
+        return (
+            self._bucketed("blocks", number, number)
+            .filter(F.col("number") == number)
+            .select("hash")
+        )
 
     def get_transaction_count_by_block_number(self, number: int) -> DataFrame:
         """query.go:167-177 — scalar-subquery semi-join on blocks (J4)."""
@@ -196,9 +234,17 @@ class HistoricalQueries:
         layout, so number-window queries prune fact partitions directly —
         without this the hash join would scan every fact partition
         (the join key is not the partition column, so dynamic pruning
-        does not apply)."""
+        does not apply). With a bucket_reader the fact source itself is
+        path-pruned from the manifest first."""
         if by_time or not self.bucket_size or "bucket" not in fact.columns:
             return fact
+        if self.bucket_reader is not None:
+            name = (
+                "transactions" if fact is self.transactions else
+                "events" if fact is self.events else None
+            )
+            if name is not None:
+                fact = self._bucketed(name, frm, to)
         return fact.filter(
             F.col("bucket").between(frm // self.bucket_size, to // self.bucket_size)
         )

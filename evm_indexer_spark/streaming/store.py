@@ -84,6 +84,18 @@ class BlockStore:
             bucket_size=BLOCK_BUCKET_SIZE,
         )
 
+    def rest_facade(self, config=None):
+        """RestFacade with the hash→bucket hint index wired by default —
+        point reads by hash scan one bucket, not the chain."""
+        from ..api import RestFacade
+        from ..config import DEFAULT_CONFIG
+
+        return RestFacade(
+            self.historical_queries(config),
+            config or DEFAULT_CONFIG,
+            hash_index=HashIndex(self),
+        )
+
     def blocks(self) -> DataFrame:
         return self.read("blocks").drop("bucket")
 
@@ -240,9 +252,10 @@ class BlockStore:
 
 
 class HashIndex:
-    """Append-only (hash, bucket) hint index over a ``BlockStore``."""
+    """Append-only (hash, bucket) hint index over a ``BlockStore`` or
+    ``AtomicBlockStore`` (both expose the ``_path``/``read`` surface)."""
 
-    def __init__(self, store: BlockStore) -> None:
+    def __init__(self, store) -> None:
         self.store = store
 
     def _path(self) -> str:
@@ -276,16 +289,36 @@ class HashIndex:
         )
         return int(rows[0][0]) if rows else None
 
+    def _bucket_slice(self, table: str, bucket: int | None) -> DataFrame:
+        """The *table* rows for one bucket: manifest path-pruned when the
+        store supports it (``read_buckets``), else the bucket-column
+        filter over the full read (partition/row-group pruning)."""
+        if bucket is None:
+            return self.store.read(table)
+        if hasattr(self.store, "read_buckets"):
+            return self.store.read_buckets(table, [bucket])
+        return self.store.read(table).filter(F.col("bucket") == bucket)
+
     def lookup_block(self, block_hash: str) -> DataFrame:
         """P4 point read pruned through the index: resolve the bucket,
         then scan ONLY that bucket of ``blocks``. Falls back to the full
         scan when the hash is unindexed (pre-index history)."""
         b = self.bucket_of_hash(block_hash)
-        blocks = self.store.read("blocks")
-        if b is not None:
-            blocks = blocks.filter(F.col("bucket") == b)
-        return blocks.filter(F.lower(F.col("hash")) == block_hash.lower()).drop(
-            "bucket"
+        return (
+            self._bucket_slice("blocks", b)
+            .filter(F.lower(F.col("hash")) == block_hash.lower())
+            .drop("bucket")
+        )
+
+    def lookup_block_transactions(self, block_hash: str) -> DataFrame:
+        """Transactions of one block, bucket-pruned through the index:
+        fact rows carry their parent block's bucket in both store
+        layouts, so the block's bucket prunes the tx scan too."""
+        b = self.bucket_of_hash(block_hash)
+        return (
+            self._bucket_slice("transactions", b)
+            .filter(F.lower(F.col("blockhash")) == block_hash.lower())
+            .drop("bucket")
         )
 
     def compact(self) -> None:

@@ -214,6 +214,10 @@ class AtomicBlockStore:
         return self.read("events").drop("bucket")
 
     def historical_queries(self, config=None):
+        """HistoricalQueries wired for MANIFEST PATH PRUNING: number
+        windows and point-by-number reads resolve only the touched
+        buckets' object dirs via ``read_buckets`` — the scan never even
+        lists the rest of the chain's files."""
         from ..config import DEFAULT_CONFIG
         from ..operators.historical import HistoricalQueries
 
@@ -223,6 +227,21 @@ class AtomicBlockStore:
             self.read("events"),
             config or DEFAULT_CONFIG,
             bucket_size=BLOCK_BUCKET_SIZE,
+            bucket_reader=self.read_buckets,
+        )
+
+    def rest_facade(self, config=None):
+        """RestFacade with every point-read optimization on by default:
+        manifest path pruning for windows/point-by-number, and the
+        hash→bucket hint index for point-by-hash."""
+        from ..api import RestFacade
+        from ..config import DEFAULT_CONFIG
+        from .store import HashIndex
+
+        return RestFacade(
+            self.historical_queries(config),
+            config or DEFAULT_CONFIG,
+            hash_index=HashIndex(self),
         )
 
     # -- atomic upsert -----------------------------------------------------

@@ -118,3 +118,117 @@ def test_hash_index_prunes_point_lookup(spark, tmp_path):
 
     idx.compact()
     assert idx.bucket_of_hash(target) == 7
+
+
+@pytest.fixture(scope="module")
+def atomic_store(spark, tmp_path_factory):
+    from evm_indexer_spark.streaming.txstore import AtomicBlockStore
+
+    root = tmp_path_factory.mktemp("atomic_pruned")
+    s = AtomicBlockStore(spark, str(root))
+    docs = [
+        raw_block_doc(n)
+        for start in (0, BLOCK_BUCKET_SIZE, 2 * BLOCK_BUCKET_SIZE)
+        for n in range(start, start + 30)
+    ]
+    process_raw_batch(s, spark.createDataFrame(docs, RAW_BLOCK_SCHEMA))
+    return s
+
+
+def test_manifest_path_pruning_window_read(atomic_store):
+    """A one-bucket number window must SCAN only that bucket's object
+    dir — path pruning resolved from the manifest, not row-group stats."""
+    hq = atomic_store.historical_queries()
+    frm = BLOCK_BUCKET_SIZE + 5
+    df = hq.get_blocks_by_number_range(frm, frm + 10)
+    files = df.inputFiles()
+    assert files and all("/b1/" in f for f in files), files
+    full = atomic_store.read("blocks").inputFiles()
+    assert len(files) < len(full)
+    assert df.count() == 11
+
+
+def test_manifest_path_pruning_point_read(atomic_store):
+    hq = atomic_store.historical_queries()
+    n = 2 * BLOCK_BUCKET_SIZE + 3
+    df = hq.get_block_by_number(n)
+    assert all("/b2/" in f for f in df.inputFiles()), df.inputFiles()
+    assert df.count() == 1
+
+
+def test_manifest_path_pruning_fact_side(atomic_store):
+    hq = atomic_store.historical_queries()
+    frm = 2 * BLOCK_BUCKET_SIZE
+    df = hq.get_events_from_contract_by_block_number_range(
+        "0x" + "0" * 40, frm, frm + 20
+    )
+    ev_files = [f for f in df.inputFiles() if "/events/" in f]
+    blk_files = [f for f in df.inputFiles() if "/blocks/" in f]
+    assert ev_files and all("/b2/" in f for f in ev_files), ev_files
+    assert blk_files and all("/b2/" in f for f in blk_files), blk_files
+    assert df.count() > 0
+
+
+def test_pruned_atomic_results_match_full(atomic_store):
+    from evm_indexer_spark.operators.historical import HistoricalQueries
+
+    pruned = atomic_store.historical_queries()
+    plain = HistoricalQueries(
+        atomic_store.blocks(), atomic_store.transactions(), atomic_store.events()
+    )
+    frm = BLOCK_BUCKET_SIZE - 5  # straddles two buckets
+    a = sorted(
+        r["number"]
+        for r in pruned.get_blocks_by_number_range(frm, frm + 20).collect()
+    )
+    b = sorted(
+        r["number"]
+        for r in plain.get_blocks_by_number_range(frm, frm + 20).collect()
+    )
+    assert a == b and len(a) == 16
+
+
+def test_rest_facade_default_hash_index_both_backends(
+    spark, store, atomic_store, tmp_path
+):
+    """store.rest_facade() must serve point-by-hash reads through the
+    hint index by default: one bucket scanned on either backend."""
+    from evm_indexer_spark.sources.normalize import normalize_blocks
+    from evm_indexer_spark.sources.rawgen import raw_block_doc as rbd
+    from evm_indexer_spark.streaming.store import HashIndex
+
+    for s in (store, atomic_store):
+        idx = HashIndex(s)
+        docs = [
+            rbd(n)
+            for start in (0, BLOCK_BUCKET_SIZE, 2 * BLOCK_BUCKET_SIZE)
+            for n in range(start, start + 30)
+        ]
+        raw = spark.createDataFrame(docs, RAW_BLOCK_SCHEMA)
+        idx.append(normalize_blocks(raw))
+
+        target_number = 2 * BLOCK_BUCKET_SIZE + 7
+        h = rbd(target_number)["hash"].lower()
+        facade = s.rest_facade()
+        assert facade.hash_index is not None
+        out = facade.block({"hash": h})
+        assert int(out["number"]) == target_number
+
+        # the underlying pruned lookup touches one bucket only: file-level
+        # for the manifest store (paths resolved before the scan);
+        # partition-filter for the hive layout (inputFiles() is listed
+        # before partition pruning there, so assert the plan instead)
+        for lookup in (
+            facade.hash_index.lookup_block(h),
+            facade.hash_index.lookup_block_transactions(h),
+        ):
+            if hasattr(s, "read_buckets"):
+                files = lookup.inputFiles()
+                assert files and all("/b2/" in f for f in files), files
+            else:
+                plan = (
+                    lookup._jdf.queryExecution().optimizedPlan().toString()
+                )
+                assert "bucket" in plan and "= 2" in plan.replace(
+                    "2L", "2"
+                ), plan
