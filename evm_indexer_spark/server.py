@@ -45,9 +45,41 @@ from .streaming.subscribe import SubscriptionManager
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+# Parity with rest.go:887-899 (gqlgen playground.Handler("validationcloud",
+# "/v1/graphql")): an interactive console served beside the endpoint. The
+# reference's page bootstraps graphql-playground-react from a CDN; this
+# one is self-contained (works in an offline deployment) but serves the
+# same purpose — compose a query, POST it to /v1/graphql, read the JSON.
 _PLAYGROUND = b"""<!DOCTYPE html><html><head><title>GraphQL playground</title>
-</head><body><p>POST GraphQL queries to this endpoint as
-{"query": "..."}.</p></body></html>"""
+<style>
+ body{font-family:monospace;margin:1.5em;background:#1e2228;color:#d8dee9}
+ textarea{width:100%;height:14em;background:#11141a;color:#d8dee9;
+          border:1px solid #3b4252;padding:.6em;box-sizing:border-box}
+ pre{background:#11141a;border:1px solid #3b4252;padding:.6em;
+     white-space:pre-wrap;min-height:8em}
+ button{padding:.4em 1.4em;margin:.6em 0}
+ h1{font-size:1.1em}
+</style></head><body>
+<h1>GraphQL playground &mdash; POST /v1/graphql</h1>
+<textarea id="q">{ blockByNumber(number: "1") { hash number miner } }</textarea>
+<div><label>variables (JSON): <input id="v" size="48" value="{}"></label></div>
+<button onclick="run()">Run &#9654;</button>
+<pre id="out">&nbsp;</pre>
+<script>
+async function run(){
+  const out = document.getElementById('out');
+  let vars = {};
+  try { vars = JSON.parse(document.getElementById('v').value || '{}'); }
+  catch (e) { out.textContent = 'bad variables JSON: ' + e; return; }
+  try {
+    const r = await fetch('/v1/graphql', {method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body: JSON.stringify({query: document.getElementById('q').value,
+                            variables: vars})});
+    out.textContent = JSON.stringify(await r.json(), null, 2);
+  } catch (e) { out.textContent = String(e); }
+}
+</script></body></html>"""
 
 
 def _ws_accept_key(key: str) -> str:
@@ -144,7 +176,10 @@ def make_server(
                 return self._dispatch(lambda: facade.transaction(params))
             if route == "/v1/event":
                 return self._dispatch(lambda: facade.event(params))
-            if route == "/v1/graphql":
+            if route in ("/v1/graphql", "/v1/graphql-playground"):
+                # /v1/graphql-playground is the reference's route
+                # (rest.go:887); GET on the endpoint itself serves the
+                # same page as a convenience
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.send_header("Content-Length", str(len(_PLAYGROUND)))

@@ -253,3 +253,13 @@ def test_graphql_non_dict_variables_is_400(srv):
     )
     assert code == 400
     assert body == {"msg": "Bad request body"}
+
+
+def test_graphql_playground_route_parity(srv):
+    """rest.go:887 serves the playground at /v1/graphql-playground; the
+    page must be interactive HTML wired to POST /v1/graphql."""
+    for route in ("/v1/graphql-playground", "/v1/graphql"):
+        code, body = _get(srv, route)
+        assert code == 200
+        text = body.decode()
+        assert "<html" in text and "/v1/graphql" in text and "fetch(" in text
