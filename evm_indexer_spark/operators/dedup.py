@@ -153,26 +153,26 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_near_duplicates(
+def minhash_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+    """Candidate near-dup pairs from the MinHash band buckets — the
+    slim half of ``minhash_near_duplicates``, exposed separately so
+    scale proofs and recall audits can measure candidate generation
+    (where a corpus² blow-up would live) without paying the exact
+    verification pass, whose shuffle volume is output-size-bound (it
+    carries both documents' shingle sets per surviving pair).
 
-    Plan shape (scale path):
+    Plan shape:
       1. signature job — narrow, no shuffle;
       2. explode to ``bands`` rows/doc, shuffle on (band, band_hash) —
          uniform key space;
-      3. in-bucket self-join (small groups) → candidate pairs, deduped;
-      4. exact Jaccard on candidates only via shingle-set intersection.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b,
-    jaccard >= threshold.
+      3. in-bucket self-join (small groups) → (id_a, id_b), deduped.
     """
     rows_per_band = num_hashes // bands
     # Signature pass: min aggregates only — corpus-wide shingle *sets*
@@ -213,7 +213,7 @@ def minhash_near_duplicates(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
 
-    cand = (
+    return (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -223,11 +223,31 @@ def minhash_near_duplicates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # three consumers (id-prune union ×2 + the pair join) — all read
-        # the same dedup Exchange, which AQE materializes once and
-        # reuses; nothing persisted or checkpointed (a checkpoint here
-        # pinned executor blocks for the session lifetime)
+        # three downstream consumers (id-prune union ×2 + the pair
+        # join) — all read the same dedup Exchange, which AQE
+        # materializes once and reuses; nothing persisted or
+        # checkpointed (a checkpoint here pinned executor blocks for
+        # the session lifetime)
     )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verification:
+    ``minhash_candidates`` band buckets, then exact Jaccard on the
+    candidates only, via shingle-set intersection.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b,
+    jaccard >= threshold.
+    """
+    cand = minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
 
     # Exact Jaccard verification: shingle sets are built ONLY for
     # candidate docs — the semi-join prunes the corpus before the
@@ -457,6 +477,14 @@ def jaccard_all_pairs(
     100 TB this is the *verification* stage over an LSH-bounded subset
     (``minhash_near_duplicates``), never a whole-corpus operation.
     Output: (id_a, id_b, jaccard double rounded to 4) with id_a < id_b.
+
+    NEGATIVE RESULT (r5, measured): a broadcast nested-loop self-join
+    on per-doc ``array_distinct`` shingle arrays + ``array_intersect``
+    — two stages instead of six — ran 4.4s warm vs 0.65s for this shape
+    on the 500-doc sf1 slice. The equi-join touches only pairs that
+    actually share a shingle; the BNLJ form pays an interpreted
+    ~200-element string-array intersect for every one of the n²/2
+    combinations. Stage count is not the cost model here.
     """
     # three consumers (sizes + both self-join sides): the self-join
     # sides dedupe through exchange reuse; the sizes branch re-runs the

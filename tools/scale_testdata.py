@@ -119,6 +119,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=None,
+        help="scale only these fact tables (dims always copied) — "
+        "spot-proof runs at big factors need only a family's tables",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -130,7 +137,7 @@ def main() -> None:
         pq.write_table(src, os.path.join(args.out, f"{t}.parquet"))
         print(t, "copied", src.num_rows)
 
-    for t in [
+    for t in args.tables if args.tables is not None else [
         "customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings",
     ]:

@@ -1,0 +1,267 @@
+#!/usr/bin/env python
+"""sf10 (100× the bench SF) spot-proof of the dedup/ANN families.
+
+The scale question each family must answer at 100 TB is "does any
+stage grow with corpus² instead of with the real workload size
+(candidates / true pairs / rows)?". This tool answers it empirically at
+100× the driver's bench scale on the families VERDICT r4 flagged:
+
+- **MinHash-LSH (q27 family)** — ``minhash_candidates`` runs COMPLETE
+  at scale parameters (16 hashes × 8 bands) over 500k documents built
+  as 5 000 planted 100-way near-dup clusters (24.75M planted pairs,
+  LSH's worst case). Measured: candidate count (must be ~planted, not
+  ~corpus²/2 = 125 B) and candidate recall against the planted truth.
+  Exact verification is NOT run in full here: its shuffle volume is
+  output-size-bound (it carries both shingle sets per surviving pair —
+  ~150 GB for 24.75M pairs of ~1 KB docs, beyond this container's
+  disk), so a deterministic 1%-of-planted sample is verified exactly
+  instead, confirming the planted pairs really are ≥-threshold pairs.
+- **SimHash (q28 family)** — slim end to end (verification compares two
+  int64 signatures), so the FULL operator runs at scale parameters;
+  recall is measured against exact per-planted-pair hamming computed
+  from the signature table (slim join, no text re-scan).
+- **Embedding LSH (q35 family)** — the FULL operator (6-table
+  hyperplane LSH + exact cosine verification) over 200k vectors in
+  2 000 planted 100-way clusters; recall against exact per-planted-pair
+  cosine. This is the family whose table-count scaling law
+  (similarity.py) predicted <1 expected miss through sf10 — verified
+  here.
+- **Clustering (q60 family)** — ``connected_components`` forced down
+  the distributed hash-min + pointer-jumping path (driver_threshold=0)
+  over the 24.75M-edge planted pair graph; must converge in O(log)
+  rounds and return exactly 5 000 components.
+- **Global row numbering (q61 family)** — full run over 60M lineitem
+  rows; verified by count / min / max of the assigned ids (dense
+  numbering ⇒ ids are exactly 1..n).
+
+Usage: python tools/sf10_proof.py [--sf-dir /root/repo/testdata_sf10]
+Writes SF10_PROOF.json next to the repo root.
+
+Generate the data first (documents/embeddings/lineitem only):
+    python tools/scale_testdata.py --factor 100 \
+        --out /root/repo/testdata_sf10 --tables documents embeddings lineitem
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+FACTOR = 100
+
+
+def planted_pairs(spark, src_ids_df, stride: int, factor: int = FACTOR):
+    """All intra-cluster pairs: (c1*stride+s, c2*stride+s), c1 < c2."""
+    copies = spark.range(factor).select(F.col("id").alias("c1"))
+    copies2 = spark.range(factor).select(F.col("id").alias("c2"))
+    return (
+        src_ids_df.crossJoin(copies)
+        .crossJoin(copies2)
+        .filter(F.col("c1") < F.col("c2"))
+        .select(
+            (F.col("c1") * stride + F.col("s")).alias("id_a"),
+            (F.col("c2") * stride + F.col("s")).alias("id_b"),
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/repo/testdata_sf10")
+    ap.add_argument("--out", default="/root/repo/SF10_PROOF.json")
+    args = ap.parse_args()
+
+    from evm_indexer_spark.operators import dedup, graph, order, similarity
+    from evm_indexer_spark.session import get_spark
+
+    spark = get_spark("sf10-proof")
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {"sf": "testdata_sf10 (100x bench SF)", "factor": FACTOR}
+
+    doc = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+    li = spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
+
+    doc_stride = 5000
+    emb_stride = 2000
+    doc_src = doc.filter(F.col("doc_id") < doc_stride).select(
+        F.col("doc_id").alias("s")
+    )
+    emb_src = emb.filter(F.col("vec_id") < emb_stride).select(
+        F.col("vec_id").alias("s")
+    )
+
+    # ---- 1. MinHash candidates at scale params ------------------------
+    t0 = time.perf_counter()
+    cand = dedup.minhash_candidates(doc, "doc_id", "text", num_hashes=16, bands=8)
+    n_cand = cand.count()
+    cand_secs = time.perf_counter() - t0
+
+    planted_doc = planted_pairs(spark, doc_src, doc_stride)
+    n_planted = planted_doc.count()
+    t0 = time.perf_counter()
+    n_hit = cand.join(planted_doc, ["id_a", "id_b"], "left_semi").count()
+    recall_secs = time.perf_counter() - t0
+
+    # exact Jaccard on a deterministic ~1% planted sample: proves the
+    # planted pairs are genuinely >= threshold (true positives)
+    sample = planted_doc.filter(
+        F.pmod(F.xxhash64("id_a", "id_b"), F.lit(100)) == 0
+    )
+    docs_in_sample = (
+        sample.select(F.col("id_a").alias("doc_id"))
+        .union(sample.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sub = doc.join(docs_in_sample, "doc_id", "left_semi")
+    t0 = time.perf_counter()
+    verified = (
+        dedup.jaccard_prefix_join(
+            sub, "doc_id", "text", threshold=0.4, strategy="prefix"
+        )
+        .join(sample, ["id_a", "id_b"], "left_semi")
+        .count()
+    )
+    n_sample = sample.count()
+    report["minhash_lsh"] = {
+        "docs": doc.count(),
+        "planted_pairs": n_planted,
+        "candidates": n_cand,
+        "candidate_recall": round(n_hit / n_planted, 6),
+        "candidates_secs": round(cand_secs, 2),
+        "recall_join_secs": round(recall_secs, 2),
+        "sample_pairs_verified_exact": verified,
+        "sample_pairs": n_sample,
+        "sample_verify_secs": round(time.perf_counter() - t0, 2),
+        "note": "full exact verification is output-size-bound "
+        "(~150GB set-carry shuffle for 24.75M near-dup pairs); "
+        "candidates + sampled exactness is the scale-relevant proof",
+    }
+    print("minhash:", report["minhash_lsh"], flush=True)
+
+    # ---- 2. SimHash FULL at scale params ------------------------------
+    t0 = time.perf_counter()
+    sh_pairs = dedup.simhash_near_duplicates(
+        doc, "doc_id", "text", max_hamming=8, n_blocks=4
+    )
+    n_sh = sh_pairs.count()
+    sh_secs = time.perf_counter() - t0
+
+    sigs = dedup.simhash_signatures(doc, "doc_id", "text")
+    truth = (
+        planted_doc.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .withColumn("hamming", dedup.hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b")
+    )
+    n_truth = truth.count()
+    n_sh_hit = sh_pairs.join(truth, ["id_a", "id_b"], "left_semi").count()
+    report["simhash"] = {
+        "pairs_found": n_sh,
+        "planted_within_hamming8": n_truth,
+        "recall_on_planted": round(n_sh_hit / max(n_truth, 1), 6),
+        "full_run_secs": round(sh_secs, 2),
+    }
+    print("simhash:", report["simhash"], flush=True)
+
+    # ---- 3. Embedding LSH FULL --------------------------------------
+    t0 = time.perf_counter()
+    found = similarity.embedding_near_duplicates(
+        emb, "vec_id", "embedding", min_cosine=0.99, dim=64
+    ).select("id_a", "id_b")
+    n_found = found.count()
+    emb_secs = time.perf_counter() - t0
+
+    planted_emb = planted_pairs(spark, emb_src, emb_stride)
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    pv = (
+        planted_emb.join(
+            v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a")),
+            "id_a",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b")),
+            "id_b",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    emb_truth = pv.filter(
+        dot / (nrm(F.col("v_a")) * nrm(F.col("v_b"))) >= 0.99
+    ).select("id_a", "id_b")
+    n_emb_truth = emb_truth.count()
+    n_emb_hit = found.join(emb_truth, ["id_a", "id_b"], "left_semi").count()
+    report["embedding_lsh"] = {
+        "vectors": emb.count(),
+        "pairs_found": n_found,
+        "planted_above_cosine": n_emb_truth,
+        "recall_on_planted": round(n_emb_hit / max(n_emb_truth, 1), 6),
+        "full_run_secs": round(emb_secs, 2),
+    }
+    print("embedding:", report["embedding_lsh"], flush=True)
+
+    # ---- 4. Connected components, distributed path -------------------
+    t0 = time.perf_counter()
+    cc = graph.connected_components(
+        planted_doc, "id_a", "id_b", driver_threshold=0
+    )
+    n_comp = cc.select("component").distinct().count()
+    cc_secs = time.perf_counter() - t0
+    graph.release_cached(cc)
+    report["connected_components"] = {
+        "edges": n_planted,
+        "components": n_comp,
+        "expected_components": doc_stride,
+        "distributed_secs": round(cc_secs, 2),
+    }
+    print("cc:", report["connected_components"], flush=True)
+
+    # ---- 5. Global row numbering over 60M rows ------------------------
+    rows = li.select("l_orderkey", "l_linenumber")
+    t0 = time.perf_counter()
+    numbered = order.global_row_number(rows, ["l_orderkey", "l_linenumber"])
+    agg = numbered.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("row_id").alias("mn"),
+        F.max("row_id").alias("mx"),
+    ).collect()[0]
+    rn_secs = time.perf_counter() - t0
+    report["global_row_number"] = {
+        "rows": agg["n"],
+        "min_id": agg["mn"],
+        "max_id": agg["mx"],
+        "dense": agg["mn"] == 1 and agg["mx"] == agg["n"],
+        "full_run_secs": round(rn_secs, 2),
+    }
+    print("row_number:", report["global_row_number"], flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
