@@ -49,6 +49,7 @@ class HistoricalQueries:
         config: EngineConfig = DEFAULT_CONFIG,
         bucket_size: int | None = None,
         bucket_reader=None,
+        time_bucket_resolver=None,
     ) -> None:
         """*bucket_size*: when the tables come from the bucket-partitioned
         store (and still carry the ``bucket`` partition column), number
@@ -64,13 +65,20 @@ class HistoricalQueries:
         path-level pruning for number-window and point-by-number reads,
         the columnar analog of the reference's B-tree point-read
         economics (``model.go:16-18``). Without it, pruning relies on
-        the ``bucket`` predicate reaching partition/row-group stats."""
+        the ``bucket`` predicate reaching partition/row-group stats.
+
+        *time_bucket_resolver*: optional ``(frm, to) -> list[int] |
+        None`` mapping a TIME window to the buckets whose zone-map
+        bounds intersect it (``AtomicBlockStore.buckets_for_time_range``).
+        Number windows prune by arithmetic; time windows need recorded
+        min/max stats — without this, a by-time read scans the chain."""
         self.blocks = blocks
         self.transactions = transactions
         self.events = events
         self.config = config
         self.bucket_size = bucket_size
         self.bucket_reader = bucket_reader
+        self.time_bucket_resolver = time_bucket_resolver
 
     def _bucketed(self, table: str, frm: int, to: int) -> DataFrame:
         """The *table* source for a number window [frm, to]: manifest
@@ -98,8 +106,22 @@ class HistoricalQueries:
             )
         return out
 
+    def _time_buckets(self, frm: int, to: int) -> list[int] | None:
+        """Zone-map bucket set for a time window, or None when pruning
+        is unavailable (no resolver / legacy manifest / set too wide)."""
+        if not self.bucket_reader or not self.time_bucket_resolver or frm > to:
+            return None
+        buckets = self.time_bucket_resolver(frm, to)
+        if buckets is None or len(buckets) > self.MAX_PRUNED_BUCKETS:
+            return None
+        return buckets
+
     def _blocks_in_time_range(self, frm: int, to: int) -> DataFrame:
-        return self.blocks.filter(F.col("time").between(frm, to))
+        """Time-range predicate (P6); with manifest zone maps only the
+        buckets whose [min,max] time intersects the window are read."""
+        buckets = self._time_buckets(frm, to)
+        src = self.blocks if buckets is None else self.bucket_reader("blocks", buckets)
+        return src.filter(F.col("time").between(frm, to))
 
     def _join_blocks(self, fact: DataFrame, blocks_small: DataFrame) -> DataFrame:
         """fact ⋈ blocks on blockhash = hash (J1-J3).
@@ -235,16 +257,22 @@ class HistoricalQueries:
         without this the hash join would scan every fact partition
         (the join key is not the partition column, so dynamic pruning
         does not apply). With a bucket_reader the fact source itself is
-        path-pruned from the manifest first."""
-        if by_time or not self.bucket_size or "bucket" not in fact.columns:
+        path-pruned from the manifest first. TIME windows prune through
+        the zone-map bucket set instead (children live in their parent
+        block's bucket, so the blocks zone maps cover them too)."""
+        name = (
+            "transactions" if fact is self.transactions else
+            "events" if fact is self.events else None
+        )
+        if by_time:
+            buckets = self._time_buckets(frm, to)
+            if buckets is None or name is None:
+                return fact
+            return self.bucket_reader(name, buckets)
+        if not self.bucket_size or "bucket" not in fact.columns:
             return fact
-        if self.bucket_reader is not None:
-            name = (
-                "transactions" if fact is self.transactions else
-                "events" if fact is self.events else None
-            )
-            if name is not None:
-                fact = self._bucketed(name, frm, to)
+        if self.bucket_reader is not None and name is not None:
+            fact = self._bucketed(name, frm, to)
         return fact.filter(
             F.col("bucket").between(frm // self.bucket_size, to // self.bucket_size)
         )

@@ -32,8 +32,18 @@ returns the whole table (all manifest paths); bucket predicates prune
 via parquet row-group stats — each object file holds exactly one
 bucket value, so min==max stats skip whole files. True path-level
 pruning (resolving only the needed buckets' paths from the manifest
-before the scan) is a natural extension for point/window reads via
-``read_buckets``.
+before the scan) happens via ``read_buckets``.
+
+Zone maps: every commit also records the per-bucket ``[min(time),
+max(time)]`` of the blocks it writes in the manifest (the Iceberg
+"lower_bounds/upper_bounds" idea at bucket granularity). Number windows
+prune by arithmetic (bucket = number // size); TIME windows cannot —
+without zone maps a by-time read scans the whole chain. With them,
+``buckets_for_time_range`` intersects the window against the recorded
+bounds and resolves only the overlapping buckets' paths, for blocks AND
+for the child fact tables (children live in their parent block's
+bucket). Block time is near-monotone in number on a real chain, so the
+overlap set is ~window-sized regardless of chain length.
 """
 
 from __future__ import annotations
@@ -83,7 +93,7 @@ class AtomicBlockStore:
             with open(self._manifest_path()) as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"version": 0, "tables": {t: {} for t in _TABLES}}
+            return {"version": 0, "tables": {t: {} for t in _TABLES}, "stats": {}}
 
     def _archive_dir(self) -> str:
         return os.path.join(self.root, "manifests")
@@ -204,6 +214,28 @@ class AtomicBlockStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def buckets_for_time_range(self, frm: int, to: int) -> list[int] | None:
+        """Buckets whose recorded [min,max] block time intersects
+        [frm, to] — the manifest zone-map lookup backing by-time path
+        pruning. Returns None when the manifest predates zone maps
+        (caller falls back to a full scan); buckets missing stats are
+        conservatively included."""
+        m = self._manifest()
+        stats = m.get("stats", {}).get("blocks")
+        if not stats:
+            return None
+        out = []
+        for b in m["tables"].get("blocks", {}):
+            bounds = stats.get(b)
+            if (
+                bounds is None
+                or bounds[0] is None
+                or bounds[1] is None
+                or (bounds[0] <= to and bounds[1] >= frm)
+            ):
+                out.append(int(b))
+        return sorted(out)
+
     def blocks(self) -> DataFrame:
         return self.read("blocks").drop("bucket")
 
@@ -217,7 +249,9 @@ class AtomicBlockStore:
         """HistoricalQueries wired for MANIFEST PATH PRUNING: number
         windows and point-by-number reads resolve only the touched
         buckets' object dirs via ``read_buckets`` — the scan never even
-        lists the rest of the chain's files."""
+        lists the rest of the chain's files — and TIME windows resolve
+        their bucket set through the manifest zone maps
+        (``buckets_for_time_range``)."""
         from ..config import DEFAULT_CONFIG
         from ..operators.historical import HistoricalQueries
 
@@ -228,6 +262,7 @@ class AtomicBlockStore:
             config or DEFAULT_CONFIG,
             bucket_size=BLOCK_BUCKET_SIZE,
             bucket_reader=self.read_buckets,
+            time_bucket_resolver=self.buckets_for_time_range,
         )
 
     def rest_facade(self, config=None):
@@ -295,6 +330,7 @@ class AtomicBlockStore:
         }
 
         new_entries: dict[str, dict[str, int]] = {t: {} for t in _TABLES}
+        time_stats: dict[str, list] = {}
         for table, df in merged.items():
             sort_key = "number" if table == "blocks" else "blockhash"
             # one write per touched bucket (the manifest maps buckets to
@@ -303,6 +339,16 @@ class AtomicBlockStore:
             # re-runs the snapshot read + replace/survivor joins
             df = df.persist()
             try:
+                if table == "blocks":
+                    # zone map: exact [min,max] block time per rewritten
+                    # bucket (the frame IS the bucket's full new content,
+                    # so bounds never go stale). O(touched) rows collected.
+                    time_stats = {
+                        str(int(r["bucket"])): [r["tmin"], r["tmax"]]
+                        for r in df.groupBy("bucket")
+                        .agg(F.min("time").alias("tmin"), F.max("time").alias("tmax"))
+                        .collect()
+                    }
                 for b in touched:
                     out = self._obj_dir(table, int(b), next_version)
                     (
@@ -319,6 +365,7 @@ class AtomicBlockStore:
         # data durable → swap the manifest (the only mutation readers see)
         for t in _TABLES:
             manifest["tables"].setdefault(t, {}).update(new_entries[t])
+        manifest.setdefault("stats", {}).setdefault("blocks", {}).update(time_stats)
         manifest["version"] = next_version
         self._commit_manifest(manifest)
 

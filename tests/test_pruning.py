@@ -188,6 +188,78 @@ def test_pruned_atomic_results_match_full(atomic_store):
     assert a == b and len(a) == 16
 
 
+def _t(n: int) -> int:
+    """Block time assigned by raw_block_doc (rawgen.py)."""
+    return 1_700_000_000 + 12 * n
+
+
+def test_zone_map_time_pruning_blocks(atomic_store):
+    """A time window inside one bucket's recorded [min,max] must scan
+    only that bucket's object dir — manifest zone maps, not row stats."""
+    hq = atomic_store.historical_queries()
+    frm = _t(BLOCK_BUCKET_SIZE + 5)
+    df = hq.get_blocks_by_time_range(frm, frm + 12 * 10)
+    files = df.inputFiles()
+    assert files and all("/b1/" in f for f in files), files
+    assert df.count() == 11
+
+
+def test_zone_map_time_pruning_fact_side(atomic_store):
+    hq = atomic_store.historical_queries()
+    frm = _t(2 * BLOCK_BUCKET_SIZE)
+    df = hq.get_events_from_contract_by_block_time_range(
+        "0x" + "0" * 40, frm, frm + 12 * 20
+    )
+    ev_files = [f for f in df.inputFiles() if "/events/" in f]
+    blk_files = [f for f in df.inputFiles() if "/blocks/" in f]
+    assert ev_files and all("/b2/" in f for f in ev_files), ev_files
+    assert blk_files and all("/b2/" in f for f in blk_files), blk_files
+    assert df.count() > 0
+
+
+def test_zone_map_time_results_match_unpruned(atomic_store):
+    from evm_indexer_spark.operators.historical import HistoricalQueries
+
+    pruned = atomic_store.historical_queries()
+    plain = HistoricalQueries(
+        atomic_store.blocks(), atomic_store.transactions(), atomic_store.events()
+    )
+    # window straddling the gap between bucket 0's and bucket 1's rows
+    frm, to = _t(25), _t(BLOCK_BUCKET_SIZE + 4)
+    a = sorted(r["number"] for r in pruned.get_blocks_by_time_range(frm, to).collect())
+    b = sorted(r["number"] for r in plain.get_blocks_by_time_range(frm, to).collect())
+    assert a == b and len(a) == 10  # 25..29 + BBS..BBS+4
+
+
+def test_zone_map_disjoint_window_reads_nothing(atomic_store):
+    hq = atomic_store.historical_queries()
+    # far in the future: intersects no bucket's bounds
+    df = hq.get_blocks_by_time_range(_t(10**9), _t(10**9) + 100)
+    assert df.inputFiles() == [] or df.count() == 0
+    assert atomic_store.buckets_for_time_range(_t(10**9), _t(10**9) + 100) == []
+
+
+def test_zone_map_legacy_manifest_falls_back(atomic_store):
+    """Manifests written before zone maps (no stats key) must resolve to
+    None → callers keep the full-scan behavior, never a wrong prune."""
+    import json
+
+    m = atomic_store._manifest()
+    stripped = {k: v for k, v in m.items() if k != "stats"}
+    path = atomic_store._manifest_path()
+    with open(path) as f:
+        orig = f.read()
+    try:
+        with open(path, "w") as f:
+            json.dump(stripped, f)
+        assert atomic_store.buckets_for_time_range(0, 2**62) is None
+        hq = atomic_store.historical_queries()
+        assert hq.get_blocks_by_time_range(_t(0), _t(29)).count() == 30
+    finally:
+        with open(path, "w") as f:
+            f.write(orig)
+
+
 def test_rest_facade_default_hash_index_both_backends(
     spark, store, atomic_store, tmp_path
 ):
