@@ -1199,23 +1199,43 @@ def q53(spark, sf):
     """,
 )
 def q54(spark, sf):
-    """Count/sum-per-window through ``interval_aggregate`` — the
-    algebraic fast path: O(points + windows) distributed prefix sums
-    instead of the bin-join's O(matching pairs). At sf1 the two forms
-    tie (~2.4s warm, both floor-bound at local[32]); the pair join's
-    cost grows with window density × window count (sf1 already visits
-    ~280M pairs) while this path shuffles 1.4M slim rows regardless of
-    density — the 100-TB divergence. Sums run in scaled int64 (exact,
-    order-independent), so round(·,4) matches DuckDB's double sum
-    bit-for-bit at these magnitudes. n_points > 0 keeps the oracle's
-    inner-join semantics; non-aggregating interval joins still use
-    ``temporal.interval_join``."""
+    """Count/sum-per-window, COST-ROUTED between the two equivalent
+    plans (the same observed-size strategy switch AQE applies to joins,
+    and the split q60 uses for its pair graph):
+
+    - small inputs (≤2M points — parquet metadata count, no scan) take
+      the tuned bin equi-join + groupBy: fewest stages, lowest floor
+      (0.4s vs 1.4s warm at sf0.1, where BOTH plans are pure
+      scheduling floor).
+    - above the cutoff, ``interval_aggregate``'s distributed prefix
+      sums: O(points + windows) with 2 probe rows per window instead
+      of O(matching pairs) — the pair join visits ~280M pairs at sf1
+      already, and density × window count keeps growing at 100 TB.
+      Sums there run in scaled int64 (exact, order-independent), so
+      round(·,4) matches DuckDB's double sum at these magnitudes.
+
+    Both plans are hash-checked against the same oracle (the routing
+    threshold sits inside the tested range on both sides:
+    test_temporal covers interval_aggregate vs the theta-join at edge
+    semantics, and the gate runs the bin join at sf0.01)."""
     ev = load_table(spark, sf, "events")
     windows = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("window_id"),
         F.col("ts").alias("w_start"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
     )
+    if ev.count() <= 2_000_000:
+        # bin ≈ window/12: finer bins trade a wider (slim-row) interval
+        # explosion for fewer false pairs per bin — measured 3.2→2.1s
+        # at sf1, 0.73→0.46s at sf0.1 vs bin=window
+        joined = temporal.interval_join(
+            ev, windows, point_ts="ts", start_col="w_start", end_col="w_end",
+            bin_seconds=300,
+        )
+        return joined.groupBy("window_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
     agg = temporal.interval_aggregate(
         ev, windows, point_ts="ts", start_col="w_start", end_col="w_end",
         id_cols=["window_id"], value_col="value",

@@ -44,6 +44,25 @@ bounds and resolves only the overlapping buckets' paths, for blocks AND
 for the child fact tables (children live in their parent block's
 bucket). Block time is near-monotone in number on a real chain, so the
 overlap set is ~window-sized regardless of chain length.
+
+Commit modes. The default ``cow`` (copy-on-write) rewrites every
+touched bucket in full per commit — reads stay single-scan, but
+steady ingest pays O(bucket_size) write amplification per micro-batch
+(the head bucket is rewritten over and over as it fills). ``delta``
+mode is merge-on-read, the Hudi/Delta MOR idea reduced to its core:
+a commit appends ONE batch-sized object per touched bucket and the
+manifest maps the bucket to ``{"base": v, "deltas": [v1, ...]}``.
+Readers resolve replace-by-number with a latest-commit-wins window
+over ``number`` (bucket-local — numbers never cross buckets), and the
+child-table reorg cascade stays implicit: a child row survives iff its
+parent hash is in the resolved block set, so no tombstones are needed.
+``compact()`` folds a bucket's deltas back into a single base object
+(readers of compacted buckets pay zero merge cost), and delta commits
+auto-compact any bucket crossing ``max_deltas``, bounding read
+amplification. Write amplification per commit drops from
+O(bucket_size) to O(batch) — at 100 TB with thousands of commits per
+bucket lifetime, that is the difference between sustainable ingest and
+rewriting the table continuously.
 """
 
 from __future__ import annotations
@@ -72,9 +91,24 @@ class AtomicBlockStore:
     cross-table commits (same public surface; ``start_ingest_stream``
     and ``HistoricalQueries`` are storage-agnostic)."""
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        commit_mode: str = "cow",
+        max_deltas: int = 8,
+    ) -> None:
+        """*commit_mode*: ``"cow"`` rewrites touched buckets per commit
+        (single-scan reads); ``"delta"`` appends batch-sized delta
+        objects and merges on read (O(batch) write amplification).
+        *max_deltas*: delta commits auto-compact any bucket whose delta
+        chain reaches this length."""
+        if commit_mode not in ("cow", "delta"):
+            raise ValueError(f"unknown commit_mode {commit_mode!r}")
         self.spark = spark
         self.root = root
+        self.commit_mode = commit_mode
+        self.max_deltas = max_deltas
         os.makedirs(root, exist_ok=True)
 
     def _path(self, name: str) -> str:
@@ -157,17 +191,7 @@ class AtomicBlockStore:
         and all. Objects are immutable, so this is just resolving paths
         from the archived manifest (the Iceberg/Delta time-travel
         mechanism, reduced to its core)."""
-        schema = T.StructType(
-            list(_SCHEMAS[table].fields) + [T.StructField("bucket", T.LongType())]
-        )
-        m = self._manifest_at(version)
-        paths = [
-            self._obj_dir(table, int(b), int(v))
-            for b, v in m["tables"].get(table, {}).items()
-        ]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_table(table, self._manifest_at(version))
 
     def blocks_at(self, version: int) -> DataFrame:
         return self.read_at("blocks", version).drop("bucket")
@@ -183,36 +207,80 @@ class AtomicBlockStore:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self, table: str) -> DataFrame:
+    @staticmethod
+    def _entry_versions(entry) -> tuple[list[int], bool]:
+        """(object versions oldest-first, needs_merge) for a manifest
+        entry — plain int (COW base only) or MOR ``{"base","deltas"}``."""
+        if isinstance(entry, dict):
+            versions = [int(entry["base"])] + [int(v) for v in entry["deltas"]]
+            return versions, len(versions) > 1
+        return [int(entry)], False
+
+    def _read_table(
+        self, table: str, manifest: dict, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Resolve a table (optionally restricted to *buckets*) from a
+        manifest. Buckets without deltas take the fast path — ONE
+        multi-path scan, no merge plan at all. Buckets with deltas get
+        merge-on-read: blocks resolve latest-commit-wins per number
+        (numbers never cross buckets, so the window shuffle is uniform
+        and bucket-local); children survive iff their parent hash is in
+        the resolved block set (the reorg cascade, tombstone-free) and
+        dedupe on their PK against idempotent re-delivery."""
         schema = T.StructType(
             list(_SCHEMAS[table].fields) + [T.StructField("bucket", T.LongType())]
         )
-        m = self._manifest()
-        paths = [
-            self._obj_dir(table, int(b), int(v))
-            for b, v in m["tables"].get(table, {}).items()
-        ]
-        if not paths:
+        entries = manifest["tables"].get(table, {})
+        if buckets is not None:
+            keep = {str(int(b)) for b in buckets}
+            entries = {b: e for b, e in entries.items() if b in keep}
+        by_version: dict[int, list[str]] = {}
+        merge = False
+        for b, e in entries.items():
+            versions, has_deltas = self._entry_versions(e)
+            merge = merge or has_deltas
+            for v in versions:
+                by_version.setdefault(v, []).append(self._obj_dir(table, int(b), v))
+        if not by_version:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        if not merge:
+            paths = [p for ps in by_version.values() for p in ps]
+            return self.spark.read.schema(schema).parquet(*paths)
+
+        from pyspark.sql.window import Window
+
+        df = None
+        for v, ps in sorted(by_version.items()):
+            part = self.spark.read.schema(schema).parquet(*ps).withColumn(
+                "_commit", F.lit(v)
+            )
+            df = part if df is None else df.unionByName(part)
+        if table == "blocks":
+            w = Window.partitionBy("number").orderBy(F.desc("_commit"))
+            return (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_commit")
+            )
+        live = self._read_table("blocks", manifest, buckets).select(
+            F.col("hash").alias("_kh")
+        )
+        pk = ["hash", "blockhash"] if table == "transactions" else ["blockhash", "index"]
+        return (
+            df.drop("_commit")
+            .dropDuplicates(pk)
+            .join(live, F.col("blockhash") == F.col("_kh"), "left_semi")
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self._read_table(table, self._manifest())
 
     def read_buckets(self, table: str, buckets: list[int]) -> DataFrame:
         """Scan ONLY the given buckets' current object dirs — path-level
         pruning resolved from the manifest before the parquet scan even
         lists files. A guardrail-bounded number-window read (≤100
         blocks) touches 1-2 directories regardless of chain length."""
-        schema = T.StructType(
-            list(_SCHEMAS[table].fields) + [T.StructField("bucket", T.LongType())]
-        )
-        entries = self._manifest()["tables"].get(table, {})
-        paths = [
-            self._obj_dir(table, int(b), int(entries[str(int(b))]))
-            for b in buckets
-            if str(int(b)) in entries
-        ]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_table(table, self._manifest(), buckets=buckets)
 
     def buckets_for_time_range(self, frm: int, to: int) -> list[int] | None:
         """Buckets whose recorded [min,max] block time intersects
@@ -281,18 +349,9 @@ class AtomicBlockStore:
 
     # -- atomic upsert -----------------------------------------------------
 
-    def upsert_batch(
-        self, blocks: DataFrame, txs: DataFrame, events: DataFrame
-    ) -> None:
-        """Replace-by-number across all three tables in ONE commit.
-
-        All new bucket versions are fully written before the manifest
-        swap; a crash mid-write leaves only unreferenced object dirs.
-        Replay after a crash re-runs the identical idempotent merge.
-        """
-        manifest = self._manifest()
-        next_version = manifest["version"] + 1
-
+    def _prepare_batch(self, blocks, txs, events):
+        """Shared commit preamble: bucket the blocks, tag children with
+        their parent's bucket, list the touched buckets."""
         blocks = blocks.withColumn("bucket", bucket_of(F.col("number")))
         key = blocks.select(
             F.col("hash").alias("_bh"), F.col("number").alias("_num"), "bucket"
@@ -301,12 +360,38 @@ class AtomicBlockStore:
         events = events.join(key, events["blockhash"] == key["_bh"], "inner").drop(
             "_bh"
         )
-
         touched = [r[0] for r in blocks.select("bucket").distinct().collect()]
+        return blocks, txs, events, touched
+
+    def upsert_batch(
+        self, blocks: DataFrame, txs: DataFrame, events: DataFrame
+    ) -> None:
+        """Replace-by-number across all three tables in ONE commit,
+        via the configured commit mode (see module docstring)."""
+        if self.commit_mode == "delta":
+            self._delta_upsert_batch(blocks, txs, events)
+        else:
+            self._cow_upsert_batch(blocks, txs, events)
+
+    def _cow_upsert_batch(
+        self, blocks: DataFrame, txs: DataFrame, events: DataFrame
+    ) -> None:
+        """Copy-on-write commit: every touched bucket is rewritten in
+        full (survivors ∪ batch). All new bucket versions are fully
+        written before the manifest swap; a crash mid-write leaves only
+        unreferenced object dirs. Replay after a crash re-runs the
+        identical idempotent merge.
+        """
+        manifest = self._manifest()
+        next_version = manifest["version"] + 1
+
+        blocks, txs, events, touched = self._prepare_batch(blocks, txs, events)
         replaced = blocks.select(F.col("number").alias("_num")).distinct()
 
         # survivors ∪ new, computed against the CURRENT snapshot
-        cur_blocks = self.read("blocks").filter(F.col("bucket").isin(touched))
+        # (path-pruned to the touched buckets; resolves any delta chains
+        # there too, so a COW commit folds them away)
+        cur_blocks = self._read_table("blocks", manifest, buckets=touched)
         new_blocks = cur_blocks.join(
             replaced, cur_blocks["number"] == replaced["_num"], "left_anti"
         ).unionByName(blocks.select(*[f.name for f in _SCHEMAS["blocks"]], "bucket"))
@@ -314,7 +399,7 @@ class AtomicBlockStore:
         parents = new_blocks.select(F.col("hash").alias("_kh"))
 
         def merge_children(table: str, batch: DataFrame) -> DataFrame:
-            existing = self.read(table).filter(F.col("bucket").isin(touched))
+            existing = self._read_table(table, manifest, buckets=touched)
             survivors = existing.join(
                 parents, existing["blockhash"] == F.col("_kh"), "left_semi"
             )
@@ -369,6 +454,128 @@ class AtomicBlockStore:
         manifest["version"] = next_version
         self._commit_manifest(manifest)
 
+    def _delta_upsert_batch(
+        self, blocks: DataFrame, txs: DataFrame, events: DataFrame
+    ) -> None:
+        """Merge-on-read commit: write ONLY the batch's rows per touched
+        bucket (O(batch) write amplification — no snapshot read, no
+        survivor join, the whole point at steady ingest). Readers
+        resolve replace-by-number and the child cascade; zone-map bounds
+        are widened (exact bounds return at compaction). Buckets whose
+        delta chain reaches ``max_deltas`` are auto-compacted in a
+        follow-up commit, bounding read amplification."""
+        manifest = self._manifest()
+        next_version = manifest["version"] + 1
+
+        blocks, txs, events, touched = self._prepare_batch(blocks, txs, events)
+        batch = {
+            "blocks": blocks.select(*[f.name for f in _SCHEMAS["blocks"]], "bucket"),
+            "transactions": txs.drop("_num").select(
+                *[f.name for f in _SCHEMAS["transactions"]], "bucket"
+            ),
+            "events": events.drop("_num").select(
+                *[f.name for f in _SCHEMAS["events"]], "bucket"
+            ),
+        }
+        batch_stats: dict[str, list] = {}
+        for table, df in batch.items():
+            sort_key = "number" if table == "blocks" else "blockhash"
+            df = df.persist()
+            try:
+                if table == "blocks":
+                    batch_stats = {
+                        str(int(r["bucket"])): [r["tmin"], r["tmax"]]
+                        for r in df.groupBy("bucket")
+                        .agg(F.min("time").alias("tmin"), F.max("time").alias("tmax"))
+                        .collect()
+                    }
+                for b in touched:
+                    out = self._obj_dir(table, int(b), next_version)
+                    (
+                        df.filter(F.col("bucket") == b)
+                        .sortWithinPartitions(sort_key)
+                        .coalesce(1)
+                        .write.mode("overwrite")  # idempotent crash replay
+                        .parquet(out)
+                    )
+            finally:
+                df.unpersist()
+
+        for t in _TABLES:
+            tab = manifest["tables"].setdefault(t, {})
+            for b in touched:
+                bs = str(int(b))
+                e = tab.get(bs)
+                if e is None:
+                    tab[bs] = next_version  # new bucket: the delta IS the base
+                elif isinstance(e, dict):
+                    e["deltas"].append(next_version)
+                else:
+                    tab[bs] = {"base": int(e), "deltas": [next_version]}
+        stats = manifest.setdefault("stats", {}).setdefault("blocks", {})
+        for bs, (lo, hi) in batch_stats.items():
+            old = stats.get(bs)
+            if old and old[0] is not None and old[1] is not None:
+                stats[bs] = [min(old[0], lo), max(old[1], hi)]
+            else:
+                stats[bs] = [lo, hi]
+        manifest["version"] = next_version
+        self._commit_manifest(manifest)
+
+        over = [
+            int(b)
+            for b, e in manifest["tables"]["blocks"].items()
+            if isinstance(e, dict) and len(e["deltas"]) >= self.max_deltas
+        ]
+        if over:
+            self.compact(buckets=over)
+
+    def compact(self, buckets: list[int] | None = None) -> int:
+        """Fold delta chains back into single base objects (optionally
+        only for *buckets*). One atomic commit; readers of compacted
+        buckets return to the zero-merge fast path, and blocks zone
+        maps are recomputed exact (delta commits only widen them).
+        Returns the number of (table, bucket) chains folded."""
+        manifest = self._manifest()
+        next_version = manifest["version"] + 1
+        keep = None if buckets is None else {int(b) for b in buckets}
+        targets = {
+            t: [
+                b
+                for b, e in manifest["tables"].get(t, {}).items()
+                if isinstance(e, dict) and (keep is None or int(b) in keep)
+            ]
+            for t in _TABLES
+        }
+        folded = sum(len(v) for v in targets.values())
+        if not folded:
+            return 0
+        for t in _TABLES:
+            sort_key = "number" if t == "blocks" else "blockhash"
+            for bs in targets[t]:
+                df = self._read_table(t, manifest, buckets=[int(bs)]).persist()
+                try:
+                    out = self._obj_dir(t, int(bs), next_version)
+                    (
+                        df.sortWithinPartitions(sort_key)
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(out)
+                    )
+                    if t == "blocks":
+                        row = df.agg(
+                            F.min("time").alias("tmin"), F.max("time").alias("tmax")
+                        ).first()
+                        manifest.setdefault("stats", {}).setdefault("blocks", {})[
+                            bs
+                        ] = [row["tmin"], row["tmax"]]
+                finally:
+                    df.unpersist()
+                manifest["tables"][t][bs] = next_version
+        manifest["version"] = next_version
+        self._commit_manifest(manifest)
+        return folded
+
     # -- publish log (same semantics as BlockStore) ------------------------
 
     def published(self) -> DataFrame:
@@ -408,9 +615,10 @@ class AtomicBlockStore:
         live = set()
         for m in [self._manifest()] + [self._manifest_at(v) for v in retained]:
             live |= {
-                self._obj_dir(t, int(b), int(v))
+                self._obj_dir(t, int(b), v)
                 for t, buckets in m["tables"].items()
-                for b, v in buckets.items()
+                for b, e in buckets.items()
+                for v in self._entry_versions(e)[0]
             }
         # drop out-of-retention archives (their objects may go below)
         for v in self.snapshots():

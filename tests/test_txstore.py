@@ -198,3 +198,171 @@ def test_vacuum_respects_snapshot_retention(spark, tmp_path):
     store.vacuum(min_age_seconds=0, retain_snapshots=0)
     assert store.snapshots() == []
     assert store.blocks().count() == 4
+
+
+# -- merge-on-read (delta) commit mode -----------------------------------
+
+
+def _delta_store(spark, tmp_path, **kw):
+    return AtomicBlockStore(
+        spark, str(tmp_path / "d"), commit_mode="delta", **kw
+    )
+
+
+def test_delta_upsert_matches_cow_semantics(spark, tmp_path):
+    """Replace-by-number + child cascade must read identically under
+    merge-on-read; the manifest shows a base + delta chain."""
+    store = _delta_store(spark, tmp_path)
+    process_raw_batch(store, make_raw(spark, [raw_block(n) for n in range(3)]))
+    process_raw_batch(store, make_raw(spark, [raw_block(1, salt="R")]))
+
+    blocks = store.blocks()
+    assert blocks.count() == 3
+    assert (
+        blocks.filter(F.col("number") == 1).first()["hash"]
+        == raw_block(1, salt="R")["hash"].lower()
+    )
+    old_hash = raw_block(1)["hash"].lower()
+    assert store.transactions().filter(F.col("blockhash") == old_hash).count() == 0
+    assert store.events().filter(F.col("blockhash") == old_hash).count() == 0
+    assert store.transactions().count() == 6
+    assert store.events().count() == 6
+
+    entry = store._manifest()["tables"]["blocks"]["0"]
+    assert entry == {"base": 1, "deltas": [2]}
+
+
+def test_delta_commit_writes_only_the_batch(spark, tmp_path):
+    """The whole point of MOR: commit N+1 writes O(batch) rows, not a
+    rewrite of the bucket (COW writes survivors ∪ batch)."""
+    store = _delta_store(spark, tmp_path)
+    process_raw_batch(store, make_raw(spark, [raw_block(n) for n in range(50)]))
+    process_raw_batch(store, make_raw(spark, [raw_block(50)]))
+
+    delta_dir = store._obj_dir("blocks", 0, 2)
+    assert spark.read.parquet(delta_dir).count() == 1  # not 51
+    assert store.blocks().count() == 51
+
+    cow = AtomicBlockStore(spark, str(tmp_path / "c"))
+    process_raw_batch(cow, make_raw(spark, [raw_block(n) for n in range(50)]))
+    process_raw_batch(cow, make_raw(spark, [raw_block(50)]))
+    assert spark.read.parquet(cow._obj_dir("blocks", 0, 2)).count() == 51
+
+
+def test_delta_idempotent_redelivery_no_duplicates(spark, tmp_path):
+    store = _delta_store(spark, tmp_path)
+    batch = [raw_block(0), raw_block(1)]
+    process_raw_batch(store, make_raw(spark, batch))
+    process_raw_batch(store, make_raw(spark, batch))  # duplicate delivery
+    assert store.blocks().count() == 2
+    assert store.transactions().count() == 4
+    assert store.events().count() == 4
+
+
+def test_delta_compaction_folds_and_preserves_content(spark, tmp_path):
+    store = _delta_store(spark, tmp_path, max_deltas=100)
+    for n in range(4):
+        process_raw_batch(store, make_raw(spark, [raw_block(n)]))
+    process_raw_batch(store, make_raw(spark, [raw_block(2, salt="R")]))
+
+    before = {
+        t: sorted(
+            (r["blockhash"] if "blockhash" in r.__fields__ else r["hash"])
+            for r in getattr(store, t)().collect()
+        )
+        for t in ("blocks", "transactions", "events")
+    }
+    stats_before = store._manifest()["stats"]["blocks"]["0"]
+    assert store.compact() > 0
+    after = {
+        t: sorted(
+            (r["blockhash"] if "blockhash" in r.__fields__ else r["hash"])
+            for r in getattr(store, t)().collect()
+        )
+        for t in ("blocks", "transactions", "events")
+    }
+    assert before == after
+    m = store._manifest()
+    assert isinstance(m["tables"]["blocks"]["0"], int)
+    # zone maps recomputed exact (delta mode only widens)
+    assert m["stats"]["blocks"]["0"] == stats_before
+    # compacted bucket is back on the zero-merge fast path
+    plan = store.blocks()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert store.compact() == 0  # nothing left to fold
+
+
+def test_delta_auto_compaction_bounds_read_amplification(spark, tmp_path):
+    store = _delta_store(spark, tmp_path, max_deltas=2)
+    for n in range(5):
+        process_raw_batch(store, make_raw(spark, [raw_block(n)]))
+    e = store._manifest()["tables"]["blocks"]["0"]
+    n_deltas = 0 if isinstance(e, int) else len(e["deltas"])
+    assert n_deltas < 2, e
+    assert store.blocks().count() == 5
+
+
+def test_delta_crash_before_swap_is_invisible(spark, tmp_path, monkeypatch):
+    store = _delta_store(spark, tmp_path)
+    process_raw_batch(store, make_raw(spark, [raw_block(0), raw_block(1)]))
+
+    def boom(_manifest):
+        raise OSError("simulated crash at commit point")
+
+    monkeypatch.setattr(store, "_commit_manifest", boom)
+    with pytest.raises(Exception, match="simulated crash"):
+        process_raw_batch(store, make_raw(spark, [raw_block(2)]))
+    monkeypatch.undo()
+
+    assert store.blocks().count() == 2
+    process_raw_batch(store, make_raw(spark, [raw_block(2)]))  # replay
+    assert store.blocks().count() == 3
+
+
+def test_delta_time_travel_and_vacuum(spark, tmp_path):
+    store = _delta_store(spark, tmp_path, max_deltas=100)
+    process_raw_batch(store, make_raw(spark, [raw_block(0), raw_block(1)]))
+    process_raw_batch(store, make_raw(spark, [raw_block(1, salt="R")]))
+    old1 = raw_block(1)["hash"].lower()
+
+    snap1 = {r["hash"] for r in store.blocks_at(1).collect()}
+    assert old1 in snap1
+    cur = {r["hash"] for r in store.blocks().collect()}
+    assert old1 not in cur
+
+    # live delta objects survive an aggressive vacuum
+    store.vacuum(min_age_seconds=0, retain_snapshots=0)
+    assert {r["hash"] for r in store.blocks().collect()} == cur
+
+    # after compaction, superseded base+delta dirs are reclaimable
+    store.compact()
+    removed = store.vacuum(min_age_seconds=0, retain_snapshots=0)
+    assert removed > 0
+    assert {r["hash"] for r in store.blocks().collect()} == cur
+
+
+def test_delta_zone_maps_widen_then_tighten(spark, tmp_path):
+    store = _delta_store(spark, tmp_path, max_deltas=100)
+    process_raw_batch(store, make_raw(spark, [raw_block(5)]))
+    process_raw_batch(store, make_raw(spark, [raw_block(1)]))
+    lo = 1_600_000_000  # raw_block: timestamp = lo + 2 * number
+    m = store._manifest()
+    assert m["stats"]["blocks"]["0"] == [lo + 2 * 1, lo + 2 * 5]
+    assert store.buckets_for_time_range(lo, lo + 1) == []
+    assert store.buckets_for_time_range(lo + 2, lo + 3) == [0]
+
+
+def test_delta_stream_ingest(spark, tmp_path):
+    """The ingest stream is commit-mode-agnostic."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = AtomicBlockStore(
+        spark, str(tmp_path / "store"), commit_mode="delta"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    with open(landing / "a.json", "w") as f:
+        for n in range(5):
+            f.write(json.dumps(raw_block(n)) + "\n")
+    start_ingest_stream(spark, str(landing), store, ckpt).awaitTermination(120)
+    assert store.blocks().count() == 5
+    assert store.published().count() == 5
