@@ -1500,3 +1500,31 @@ def q64(spark, sf):
     return out.select(
         "event_type", "count_event_id", F.round("sum_value", 4).alias("sum_value")
     )
+
+
+@register(
+    "q65_top_ngrams",
+    # corpus-level memorization/boilerplate audit: most-duplicated token
+    # 3-grams with document frequency; ties broken by ngram text so the
+    # top-k cut is deterministic on both engines
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ngram
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    )
+    SELECT ngram, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM grams GROUP BY ngram HAVING count(*) >= 2
+    ORDER BY n_occurrences DESC, ngram LIMIT 100
+    """,
+)
+def q65(spark, sf):
+    """Top duplicated 3-grams via ``corpus.top_ngrams`` — tokenize +
+    window-slide are pure map; one uniform hash shuffle with map-side
+    partial agg (Zipfian heads are absorbed before the exchange); the
+    final cut is TakeOrderedAndProject, never a global sort."""
+    doc = load_table(spark, sf, "documents")
+    return corpus.top_ngrams(doc, "doc_id", "text", n=3, k=100, min_count=2)

@@ -305,3 +305,54 @@ def gopher_quality_flags(
             & ellipsis_ok & bullet_ok & stop_ok
         ).alias("gopher_ok"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    k: int = 100,
+    min_count: int = 2,
+) -> DataFrame:
+    """Most-duplicated token n-grams across the WHOLE corpus — the
+    memorization/boilerplate audit: n-grams occurring verbatim in many
+    documents are prime candidates for dedup rules, license-header
+    stripping, and train-set memorization analysis (the same statistic
+    the dedup literature computes at 13-grams).
+
+    Output: (ngram, n_occurrences, n_docs) for the top *k* by total
+    occurrences (ties broken by ngram text, so the cut is
+    deterministic), restricted to n-grams seen at least *min_count*
+    times.
+
+    Scale shape: tokenize + window-slide are pure map (codegen array
+    ops); the groupBy on the n-gram string is one uniform hash shuffle
+    with map-side partial aggregation — natural-language n-gram
+    frequencies are Zipfian, but partial aggregation absorbs the head
+    on the map side, so no explicit salting is needed. The top-k is
+    TakeOrderedAndProject (no global sort). n_docs rides the same
+    shuffle as a count-distinct expand over (ngram, id).
+    """
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be positive")
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    e = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    grams = F.when(
+        F.size("__t") >= n,
+        F.expr(
+            f"transform(sequence(0, size(__t) - {n}),"
+            f" i -> concat_ws(' ', slice(__t, i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        e.select("id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -15,7 +15,7 @@ Route → handler parity (status codes match the gin branches):
   ``NotFoundError`` (``{"msg": "Not found"}``), 200 otherwise
 - ``POST /v1/graphql``              → resolver execution, 200 with a
   GraphQL ``{"data": ...}`` / ``{"errors": [...]}`` envelope
-- ``GET /v1/graphql``               → playground HTML stub
+- ``GET /v1/graphql``               → interactive playground console
 - ``GET /v1/ws`` (Upgrade)          → subscribe/unsubscribe protocol via
   ``SubscriptionManager`` (``{"code": 0|1, "message": ...}`` payloads,
   ``app/pubsub/pubsub.go`` semantics)

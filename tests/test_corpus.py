@@ -142,3 +142,52 @@ class TestGopherQuality:
         longwords = " ".join("pneumonoultramicroscopic" for _ in range(60))
         r = self._flags(spark, "the of and to be that have with " + longwords)
         assert not r["word_len_ok"]
+
+
+class TestTopNgrams:
+    def _df(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown cat sits"),
+            (3, "the quick brown fox naps"),
+            (4, "one two"),  # shorter than n: contributes nothing
+            (5, "THE QUICK brown dog"),  # case-folded before sliding
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_counts_and_doc_frequency(self, spark):
+        from evm_indexer_spark.operators.corpus import top_ngrams
+
+        out = top_ngrams(self._df(spark), "doc_id", "text", n=3, k=10).collect()
+        by_gram = {r["ngram"]: r for r in out}
+        assert by_gram["the quick brown"]["n_occurrences"] == 4
+        assert by_gram["the quick brown"]["n_docs"] == 4
+        assert by_gram["quick brown fox"]["n_occurrences"] == 2
+        assert by_gram["quick brown fox"]["n_docs"] == 2
+        # min_count=2 drops singletons; doc 4 (< n tokens) never appears
+        assert all(r["n_occurrences"] >= 2 for r in out)
+        assert "one two" not in by_gram
+
+    def test_deterministic_tie_cut(self, spark):
+        from evm_indexer_spark.operators.corpus import top_ngrams
+
+        rows = [(i, f"tie{c} tie{c} x") for i, c in enumerate("abcdef")] * 2
+        df = spark.createDataFrame(
+            [(i, t) for i, (_, t) in enumerate(rows)], ["doc_id", "text"]
+        )
+        # every 2-gram has count 2 — k=3 must cut by ngram text
+        out = top_ngrams(df, "doc_id", "text", n=2, k=3).collect()
+        assert [r["ngram"] for r in out] == [
+            "tiea tiea", "tiea x", "tieb tieb"
+        ]
+
+    def test_topk_is_not_a_global_sort(self, spark):
+        from evm_indexer_spark.operators.corpus import top_ngrams
+
+        plan = (
+            top_ngrams(self._df(spark), "doc_id", "text", n=2, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, plan
