@@ -108,19 +108,30 @@ class HistoricalQueries:
 
     def _time_buckets(self, frm: int, to: int) -> list[int] | None:
         """Zone-map bucket set for a time window, or None when pruning
-        is unavailable (no resolver / legacy manifest / set too wide)."""
-        if not self.bucket_reader or not self.time_bucket_resolver or frm > to:
+        is unavailable (no resolver / no stats yet / set too wide)."""
+        if not self.time_bucket_resolver or frm > to:
             return None
         buckets = self.time_bucket_resolver(frm, to)
         if buckets is None or len(buckets) > self.MAX_PRUNED_BUCKETS:
             return None
         return buckets
 
+    def _time_pruned(self, table: str, buckets: list[int]) -> DataFrame:
+        """*table*'s source restricted to the zone-map bucket set:
+        path-level when a bucket_reader is wired (manifest store), else
+        a ``bucket IN (...)`` partition filter (hive layout)."""
+        if self.bucket_reader is not None:
+            return self.bucket_reader(table, buckets)
+        full = getattr(self, table)
+        if "bucket" in full.columns:
+            return full.filter(F.col("bucket").isin(buckets))
+        return full
+
     def _blocks_in_time_range(self, frm: int, to: int) -> DataFrame:
-        """Time-range predicate (P6); with manifest zone maps only the
-        buckets whose [min,max] time intersects the window are read."""
+        """Time-range predicate (P6); with zone maps only the buckets
+        whose recorded [min,max] time intersects the window are read."""
         buckets = self._time_buckets(frm, to)
-        src = self.blocks if buckets is None else self.bucket_reader("blocks", buckets)
+        src = self.blocks if buckets is None else self._time_pruned("blocks", buckets)
         return src.filter(F.col("time").between(frm, to))
 
     def _join_blocks(self, fact: DataFrame, blocks_small: DataFrame) -> DataFrame:
@@ -268,7 +279,7 @@ class HistoricalQueries:
             buckets = self._time_buckets(frm, to)
             if buckets is None or name is None:
                 return fact
-            return self.bucket_reader(name, buckets)
+            return self._time_pruned(name, buckets)
         if not self.bucket_size or "bucket" not in fact.columns:
             return fact
         if self.bucket_reader is not None and name is not None:

@@ -82,6 +82,7 @@ class BlockStore:
             self.read("events"),
             config or DEFAULT_CONFIG,
             bucket_size=BLOCK_BUCKET_SIZE,
+            time_bucket_resolver=self.buckets_for_time_range,
         )
 
     def rest_facade(self, config=None):
@@ -154,6 +155,74 @@ class BlockStore:
 
         for table, batch in (("transactions", txs), ("events", events)):
             self._rewrite(table, touched, batch.drop("_num"), keep_children)
+        self._refresh_time_stats(touched)
+
+    # -- zone maps (by-time pruning) ---------------------------------------
+
+    def _time_stats_path(self) -> str:
+        return self._path("_time_stats.json")
+
+    def _time_stats(self) -> dict:
+        import json
+
+        try:
+            with open(self._time_stats_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _refresh_time_stats(self, touched: list[int]) -> None:
+        """Record exact [min,max] block time per just-rewritten bucket —
+        the same zone maps AtomicBlockStore keeps in its manifest,
+        here as a side file under the store root. Consistency follows
+        the store's own contract: the stats write happens after the
+        partition overwrites, and a crash in between is healed by the
+        idempotent batch replay (which recomputes them); a DELETE only
+        ever leaves bounds over-wide, never wrong-narrow."""
+        import json
+
+        stats = self._time_stats()
+        fresh = (
+            self.read("blocks")
+            .filter(F.col("bucket").isin(touched))
+            .groupBy("bucket")
+            .agg(F.min("time").alias("tmin"), F.max("time").alias("tmax"))
+            .collect()
+        )
+        for r in fresh:
+            stats[str(int(r["bucket"]))] = [r["tmin"], r["tmax"]]
+        tmp = self._time_stats_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, self._time_stats_path())
+
+    def buckets_for_time_range(self, frm: int, to: int) -> list[int] | None:
+        """Buckets whose recorded time bounds intersect [frm, to]; None
+        when no stats exist yet (full-scan fallback). Bucket dirs on
+        disk that predate the stats file are conservatively included."""
+        stats = self._time_stats()
+        if not stats:
+            return None
+        path = self._path("blocks")
+        try:
+            on_disk = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(path)
+                if d.startswith("bucket=")
+            ]
+        except OSError:
+            return None
+        out = []
+        for b in on_disk:
+            bounds = stats.get(str(b))
+            if (
+                bounds is None
+                or bounds[0] is None
+                or bounds[1] is None
+                or (bounds[0] <= to and bounds[1] >= frm)
+            ):
+                out.append(b)
+        return sorted(out)
 
     def _rewrite(self, table: str, buckets: list[int], new_rows: DataFrame, keep_fn):
         """Overwrite the touched buckets with keep_fn(existing) ∪ new."""

@@ -260,6 +260,34 @@ def test_zone_map_legacy_manifest_falls_back(atomic_store):
             f.write(orig)
 
 
+def test_zone_map_time_pruning_hive_store(store):
+    """The hive-layout store prunes by-time reads too — via a bucket
+    partition filter derived from its _time_stats side file."""
+    assert store.buckets_for_time_range(
+        _t(BLOCK_BUCKET_SIZE), _t(BLOCK_BUCKET_SIZE + 29)
+    ) == [1]
+    hq = store.historical_queries()
+    frm = _t(BLOCK_BUCKET_SIZE + 5)
+    df = hq.get_blocks_by_time_range(frm, frm + 12 * 10)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:250], plan
+    assert df.count() == 11
+    # disjoint window resolves to no buckets at all
+    assert store.buckets_for_time_range(_t(10**9), _t(10**9) + 1) == []
+
+
+def test_zone_map_hive_fact_side_prunes(store):
+    hq = store.historical_queries()
+    frm = _t(2 * BLOCK_BUCKET_SIZE)
+    df = hq.get_events_from_contract_by_block_time_range(
+        "0x" + "0" * 40, frm, frm + 12 * 20
+    )
+    plan = _plan(df)
+    assert plan.count("PartitionFilters") >= 2, plan
+    assert df.count() > 0
+
+
 def test_rest_facade_default_hash_index_both_backends(
     spark, store, atomic_store, tmp_path
 ):
