@@ -78,7 +78,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/repo/testdata_sf10")
     ap.add_argument("--out", default="/root/repo/SF10_PROOF.json")
+    ap.add_argument(
+        "--families",
+        nargs="*",
+        default=None,
+        choices=["minhash", "simhash", "embedding", "cc", "rownum"],
+        help="subset to (re)run; merges into an existing --out report",
+    )
     args = ap.parse_args()
+    fam = set(args.families or ["minhash", "simhash", "embedding", "cc", "rownum"])
+
+    # 100x-scale shuffles (24-band candidate stream ≈ 600M slim rows
+    # pre-dedup) need a real heap: the 8g test default OOMs the shared
+    # local-mode JVM at stage granularity, while the container has
+    # 128 GiB. On a cluster this is per-executor memory, not driver.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
 
     from evm_indexer_spark.operators import dedup, graph, order, similarity
     from evm_indexer_spark.session import get_spark
@@ -86,6 +100,9 @@ def main() -> None:
     spark = get_spark("sf10-proof")
     spark.sparkContext.setLogLevel("ERROR")
     report: dict = {"sf": "testdata_sf10 (100x bench SF)", "factor": FACTOR}
+    if args.families and os.path.exists(args.out):
+        with open(args.out) as f:
+            report = {**json.load(f), **report}
 
     doc = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
@@ -100,165 +117,177 @@ def main() -> None:
         F.col("vec_id").alias("s")
     )
 
-    # ---- 1. MinHash candidates at scale params ------------------------
-    t0 = time.perf_counter()
-    cand = dedup.minhash_candidates(doc, "doc_id", "text", num_hashes=48, bands=24)
-    n_cand = cand.count()
-    cand_secs = time.perf_counter() - t0
-
     planted_doc = planted_pairs(spark, doc_src, doc_stride)
-    n_planted = planted_doc.count()
-    t0 = time.perf_counter()
-    n_hit = cand.join(planted_doc, ["id_a", "id_b"], "left_semi").count()
-    recall_secs = time.perf_counter() - t0
 
-    # exact Jaccard on a deterministic ~1% planted sample: proves the
-    # planted pairs are genuinely >= threshold (true positives)
-    sample = planted_doc.filter(
-        F.pmod(F.xxhash64("id_a", "id_b"), F.lit(100)) == 0
-    )
-    docs_in_sample = (
-        sample.select(F.col("id_a").alias("doc_id"))
-        .union(sample.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    sub = doc.join(docs_in_sample, "doc_id", "left_semi")
-    t0 = time.perf_counter()
-    verified = (
-        dedup.jaccard_prefix_join(
-            sub, "doc_id", "text", threshold=0.4, strategy="prefix"
+    # ---- 1. MinHash candidates at scale params ------------------------
+    if "minhash" in fam:
+        t0 = time.perf_counter()
+        cand = dedup.minhash_candidates(doc, "doc_id", "text", num_hashes=48, bands=24)
+        n_cand = cand.count()
+        cand_secs = time.perf_counter() - t0
+
+        n_planted = planted_doc.count()
+        t0 = time.perf_counter()
+        n_hit = cand.join(planted_doc, ["id_a", "id_b"], "left_semi").count()
+        recall_secs = time.perf_counter() - t0
+
+        # exact Jaccard on a deterministic ~1% planted sample: proves the
+        # planted pairs are genuinely >= threshold (true positives)
+        sample = planted_doc.filter(
+            F.pmod(F.xxhash64("id_a", "id_b"), F.lit(100)) == 0
         )
-        .join(sample, ["id_a", "id_b"], "left_semi")
-        .count()
-    )
-    n_sample = sample.count()
-    report["minhash_lsh"] = {
-        "docs": doc.count(),
-        "planted_pairs": n_planted,
-        "candidates": n_cand,
-        "candidate_recall": round(n_hit / n_planted, 6),
-        "candidates_secs": round(cand_secs, 2),
-        "recall_join_secs": round(recall_secs, 2),
-        "sample_pairs_verified_exact": verified,
-        "sample_pairs": n_sample,
-        "sample_verify_secs": round(time.perf_counter() - t0, 2),
-        "note": "full exact verification is output-size-bound "
-        "(~150GB set-carry shuffle for 24.75M near-dup pairs); "
-        "candidates + sampled exactness is the scale-relevant proof",
-    }
-    print("minhash:", report["minhash_lsh"], flush=True)
+        docs_in_sample = (
+            sample.select(F.col("id_a").alias("doc_id"))
+            .union(sample.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        sub = doc.join(docs_in_sample, "doc_id", "left_semi")
+        t0 = time.perf_counter()
+        verified = (
+            dedup.jaccard_prefix_join(
+                sub, "doc_id", "text", threshold=0.4, strategy="prefix"
+            )
+            .join(sample, ["id_a", "id_b"], "left_semi")
+            .count()
+        )
+        n_sample = sample.count()
+        report["minhash_lsh"] = {
+            "docs": doc.count(),
+            "planted_pairs": n_planted,
+            "candidates": n_cand,
+            "candidate_recall": round(n_hit / n_planted, 6),
+            "candidates_secs": round(cand_secs, 2),
+            "recall_join_secs": round(recall_secs, 2),
+            "sample_pairs_verified_exact": verified,
+            "sample_pairs": n_sample,
+            "sample_verify_secs": round(time.perf_counter() - t0, 2),
+            "note": "full exact verification is output-size-bound "
+            "(~150GB set-carry shuffle for 24.75M near-dup pairs); "
+            "candidates + sampled exactness is the scale-relevant proof",
+        }
+        print("minhash:", report["minhash_lsh"], flush=True)
 
     # ---- 2. SimHash FULL at scale params ------------------------------
-    t0 = time.perf_counter()
-    sh_pairs = dedup.simhash_near_duplicates(
-        doc, "doc_id", "text", max_hamming=3, n_blocks=4
-    )
-    n_sh = sh_pairs.count()
-    sh_secs = time.perf_counter() - t0
+    if "simhash" in fam:
+        t0 = time.perf_counter()
+        sh_pairs = dedup.simhash_near_duplicates(
+            doc, "doc_id", "text", max_hamming=3, n_blocks=4
+        )
+        n_sh = sh_pairs.count()
+        sh_secs = time.perf_counter() - t0
 
-    sigs = dedup.simhash_signatures(doc, "doc_id", "text")
-    truth = (
-        planted_doc.join(
-            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
-            "id_a",
+        sigs = dedup.simhash_signatures(doc, "doc_id", "text")
+        truth = (
+            planted_doc.join(
+                sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+                "id_a",
+            )
+            .join(
+                sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+                "id_b",
+            )
+            .withColumn("hamming", dedup.hamming64(F.col("sig_a"), F.col("sig_b")))
+            .filter(F.col("hamming") <= 3)
+            .select("id_a", "id_b")
         )
-        .join(
-            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
-            "id_b",
-        )
-        .withColumn("hamming", dedup.hamming64(F.col("sig_a"), F.col("sig_b")))
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b")
-    )
-    n_truth = truth.count()
-    n_sh_hit = sh_pairs.join(truth, ["id_a", "id_b"], "left_semi").count()
-    report["simhash"] = {
-        "pairs_found": n_sh,
-        "planted_within_hamming3": n_truth,
-        "recall_on_planted": round(n_sh_hit / max(n_truth, 1), 6),
-        "full_run_secs": round(sh_secs, 2),
-    }
-    print("simhash:", report["simhash"], flush=True)
+        n_truth = truth.count()
+        n_sh_hit = sh_pairs.join(truth, ["id_a", "id_b"], "left_semi").count()
+        report["simhash"] = {
+            "pairs_found": n_sh,
+            "planted_within_hamming3": n_truth,
+            "recall_on_planted": round(n_sh_hit / max(n_truth, 1), 6),
+            "full_run_secs": round(sh_secs, 2),
+        }
+        print("simhash:", report["simhash"], flush=True)
 
     # ---- 3. Embedding LSH FULL --------------------------------------
-    t0 = time.perf_counter()
-    found = similarity.embedding_near_duplicates(
-        emb, "vec_id", "embedding", min_cosine=0.99, dim=64
-    ).select("id_a", "id_b")
-    n_found = found.count()
-    emb_secs = time.perf_counter() - t0
+    if "embedding" in fam:
+        t0 = time.perf_counter()
+        # n_tables sized by the OR-construction miss law against THIS
+        # corpus's angle spread: the generator's per-copy dim-0 offset
+        # grows with copy index, so factor-100 worst pairs sit at
+        # θ≈0.1 rad — per-table collision (1-θ/π)^12 ≈ 0.68, so 6
+        # tables leave 0.32^6·pairs ≈ 10^3 misses (0.999862 measured);
+        # 12 tables push the worst-θ expected misses below 1.
+        found = similarity.embedding_near_duplicates(
+            emb, "vec_id", "embedding", min_cosine=0.99, n_tables=12, dim=64
+        ).select("id_a", "id_b")
+        n_found = found.count()
+        emb_secs = time.perf_counter() - t0
 
-    planted_emb = planted_pairs(spark, emb_src, emb_stride)
-    v = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    pv = (
-        planted_emb.join(
-            v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a")),
-            "id_a",
+        planted_emb = planted_pairs(spark, emb_src, emb_stride)
+        v = emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
-        .join(
-            v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b")),
-            "id_b",
+        pv = (
+            planted_emb.join(
+                v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a")),
+                "id_a",
+            )
+            .join(
+                v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b")),
+                "id_b",
+            )
         )
-    )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    emb_truth = pv.filter(
-        dot / (nrm(F.col("v_a")) * nrm(F.col("v_b"))) >= 0.99
-    ).select("id_a", "id_b")
-    n_emb_truth = emb_truth.count()
-    n_emb_hit = found.join(emb_truth, ["id_a", "id_b"], "left_semi").count()
-    report["embedding_lsh"] = {
-        "vectors": emb.count(),
-        "pairs_found": n_found,
-        "planted_above_cosine": n_emb_truth,
-        "recall_on_planted": round(n_emb_hit / max(n_emb_truth, 1), 6),
-        "full_run_secs": round(emb_secs, 2),
-    }
-    print("embedding:", report["embedding_lsh"], flush=True)
+        dot = F.aggregate(
+            F.zip_with("v_a", "v_b", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        emb_truth = pv.filter(
+            dot / (nrm(F.col("v_a")) * nrm(F.col("v_b"))) >= 0.99
+        ).select("id_a", "id_b")
+        n_emb_truth = emb_truth.count()
+        n_emb_hit = found.join(emb_truth, ["id_a", "id_b"], "left_semi").count()
+        report["embedding_lsh"] = {
+            "vectors": emb.count(),
+            "pairs_found": n_found,
+            "planted_above_cosine": n_emb_truth,
+            "recall_on_planted": round(n_emb_hit / max(n_emb_truth, 1), 6),
+            "full_run_secs": round(emb_secs, 2),
+        }
+        print("embedding:", report["embedding_lsh"], flush=True)
 
     # ---- 4. Connected components, distributed path -------------------
-    t0 = time.perf_counter()
-    cc = graph.connected_components(
-        planted_doc, "id_a", "id_b", driver_threshold=0
-    )
-    n_comp = cc.select("component").distinct().count()
-    cc_secs = time.perf_counter() - t0
-    graph.release_cached(cc)
-    report["connected_components"] = {
-        "edges": n_planted,
-        "components": n_comp,
-        "expected_components": doc_stride,
-        "distributed_secs": round(cc_secs, 2),
-    }
-    print("cc:", report["connected_components"], flush=True)
+    if "cc" in fam:
+        t0 = time.perf_counter()
+        cc = graph.connected_components(
+            planted_doc, "id_a", "id_b", driver_threshold=0
+        )
+        n_comp = cc.select("component").distinct().count()
+        cc_secs = time.perf_counter() - t0
+        graph.release_cached(cc)
+        report["connected_components"] = {
+            "edges": planted_doc.count(),
+            "components": n_comp,
+            "expected_components": doc_stride,
+            "distributed_secs": round(cc_secs, 2),
+        }
+        print("cc:", report["connected_components"], flush=True)
 
     # ---- 5. Global row numbering over 60M rows ------------------------
-    rows = li.select("l_orderkey", "l_linenumber")
-    t0 = time.perf_counter()
-    numbered = order.global_row_number(rows, ["l_orderkey", "l_linenumber"])
-    agg = numbered.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("row_id").alias("mn"),
-        F.max("row_id").alias("mx"),
-    ).collect()[0]
-    rn_secs = time.perf_counter() - t0
-    report["global_row_number"] = {
-        "rows": agg["n"],
-        "min_id": agg["mn"],
-        "max_id": agg["mx"],
-        "dense": agg["mn"] == 1 and agg["mx"] == agg["n"],
-        "full_run_secs": round(rn_secs, 2),
-    }
-    print("row_number:", report["global_row_number"], flush=True)
+    if "rownum" in fam:
+        rows = li.select("l_orderkey", "l_linenumber")
+        t0 = time.perf_counter()
+        numbered = order.global_row_number(rows, ["l_orderkey", "l_linenumber"])
+        agg = numbered.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("row_id").alias("mn"),
+            F.max("row_id").alias("mx"),
+        ).collect()[0]
+        rn_secs = time.perf_counter() - t0
+        report["global_row_number"] = {
+            "rows": agg["n"],
+            "min_id": agg["mn"],
+            "max_id": agg["mx"],
+            "dense": agg["mn"] == 1 and agg["mx"] == agg["n"],
+            "full_run_secs": round(rn_secs, 2),
+        }
+        print("row_number:", report["global_row_number"], flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
