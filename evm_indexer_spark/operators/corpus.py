@@ -333,6 +333,15 @@ def top_ngrams(
     on the map side, so no explicit salting is needed. The top-k is
     TakeOrderedAndProject (no global sort). n_docs rides the same
     shuffle as a count-distinct expand over (ngram, id).
+
+    Negative results (measured warm at sf1, don't retry blindly):
+    manual two-phase aggregation — groupBy(ngram, id) then
+    groupBy(ngram) — measured 8.9s vs 5.4s for this plan (the expand
+    Spark plans for count-distinct beats two explicit shuffles here);
+    hash-first heavy-hitters — aggregate on xxhash64(ngram), then a
+    second tokenization pass semi-filtered to the winning hashes —
+    measured 11.8s (tokenize+explode is the dominant cost, so any
+    two-pass scheme loses even with slim 8-byte shuffle keys).
     """
     if n < 1 or k < 1:
         raise ValueError("n and k must be positive")

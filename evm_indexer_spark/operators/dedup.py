@@ -439,8 +439,13 @@ def simhash_near_duplicates(
             F.col("b.id").alias("id_b"),
             hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the dedup exchange: hamming is a pure pair
+        # function, so rejecting non-matches first is semantics-neutral
+        # but shrinks the dropDuplicates shuffle from all bucket
+        # collisions to true matches (at corpus scale the collision
+        # stream is the larger of the two by construction)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
