@@ -1561,3 +1561,64 @@ def q65(spark, sf):
     final cut is TakeOrderedAndProject, never a global sort."""
     doc = load_table(spark, sf, "documents")
     return corpus.top_ngrams(doc, "doc_id", "text", n=3, k=100, min_count=2)
+
+
+@register(
+    "q66_incremental_dedup",
+    # dedup-on-arrival correctness: the pairs an incremental pass must
+    # report when the upper-id half of the corpus arrives against an
+    # index of the lower half = exactly the q27 truth restricted to
+    # pairs touching the new half (id ordering makes that id_b >= split,
+    # since id_a < id_b and the split is at the median doc_id)
+    """
+    WITH split AS (
+      SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS s FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(
+        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+             ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
+      AND id_b >= (SELECT s FROM split)
+    """,
+)
+def q66(spark, sf):
+    """Incremental dedup: the lower-id half of the corpus is the
+    "historical" indexed state (``minhash_banded`` bucket rows — what
+    ``streaming/dedup_stream.MinHashBucketIndex`` persists), the upper
+    half "arrives", and ``incremental_minhash_pairs`` reports every
+    qualifying pair touching the arrival — ONLY the batch is re-signed;
+    the historical side contributes its slim (id, band, bh) rows to one
+    bucket equi-join. Banding tiers match q27 (same miss-law budgets),
+    so the output is exact at every gate SF and verifiable against the
+    batch truth restricted to new-side pairs."""
+    doc = load_table(spark, sf, "documents")
+    stats = doc.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"), F.count("*").alias("n")
+    ).first()
+    split = (stats.lo + stats.hi + 1) // 2
+    old, new = doc.filter(F.col("doc_id") < split), doc.filter(
+        F.col("doc_id") >= split
+    )
+    if stats.n <= 2000:
+        nh, b = 64, 64
+    elif stats.n <= 20000:
+        nh, b = 16, 8
+    else:
+        nh, b = 48, 24
+    index = dedup.minhash_banded(old, "doc_id", "text", num_hashes=nh, bands=b)
+    return dedup.incremental_minhash_pairs(
+        new, index, doc, "doc_id", "text",
+        num_hashes=nh, bands=b, jaccard_threshold=0.4,
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

@@ -153,7 +153,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_candidates(
+def minhash_banded(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -161,27 +161,20 @@ def minhash_candidates(
     bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs from the MinHash band buckets — the
-    slim half of ``minhash_near_duplicates``, exposed separately so
-    scale proofs and recall audits can measure candidate generation
-    (where a corpus² blow-up would live) without paying the exact
-    verification pass, whose shuffle volume is output-size-bound (it
-    carries both documents' shingle sets per surviving pair).
+    """Slim (id, band, bh) LSH bucket rows — one row per document per
+    band, 16 bytes through any downstream shuffle. The shared candidate
+    -generation substrate: ``minhash_candidates`` self-joins it, and the
+    incremental pipeline (``streaming/dedup_stream``) persists it as the
+    corpus index new batches join against — the banding MUST match
+    between index and query sides (bh hashes band position in, so rows
+    from different configurations never collide silently).
 
-    Plan shape:
-      1. signature job — narrow, no shuffle;
-      2. explode to ``bands`` rows/doc, shuffle on (band, band_hash) —
-         uniform key space;
-      3. in-bucket self-join (small groups) → (id_a, id_b), deduped.
+    Signature pass: min aggregates only — corpus-wide shingle *sets*
+    are never materialized (the invariant that keeps verification
+    memory O(candidates), not O(corpus)); candidate docs get their
+    sets from a second, semi-join-pruned shingle pass at verification.
     """
     rows_per_band = num_hashes // bands
-    # Signature pass: min aggregates only — corpus-wide shingle *sets*
-    # are never materialized (the invariant that keeps verification
-    # memory O(candidates), not O(corpus)); candidate docs get their
-    # sets from a second, semi-join-pruned shingle pass below.
-    # Exact-duplicate clusters should be collapsed by
-    # ``exact_duplicates`` upstream: m identical docs produce m(m-1)/2
-    # candidate pairs here.
     ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False).withColumn(
         "h0", F.xxhash64("s")
     )
@@ -189,10 +182,7 @@ def minhash_candidates(
         F.min(_derive_hash(F.col("h0"), k)).alias(f"h{k}") for k in range(num_hashes)
     ]
     base = ex.groupBy("id").agg(*mins)
-
-    # slim banded table: (id, band, band_hash) — 16 bytes/row through the
-    # bucket shuffle; shingle arrays are NOT carried into the self-join
-    banded = base.select(
+    return base.select(
         "id",
         F.explode(
             F.array(
@@ -213,6 +203,33 @@ def minhash_candidates(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
 
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs from the MinHash band buckets — the
+    slim half of ``minhash_near_duplicates``, exposed separately so
+    scale proofs and recall audits can measure candidate generation
+    (where a corpus² blow-up would live) without paying the exact
+    verification pass, whose shuffle volume is output-size-bound (it
+    carries both documents' shingle sets per surviving pair).
+
+    Plan shape:
+      1. signature job — narrow, no shuffle;
+      2. explode to ``bands`` rows/doc, shuffle on (band, band_hash) —
+         uniform key space;
+      3. in-bucket self-join (small groups) → (id_a, id_b), deduped.
+
+    Exact-duplicate clusters should be collapsed by
+    ``exact_duplicates`` upstream: m identical docs produce m(m-1)/2
+    candidate pairs here.
+    """
+    banded = minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
     return (
         banded.alias("a")
         .join(
@@ -248,17 +265,31 @@ def minhash_near_duplicates(
     jaccard >= threshold.
     """
     cand = minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return verify_jaccard_pairs(
+        cand, df, id_col, text_col, shingle_n, jaccard_threshold
+    )
 
-    # Exact Jaccard verification: shingle sets are built ONLY for
-    # candidate docs — the semi-join prunes the corpus before the
-    # explode, so this second pass shuffles O(candidates) arrays at any
-    # scale (band selectivity bounds it), never the corpus.
+
+def verify_jaccard_pairs(
+    cand: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over candidate (id_a, id_b) pairs: shingle sets are
+    built ONLY for candidate docs — the semi-join prunes the corpus
+    before the explode, so this second pass shuffles O(candidates)
+    arrays at any scale (band selectivity bounds it), never the corpus.
+    ``docs`` must contain the text of every id appearing in ``cand``
+    (pairs referencing absent ids drop out of the inner joins)."""
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    cand_docs = df.join(
+    cand_docs = docs.join(
         cand_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
     sets = (
@@ -275,6 +306,67 @@ def minhash_near_duplicates(
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index_buckets: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the arriving batch: new-vs-indexed-corpus
+    plus new-vs-new, exactly verified — the incremental form of
+    ``minhash_near_duplicates`` for a growing corpus.
+
+    ``index_buckets`` is the persisted (id, band, bh) table built with
+    the SAME banding parameters (see ``minhash_banded``); only the new
+    batch is re-signed, so per-batch cost is O(batch + collisions), not
+    O(corpus) — the property that makes dedup-on-arrival viable when the
+    historical corpus is 100 TB. ``corpus_docs`` supplies text for
+    verification and must cover the indexed ids (at scale that read is
+    pruned to candidate ids by the semi-join inside verification, so it
+    is a point-lookup-shaped scan, not a corpus pass). New ids must not
+    collide with indexed ids.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, at least one side new.
+    """
+    new_banded = minhash_banded(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    # new-vs-old: bucket equi-join against the index; the id inequality
+    # (not <) keeps pairs in both orientations out before canonicalizing
+    old_new = (
+        index_buckets.alias("a")
+        .join(
+            new_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+    )
+    new_new = (
+        new_banded.alias("a")
+        .join(
+            new_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = old_new.unionByName(new_new).dropDuplicates(["id_a", "id_b"])
+    return verify_jaccard_pairs(
+        cand, corpus_docs, id_col, text_col, shingle_n, jaccard_threshold
     )
 
 

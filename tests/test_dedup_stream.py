@@ -1,0 +1,135 @@
+"""Dedup-on-arrival: incremental MinHash pairs + the streaming index.
+
+Oracle model: the incremental pass over (indexed old half, arriving new
+half) must report EXACTLY the batch-dedup truth restricted to pairs
+touching the new half — verified here against the full batch operator
+(which is itself DuckDB-oracled by q27/q66 in the driver gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.operators import dedup
+from evm_indexer_spark.streaming.dedup_stream import (
+    MinHashBucketIndex,
+    start_dedup_stream,
+)
+
+# 3 clusters of near-dup paragraphs + unrelated filler, ids chosen so a
+# mid-split leaves cluster members on both sides
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a quiet tune in the old town hall tonight"
+)
+ALT = (
+    "deep in the misty valley the river bends around mossy stones and "
+    "carries autumn leaves toward the distant grey sea"
+)
+
+
+def _docs(spark):
+    rows = []
+    for i in range(6):
+        rows.append((i, BASE + f" variant {i}"))
+    for i in range(6, 12):
+        rows.append((i, ALT + f" edition {i}"))
+    for i in range(12, 20):
+        rows.append((i, f"unrelated document number {i} with words " * 3 + str(i)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_incremental_equals_batch_restricted(spark):
+    doc = _docs(spark)
+    split = 10
+    old = doc.filter(F.col("doc_id") < split)
+    new = doc.filter(F.col("doc_id") >= split)
+
+    full = dedup.minhash_near_duplicates(
+        doc, "doc_id", "text", num_hashes=64, bands=64, jaccard_threshold=0.4
+    )
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in full.collect()
+        if r.id_b >= split
+    }
+    assert want, "fixture must produce cross-split pairs"
+
+    index = dedup.minhash_banded(old, "doc_id", "text", num_hashes=64, bands=64)
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.incremental_minhash_pairs(
+            new, index, doc, "doc_id", "text",
+            num_hashes=64, bands=64, jaccard_threshold=0.4,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_index_banding_mismatch_rejected(spark, tmp_path):
+    MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=16, bands=8)
+    with pytest.raises(ValueError, match="banding"):
+        MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+
+
+def test_index_append_idempotent(spark, tmp_path):
+    ix = MinHashBucketIndex(
+        spark, str(tmp_path / "ix"), num_hashes=16, bands=8
+    )
+    doc = _docs(spark)
+    ix.append(doc, "doc_id", "text", batch_id=7)
+    n1 = ix.buckets().count()
+    # epoch re-delivery lands under the same batch id → replaced, not doubled
+    ix.append(doc, "doc_id", "text", batch_id=7)
+    assert ix.buckets().count() == n1
+    assert n1 == doc.count() * 8  # one row per doc per band
+
+
+def _land(path, rows, name):
+    with open(os.path.join(path, name), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def test_stream_reports_cross_batch_pairs(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ix = MinHashBucketIndex(
+        spark, str(tmp_path / "ix"), num_hashes=64, bands=64
+    )
+    seen: list[tuple[list, int]] = []
+
+    def run():
+        q = start_dedup_stream(
+            spark, str(landing), ix, ckpt,
+            on_pairs=lambda pairs, epoch: seen.append((pairs, epoch)),
+            jaccard_threshold=0.4,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two members of the BASE cluster + filler
+    _land(str(landing), [(0, BASE + " variant 0"), (1, BASE + " variant 1"),
+                         (50, "totally different text about trains 50")], "b1.json")
+    run()
+    flat1 = {(p["id_a"], p["id_b"]) for pairs, _ in seen for p in pairs}
+    assert (0, 1) in flat1
+
+    # batch 2: a third member must pair with BOTH batch-1 members
+    # (cross-batch, via the persisted index) and filler stays silent
+    seen.clear()
+    _land(str(landing), [(2, BASE + " variant 2"),
+                         (60, "entirely other text about rivers 60")], "b2.json")
+    run()
+    flat2 = {(p["id_a"], p["id_b"]) for pairs, _ in seen for p in pairs}
+    assert (0, 2) in flat2 and (1, 2) in flat2
+    assert all(60 not in pair and 50 not in pair for pair in flat2)
+
+    # restart with the same checkpoint and no new files: nothing re-fires
+    seen.clear()
+    run()
+    assert seen == [] or all(not pairs for pairs, _ in seen)
