@@ -1236,16 +1236,20 @@ def q54(spark, sf):
     plans (the same observed-size strategy switch AQE applies to joins,
     and the split q60 uses for its pair graph):
 
-    - small inputs (≤2M points — parquet metadata count, no scan) take
-      the tuned bin equi-join + groupBy: fewest stages, lowest floor
-      (0.4s vs 1.4s warm at sf0.1, where BOTH plans are pure
-      scheduling floor).
+    - small inputs (≤250k points — parquet metadata count, no scan)
+      take the tuned bin equi-join + groupBy: fewest stages, lowest
+      floor (0.9s vs 1.7s warm noop-write at sf0.1's 100k points,
+      where both plans are mostly scheduling floor).
     - above the cutoff, ``interval_aggregate``'s distributed prefix
       sums: O(points + windows) with 2 probe rows per window instead
-      of O(matching pairs) — the pair join visits ~280M pairs at sf1
-      already, and density × window count keeps growing at 100 TB.
-      Sums there run in scaled int64 (exact, order-independent), so
-      round(·,4) matches DuckDB's double sum at these magnitudes.
+      of O(matching pairs) — measured 2.4s vs the bin join's 7.2s at
+      sf1's 1M points (the pair join visits ~280M pairs there), and
+      density × window count keeps growing at 100 TB. Sums there run
+      in scaled int64 (exact, order-independent), so round(·,4)
+      matches DuckDB's double sum at these magnitudes. (The cutoff
+      was 2M through round 5's first bench — set from count()-based
+      timings that let Catalyst prune the sum columns; noop-write
+      materialization moved the crossover an order of magnitude.)
 
     Both plans are hash-checked against the same oracle (the routing
     threshold sits inside the tested range on both sides:
@@ -1257,7 +1261,7 @@ def q54(spark, sf):
         F.col("ts").alias("w_start"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
     )
-    if ev.count() <= 2_000_000:
+    if ev.count() <= 250_000:
         # bin ≈ window/12: finer bins trade a wider (slim-row) interval
         # explosion for fewer false pairs per bin — measured 3.2→2.1s
         # at sf1, 0.73→0.46s at sf0.1 vs bin=window
