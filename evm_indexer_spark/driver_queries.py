@@ -1544,13 +1544,18 @@ def q64(spark, sf):
     # corpus-level memorization/boilerplate audit: most-duplicated token
     # 3-grams with document frequency; ties broken by ngram text so the
     # top-k cut is deterministic on both engines
+    # tokens are maximal \S+ runs (trim first so split yields no empty
+    # leading token — the Spark side's regex tokenizer never produces
+    # empty tokens, and the oracle must define the same grams)
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      SELECT doc_id, regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\\s+', ' ')), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ngram
       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3 AND t[1] <> ''
     )
     SELECT ngram, count(*) AS n_occurrences,
            count(DISTINCT doc_id) AS n_docs

@@ -334,28 +334,32 @@ def top_ngrams(
     TakeOrderedAndProject (no global sort). n_docs rides the same
     shuffle as a count-distinct expand over (ngram, id).
 
+    Gram construction uses the same zero-width-lookahead
+    ``regexp_extract_all`` as ``dedup.shingle_rows`` — one native regex
+    pass over whitespace-normalized text, no token array, no per-gram
+    slice/concat allocations. Measured at sf1: 6-7s vs 10-11s for the
+    split+transform(sequence)+concat_ws form it replaced (same rows).
+    Tokens are maximal ``\\S+`` runs, so documents with leading
+    whitespace contribute no empty token (split-based tokenization
+    would); documents shorter than *n* tokens contribute nothing.
+
     Negative results (measured warm at sf1, don't retry blindly):
     manual two-phase aggregation — groupBy(ngram, id) then
-    groupBy(ngram) — measured 8.9s vs 5.4s for this plan (the expand
-    Spark plans for count-distinct beats two explicit shuffles here);
-    hash-first heavy-hitters — aggregate on xxhash64(ngram), then a
-    second tokenization pass semi-filtered to the winning hashes —
-    measured 11.8s (tokenize+explode is the dominant cost, so any
-    two-pass scheme loses even with slim 8-byte shuffle keys).
+    groupBy(ngram) — measured 8.9s vs 5.4s for the split-based plan
+    (the expand Spark plans for count-distinct beats two explicit
+    shuffles here); hash-first heavy-hitters — aggregate on
+    xxhash64(ngram), then a second tokenization pass semi-filtered to
+    the winning hashes — measured 11.8s (tokenize+explode dominates, so
+    any two-pass scheme loses even with slim 8-byte shuffle keys).
     """
     if n < 1 or k < 1:
         raise ValueError("n and k must be positive")
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    e = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
-    grams = F.when(
-        F.size("__t") >= n,
-        F.expr(
-            f"transform(sequence(0, size(__t) - {n}),"
-            f" i -> concat_ws(' ', slice(__t, i + 1, {n})))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    pat = r"(?<= )(?=(" + r"(\S+)" + (r" (\S+)" * (n - 1)) + r"))"
+    grams = F.regexp_extract_all(F.concat(F.lit(" "), norm), F.lit(pat), 1)
+    e = df.select(F.col(id_col).alias("id"), grams.alias("__g"))
     return (
-        e.select("id", F.explode(grams).alias("ngram"))
+        e.select("id", F.explode("__g").alias("ngram"))
         .groupBy("ngram")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
