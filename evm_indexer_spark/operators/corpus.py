@@ -307,6 +307,27 @@ def gopher_quality_flags(
     )
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan whose split count starves the
+    executor pool — but ONLY then.
+
+    Parquet files split at row-group boundaries; a file written as one
+    big row group yields one task no matter how many cores exist, and a
+    CPU-heavy map pipeline (tokenization, signatures) then runs
+    effectively serial. Measured on q65 at sf1 (50k docs, single
+    row-group file): 10.2s → 4.3s for the identical plan, purely from
+    32-way extraction. The guard keeps this a no-op at real scale —
+    with thousands of input splits the scan already saturates the
+    cluster and a repartition would shuffle the whole corpus for
+    nothing. ``df.rdd.getNumPartitions()`` plans the scan (file
+    listing) but launches no job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def top_ngrams(
     df: DataFrame,
     id_col: str,
@@ -314,6 +335,7 @@ def top_ngrams(
     n: int = 5,
     k: int = 100,
     min_count: int = 2,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Most-duplicated token n-grams across the WHOLE corpus — the
     memorization/boilerplate audit: n-grams occurring verbatim in many
@@ -324,38 +346,117 @@ def top_ngrams(
     Output: (ngram, n_occurrences, n_docs) for the top *k* by total
     occurrences (ties broken by ngram text, so the cut is
     deterministic), restricted to n-grams seen at least *min_count*
-    times.
+    times. Tokens are lowercase maximal non-whitespace runs; documents
+    shorter than *n* tokens contribute nothing. ``id_col`` rows are
+    assumed distinct documents (the standard corpus contract).
 
-    Scale shape: tokenize + window-slide are pure map (codegen array
-    ops); the groupBy on the n-gram string is one uniform hash shuffle
-    with map-side partial aggregation — natural-language n-gram
-    frequencies are Zipfian, but partial aggregation absorbs the head
-    on the map side, so no explicit salting is needed. The top-k is
-    TakeOrderedAndProject (no global sort). n_docs rides the same
-    shuffle as a count-distinct expand over (ngram, id).
+    Two strategies, both exact:
 
-    Gram construction uses the same zero-width-lookahead
-    ``regexp_extract_all`` as ``dedup.shingle_rows`` — one native regex
-    pass over whitespace-normalized text, no token array, no per-gram
-    slice/concat allocations. Measured at sf1: 6-7s vs 10-11s for the
-    split+transform(sequence)+concat_ws form it replaced (same rows).
-    Tokens are maximal ``\\S+`` runs, so documents with leading
-    whitespace contribute no empty token (split-based tokenization
-    would); documents shorter than *n* tokens contribute nothing.
+    - ``"pandas"`` (the ``"auto"`` choice): Arrow-batched
+      ``mapInPandas`` partial aggregation — each partition tokenizes
+      its documents and emits one (ngram, occurrences, docs) row per
+      LOCAL distinct n-gram; a groupBy then sums the partials. Because
+      every document lives in exactly one partition, summing
+      per-partition document counts IS the global distinct-document
+      count — no count-distinct expand, no per-occurrence row ever
+      exists. Shuffle volume is (partitions × local-distinct), the
+      same map-side-combine bound a JVM hash agg gets, but the
+      explode-free counting loop measured 4× faster (1.0s vs 4.3s
+      warm at sf1): Spark's Generate + row-at-a-time hash-agg probing
+      of 2.6M UTF8String keys is the cost the JVM path can't shed,
+      not the regex (0.6s) and not the shuffle (35k rows). Caveat:
+      the Python counter doesn't spill — size partitions so
+      local-distinct n-grams fit in worker memory (the default 128MB
+      splits do), or pass ``strategy="expr"``.
+    - ``"expr"``: pure-JVM form — zero-width-lookahead
+      ``regexp_extract_all`` (one native regex pass, as
+      ``dedup.shingle_rows``) → explode → one uniform hash shuffle
+      with a count-distinct expand for n_docs; top-k is
+      TakeOrderedAndProject. Keep for deployments that exclude Python
+      workers.
 
     Negative results (measured warm at sf1, don't retry blindly):
-    manual two-phase aggregation — groupBy(ngram, id) then
-    groupBy(ngram) — measured 8.9s vs 5.4s for the split-based plan
-    (the expand Spark plans for count-distinct beats two explicit
-    shuffles here); hash-first heavy-hitters — aggregate on
-    xxhash64(ngram), then a second tokenization pass semi-filtered to
-    the winning hashes — measured 11.8s (tokenize+explode dominates, so
-    any two-pass scheme loses even with slim 8-byte shuffle keys).
+    manual two-phase groupBy(ngram, id) → groupBy(ngram) lost to the
+    expand (5.5s vs 4.3s, 32-way); top-k-then-exact-n_docs via a
+    broadcast BNLJ ``contains`` re-scan lost (6.6s — 100 substring
+    searches × every document); per-row higher-order ``F.filter`` over
+    pattern arrays is interpreted and catastrophically slow (52s).
     """
     if n < 1 or k < 1:
         raise ValueError("n and k must be positive")
+    if strategy not in ("auto", "pandas", "expr"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    df = spread_small_scan(df)
+    if strategy == "expr":
+        agg = _ngram_counts_expr(df, id_col, text_col, n)
+    else:
+        agg = _ngram_counts_pandas(df, text_col, n)
+    return (
+        agg.filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def _ngram_counts_pandas(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(ngram, n_occurrences, n_docs) via partition-local counters.
+
+    Tokenization matches the JVM/oracle semantics exactly: lowercase,
+    split on ASCII whitespace runs (``re.ASCII`` pins ``\\s`` to the
+    same class Java and RE2 use — Python's default would also split on
+    Unicode spaces), empties discarded."""
+    import re
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("ngram", StringType(), False),
+            StructField("occ", LongType(), False),
+            StructField("docs", LongType(), False),
+        ]
+    )
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def _partial(batches):
+        from collections import Counter
+
+        occ: Counter = Counter()
+        docs: Counter = Counter()
+        for pdf in batches:
+            for t in pdf[text_col]:
+                if t is None:
+                    continue
+                toks = [w for w in ws.split(t.lower()) if w]
+                m = len(toks) - (n - 1)
+                if m <= 0:
+                    continue
+                gs = [" ".join(toks[i : i + n]) for i in range(m)]
+                occ.update(gs)
+                docs.update(set(gs))
+        if occ:
+            ks = list(occ.keys())
+            yield pd.DataFrame(
+                {
+                    "ngram": ks,
+                    "occ": [occ[g] for g in ks],
+                    "docs": [docs[g] for g in ks],
+                }
+            )
+
+    part = df.select(text_col).mapInPandas(_partial, schema)
+    return part.groupBy("ngram").agg(
+        F.sum("occ").alias("n_occurrences"),
+        F.sum("docs").alias("n_docs"),
+    )
+
+
+def _ngram_counts_expr(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(ngram, n_occurrences, n_docs) in pure JVM expressions."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    pat = r"(?<= )(?=(" + r"(\S+)" + (r" (\S+)" * (n - 1)) + r"))"
+    pat = r"(?<= )(?=(" + r"\S+" + (r" \S+" * (n - 1)) + r"))"
     grams = F.regexp_extract_all(F.concat(F.lit(" "), norm), F.lit(pat), 1)
     e = df.select(F.col(id_col).alias("id"), grams.alias("__g"))
     return (
@@ -365,7 +466,4 @@ def top_ngrams(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("id").alias("n_docs"),
         )
-        .filter(F.col("n_occurrences") >= min_count)
-        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
-        .limit(k)
     )

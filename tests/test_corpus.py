@@ -181,6 +181,18 @@ class TestTopNgrams:
             "tiea tiea", "tiea x", "tieb tieb"
         ]
 
+    def test_strategies_agree(self, spark):
+        # the Arrow partial-counter path and the pure-JVM expand path
+        # must be value-identical — same tokens, same tie-break
+        from evm_indexer_spark.operators.corpus import top_ngrams
+
+        df = self._df(spark)
+        a = [tuple(r) for r in top_ngrams(
+            df, "doc_id", "text", n=2, k=50, strategy="pandas").collect()]
+        b = [tuple(r) for r in top_ngrams(
+            df, "doc_id", "text", n=2, k=50, strategy="expr").collect()]
+        assert a == b and len(a) > 0
+
     def test_topk_is_not_a_global_sort(self, spark):
         from evm_indexer_spark.operators.corpus import top_ngrams
 
