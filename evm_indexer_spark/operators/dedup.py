@@ -140,6 +140,34 @@ def _minhash_signatures(
     )
 
 
+def banding_for_corpus(n_docs: int) -> tuple[int, int]:
+    """(num_hashes, bands) sized by corpus scale — the ONE place the
+    MinHash banding tiers live. The batch entry (q27), the incremental
+    entry (q66), and any persisted ``MinHashBucketIndex`` must agree on
+    banding or their bucket hash spaces silently never collide, so both
+    catalog entries call this instead of carrying private copies.
+
+    Tier rationale (miss law: per-pair miss = (1−j^r)^b summed over the
+    measured pair-jaccard histogram — the sizing that fixed the sf1
+    recall gaps in round 5):
+
+    - ≤2k docs: r=1 × 64 bands — full recall; any shared minhash is a
+      candidate, affordable where dense verification is cheap.
+    - ≤20k docs (the sf0.1 regime, min true-pair j=0.8): 16 hashes ×
+      8 bands, expected misses Σ(1−j²)^8 ≈ 3e-4.
+    - above (sf1+ synthetic regime bottoming at j=0.67): 48 × 24,
+      expected misses ≈ 1e-6.
+
+    For corpora with real mass at lower thresholds, re-derive b from
+    the histogram — the doc count is a proxy for (pair count ×
+    near-threshold mass), not a universal law."""
+    if n_docs <= 2000:
+        return 64, 64
+    if n_docs <= 20000:
+        return 16, 8
+    return 48, 24
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by canonical fingerprint: one row per distinct content
     with the minimum id as the keeper and the duplicate count."""

@@ -1,0 +1,71 @@
+"""Parquet-footer table metadata (zero-job strategy probes) and the
+shared MinHash banding tier table.
+
+The cost-routed catalog entries (q27/q34/q54/q66) pick tiers from
+footer statistics instead of running a count()/first() Spark job at
+plan-build; these tests pin the helpers against an independent engine
+(DuckDB) and pin the banding tiers both entries must share.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import duckdb
+
+from evm_indexer_spark.operators.dedup import banding_for_corpus
+from evm_indexer_spark.sources.tables import (
+    table_column_range,
+    table_rowcount,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestFooterMeta:
+    def test_rowcount_matches_duckdb(self):
+        for t in ("documents", "embeddings", "events"):
+            expect = duckdb.sql(
+                f"SELECT count(*) FROM read_parquet('{SF}/{t}.parquet')"
+            ).fetchone()[0]
+            assert table_rowcount(SF, t) == expect
+
+    def test_column_range_matches_duckdb(self):
+        lo, hi = duckdb.sql(
+            f"SELECT min(doc_id), max(doc_id) FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        ).fetchone()
+        assert table_column_range(SF, "documents", "doc_id") == (lo, hi)
+
+    def test_missing_table_returns_none(self):
+        assert table_rowcount(SF, "no_such_table") is None
+        assert table_column_range(SF, "no_such_table", "x") is None
+
+    def test_missing_column_returns_none(self):
+        assert table_column_range(SF, "documents", "no_such_col") is None
+
+
+class TestBandingTiers:
+    def test_pinned_tiers(self):
+        assert banding_for_corpus(100) == (64, 64)
+        assert banding_for_corpus(2000) == (64, 64)
+        assert banding_for_corpus(2001) == (16, 8)
+        assert banding_for_corpus(20000) == (16, 8)
+        assert banding_for_corpus(20001) == (48, 24)
+        assert banding_for_corpus(10_000_000) == (48, 24)
+
+    def test_tiers_are_valid_bandings(self):
+        for n in (1, 2000, 2001, 20000, 20001, 10**9):
+            nh, b = banding_for_corpus(n)
+            assert nh % b == 0 and nh >= b >= 1
+
+    def test_both_catalog_entries_use_the_shared_tiers(self):
+        # one drift away from a silent bucket-space mismatch: the batch
+        # and incremental entries must pick banding through the SAME
+        # function, never private tier tables
+        from evm_indexer_spark import driver_queries
+
+        q27 = inspect.getsource(driver_queries.q27)
+        q66 = inspect.getsource(driver_queries.q66)
+        assert "banding_for_corpus" in q27
+        assert "banding_for_corpus" in q66
