@@ -12,7 +12,8 @@ own bucket rows appended for future batches.
 Scale shape per batch: O(batch) signing (narrow), one slim bucket
 equi-join against the index (partition-pruned by parquet min/max on the
 uniform ``bh`` key at real scale), verification bounded by collisions.
-Nothing rescans the corpus; the index grows by O(batch × bands) rows.
+Nothing rescans the corpus; the index grows by O(batch × bands) rows
+between ``compact()`` calls.
 
 Idempotence: bucket rows are written to ``batch=<epoch_id>`` subdirs
 with overwrite — Structured Streaming re-delivers a failed epoch under
@@ -20,11 +21,16 @@ the SAME epoch id, so a crashed write is replaced, never doubled (the
 same contract ``streaming/store`` uses for block upserts). Pair output
 goes through the caller's sink callback with the epoch id so the sink
 can apply the same keying.
+
+All filesystem control flow (marker, listing, compaction renames) goes
+through the Hadoop FileSystem API, not ``os`` — the index must work on
+whatever filesystem Spark writes to (HDFS, S3A, local), and rename-
+based publication is what makes compaction crash-safe there.
 """
 
 from __future__ import annotations
 
-import os
+import posixpath
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,14 +54,43 @@ BUCKET_SCHEMA = StructType(
 )
 
 
+def _hadoop(spark: SparkSession, path: str):
+    """(FileSystem, Path) for *path* on whatever filesystem owns it."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _list_batch_dirs(spark: SparkSession, root: str) -> list[str]:
+    """Child ``batch=*`` directories of *root* (absolute URIs), [] if
+    the root doesn't exist yet."""
+    fs, jroot = _hadoop(spark, root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            out.append(st.getPath().toString())
+    return out
+
+
 class MinHashBucketIndex:
     """Parquet-backed (id, band, bh) LSH index under ``path``.
 
     Banding parameters are fixed at construction and MUST stay constant
     for the index lifetime — rows from different configurations occupy
     disjoint hash spaces and would silently never collide. A marker file
-    records them; reopening with different values raises.
+    records them; reopening with different values raises. Marker
+    creation uses ``FileSystem.create(overwrite=False)`` — on a real
+    filesystem that's an atomic claim, so two concurrent constructors
+    race to one writer and the loser validates against what was
+    written. Size the tiers with ``dedup.banding_for_corpus`` so batch
+    jobs and this index can never disagree.
     """
+
+    _MARKER = "_banding"
 
     def __init__(
         self,
@@ -70,19 +105,41 @@ class MinHashBucketIndex:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
-        os.makedirs(path, exist_ok=True)
-        marker = os.path.join(path, "_banding")
+        fs, jroot = _hadoop(spark, path)
+        fs.mkdirs(jroot)
+        marker = spark._jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(path, self._MARKER)
+        )
         stamp = f"{num_hashes},{bands},{shingle_n}"
-        if os.path.exists(marker):
-            prev = open(marker).read().strip()
-            if prev != stamp:
-                raise ValueError(
-                    f"index at {path} was built with banding {prev}, "
-                    f"reopened with {stamp} — rows would never collide"
-                )
-        else:
-            with open(marker, "w") as f:
-                f.write(stamp)
+        if not fs.exists(marker):
+            try:
+                out = fs.create(marker, False)  # atomic create-if-absent
+                try:
+                    out.write(bytearray(stamp.encode()))
+                finally:
+                    out.close()
+            except Exception:
+                pass  # lost the creation race — validate below
+        prev = self._read_small(fs, marker)
+        if prev != stamp:
+            raise ValueError(
+                f"index at {path} was built with banding {prev}, "
+                f"reopened with {stamp} — rows would never collide"
+            )
+
+    @staticmethod
+    def _read_small(fs, jpath) -> str:
+        stream = fs.open(jpath)
+        try:
+            buf = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                buf.append(b)
+            return buf.decode()
+        finally:
+            stream.close()
 
     def buckets(self) -> DataFrame:
         """All indexed bucket rows (explicit schema: empty/partial batch
@@ -103,8 +160,57 @@ class MinHashBucketIndex:
             docs, id_col, text_col, self.num_hashes, self.bands, self.shingle_n
         )
         rows.write.mode("overwrite").parquet(
-            os.path.join(self.path, f"batch={batch_id}")
+            posixpath.join(self.path, f"batch={batch_id}")
         )
+
+    def compact(self) -> int:
+        """Fold every ``batch=*`` directory into one base generation.
+
+        A year-long stream appends one directory (and its part files)
+        per epoch; the bucket read then pays file-listing and
+        per-file-open costs linear in stream AGE rather than index
+        size — the same small-file problem the block store's
+        merge-on-read compaction solves, solved the same way:
+
+        1. rewrite the current rows into a hidden ``_compacting`` dir
+           (hidden names are excluded from ``buckets()`` listings, so
+           readers never see a half-written base);
+        2. atomically rename it to ``batch=base<G>`` — publication;
+        3. delete the folded source dirs.
+
+        A crash between 2 and 3 leaves duplicate bucket rows, which are
+        harmless: candidate pairs are de-duplicated and verification is
+        exact, and the next ``compact()`` folds the leftovers away.
+        Single concurrent writer assumed (the streaming foreachBatch
+        contract); run it from the maintenance cadence, not per epoch.
+        Returns the number of directories folded."""
+        fs, _ = _hadoop(self.spark, self.path)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        old = _list_batch_dirs(self.spark, self.path)
+        if len(old) <= 1:
+            return 0
+        gen = 0
+        for d in old:
+            name = posixpath.basename(d)
+            if name.startswith("batch=base"):
+                try:
+                    gen = max(gen, int(name[len("batch=base"):]) + 1)
+                except ValueError:
+                    pass
+        tmp = posixpath.join(self.path, "_compacting")
+        # the write job lists its input files at planning time, after
+        # the `old` snapshot — an epoch landing mid-compaction is read
+        # into the base AND survives in its own dir (duplicate rows,
+        # harmless as above), never lost
+        self.buckets().coalesce(max(1, self.bands)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dest = Path(posixpath.join(self.path, f"batch=base{gen}"))
+        if not fs.rename(Path(tmp), dest):
+            raise OSError(f"compaction rename to {dest} failed")
+        for d in old:
+            fs.delete(Path(d), True)
+        return len(old)
 
     def pairs_for(
         self,
@@ -115,7 +221,10 @@ class MinHashBucketIndex:
         jaccard_threshold: float = 0.5,
     ) -> DataFrame:
         """Near-dup pairs involving *new_docs*: vs the index + within
-        the batch, exactly verified against *corpus_docs* text."""
+        the batch, exactly verified against *corpus_docs* text.
+        *new_docs* ids must not already be indexed (the
+        ``incremental_minhash_pairs`` precondition) — the streaming
+        wrapper enforces this with an arrival anti-join."""
         return dedup.incremental_minhash_pairs(
             new_docs,
             self.buckets(),
@@ -139,45 +248,63 @@ def start_dedup_stream(
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     seen_text_dir: str | None = None,
+    assume_new_ids: bool = False,
 ):
-    """Stream newline-JSON ``{doc_id, text}`` docs from *landing_dir*;
-    per micro-batch: report near-dup pairs (new-vs-corpus + new-vs-new)
-    through *on_pairs(pairs, epoch_id)*, then append the batch to the
-    index and to the text store future verifications read from.
+    """Stream newline-JSON ``{<id_col>, <text_col>}`` docs from
+    *landing_dir*; per micro-batch: report near-dup pairs
+    (new-vs-corpus + new-vs-new) through *on_pairs(pairs, epoch_id)*,
+    then append the batch to the index and to the text store future
+    verifications read from.
+
+    An id that re-arrives in a LATER file (not an epoch re-delivery)
+    would violate the index precondition — its buckets and text would
+    land twice and verification would merge shingles across both text
+    versions. The stream therefore anti-joins each batch against the
+    ids already in the text store (epoch re-deliveries are exempt: the
+    store read excludes the current epoch's own directory, so a crashed
+    epoch reprocesses in full). The guard costs one slim id-column scan
+    of the store per batch; sources that guarantee at-most-once ids can
+    skip it with ``assume_new_ids=True``.
 
     The text store (``seen_text_dir``, default ``<index>/_text``) uses
     the same batch-keyed overwrite as the bucket rows, so a re-delivered
     epoch converges instead of duplicating. ``availableNow`` + the same
     checkpoint dir resumes across restarts (classic incremental fill).
     """
-    text_dir = seen_text_dir or os.path.join(index.path, "_text")
-    os.makedirs(text_dir, exist_ok=True)
+    text_dir = seen_text_dir or posixpath.join(index.path, "_text")
     doc_schema = StructType(
         [
-            StructField("doc_id", LongType(), False),
-            StructField("text", StringType(), True),
+            StructField(id_col, LongType(), False),
+            StructField(text_col, StringType(), True),
         ]
     )
 
-    def _seen_text() -> DataFrame:
-        return (
-            spark.read.schema(doc_schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(text_dir)
-        )
+    def _seen_text(exclude_epoch: int | None = None) -> DataFrame:
+        dirs = [
+            d
+            for d in _list_batch_dirs(spark, text_dir)
+            if exclude_epoch is None
+            or posixpath.basename(d) != f"batch={exclude_epoch}"
+        ]
+        if not dirs:
+            return spark.createDataFrame([], doc_schema)
+        return spark.read.schema(doc_schema).parquet(*dirs)
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.dropDuplicates([id_col])
+        prior = _seen_text(exclude_epoch=epoch_id)
+        if not assume_new_ids:
+            batch = batch.join(prior.select(id_col), id_col, "left_anti")
         if not batch.take(1):
             return
-        corpus = _seen_text().unionByName(batch.select("doc_id", "text"))
+        corpus = prior.unionByName(batch.select(id_col, text_col))
         pairs = index.pairs_for(
             batch, corpus, id_col, text_col, jaccard_threshold
         ).collect()
         on_pairs([r.asDict() for r in pairs], epoch_id)
         index.append(batch, id_col, text_col, batch_id=epoch_id)
-        batch.select("doc_id", "text").write.mode("overwrite").parquet(
-            os.path.join(text_dir, f"batch={epoch_id}")
+        batch.select(id_col, text_col).write.mode("overwrite").parquet(
+            posixpath.join(text_dir, f"batch={epoch_id}")
         )
 
     stream = (

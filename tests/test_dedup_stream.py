@@ -89,10 +89,43 @@ def test_index_append_idempotent(spark, tmp_path):
     assert n1 == doc.count() * 8  # one row per doc per band
 
 
-def _land(path, rows, name):
+def _nfiles(root) -> int:
+    return sum(len(fs) for _, _, fs in os.walk(root))
+
+
+def test_index_compaction_bounds_file_count(spark, tmp_path):
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=16, bands=8)
+    doc = _docs(spark)
+    for epoch in range(5):
+        ix.append(doc.filter(F.col("doc_id") % 5 == epoch), "doc_id", "text",
+                  batch_id=epoch)
+    before_rows = sorted(map(tuple, ix.buckets().collect()))
+    before_dirs = len([d for d in os.listdir(tmp_path / "ix")
+                       if d.startswith("batch=")])
+    before_files = _nfiles(tmp_path / "ix")
+    assert before_dirs == 5
+
+    assert ix.compact() == 5
+    after_dirs = [d for d in os.listdir(tmp_path / "ix")
+                  if d.startswith("batch=")]
+    assert after_dirs == ["batch=base0"]
+    assert _nfiles(tmp_path / "ix") < before_files
+    # rows byte-identical through the fold
+    assert sorted(map(tuple, ix.buckets().collect())) == before_rows
+
+    # compacting a compacted index is a no-op; folding new epochs on
+    # top of a base bumps the generation
+    assert ix.compact() == 0
+    ix.append(doc.filter(F.col("doc_id") < 3), "doc_id", "text", batch_id=99)
+    assert ix.compact() == 2
+    assert [d for d in os.listdir(tmp_path / "ix")
+            if d.startswith("batch=")] == ["batch=base1"]
+
+
+def _land(path, rows, name, id_key="doc_id", text_key="text"):
     with open(os.path.join(path, name), "w") as f:
         for doc_id, text in rows:
-            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+            f.write(json.dumps({id_key: doc_id, text_key: text}) + "\n")
 
 
 def test_stream_reports_cross_batch_pairs(spark, tmp_path):
@@ -133,3 +166,69 @@ def test_stream_reports_cross_batch_pairs(spark, tmp_path):
     seen.clear()
     run()
     assert seen == [] or all(not pairs for pairs, _ in seen)
+
+
+def test_stream_rearrived_id_is_dropped(spark, tmp_path):
+    # a doc_id landing again in a LATER file must not be re-indexed
+    # (double bucket rows + merged shingle sets would corrupt every
+    # jaccard involving it) — the arrival anti-join drops it
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    seen: list[tuple[list, int]] = []
+
+    def run():
+        q = start_dedup_stream(
+            spark, str(landing), ix, ckpt,
+            on_pairs=lambda pairs, epoch: seen.append((pairs, epoch)),
+            jaccard_threshold=0.4,
+        )
+        q.awaitTermination(120)
+
+    _land(str(landing), [(0, BASE + " variant 0"), (1, BASE + " variant 1")],
+          "b1.json")
+    run()
+    rows_after_b1 = ix.buckets().filter(F.col("id") == 0).count()
+    assert rows_after_b1 == 64
+
+    # id 0 re-arrives with DIFFERENT text alongside a genuinely new doc
+    seen.clear()
+    _land(str(landing), [(0, "rewritten contents that changed entirely 0"),
+                         (2, BASE + " variant 2")], "b2.json")
+    run()
+    # the re-arrival contributed nothing: no extra bucket rows, and the
+    # new doc's pairs verify against the ORIGINAL text only
+    assert ix.buckets().filter(F.col("id") == 0).count() == 64
+    flat = {(p["id_a"], p["id_b"]) for pairs, _ in seen for p in pairs}
+    assert (0, 2) in flat and (1, 2) in flat
+    for pairs, _ in seen:
+        for p in pairs:
+            assert p["jaccard"] > 0.4
+
+
+def test_stream_custom_column_names(spark, tmp_path):
+    # id_col/text_col are honored end to end (schema, selects, store)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    seen: list[tuple[list, int]] = []
+    q = start_dedup_stream(
+        spark, str(landing), ix, ckpt,
+        on_pairs=lambda pairs, epoch: seen.append((pairs, epoch)),
+        id_col="item_id", text_col="body",
+        jaccard_threshold=0.4,
+    )
+    q.awaitTermination(120)
+    _land(str(landing), [(0, BASE + " variant 0"), (1, BASE + " variant 1")],
+          "b1.json", id_key="item_id", text_key="body")
+    q = start_dedup_stream(
+        spark, str(landing), ix, ckpt,
+        on_pairs=lambda pairs, epoch: seen.append((pairs, epoch)),
+        id_col="item_id", text_col="body",
+        jaccard_threshold=0.4,
+    )
+    q.awaitTermination(120)
+    flat = {(p["id_a"], p["id_b"]) for pairs, _ in seen for p in pairs}
+    assert (0, 1) in flat
