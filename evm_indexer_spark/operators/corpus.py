@@ -14,6 +14,8 @@ import pandas as pd  # noqa: F401 — resolves pandas_udf string annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import spread_small_scan
+
 
 def hash_bucket(key_col: Column | str, buckets: int = 100) -> Column:
     """Deterministic engine-portable bucket in [0, buckets): first 8 hex
@@ -305,27 +307,6 @@ def gopher_quality_flags(
             & ellipsis_ok & bullet_ok & stop_ok
         ).alias("gopher_ok"),
     )
-
-
-def spread_small_scan(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a scan whose split count starves the
-    executor pool — but ONLY then.
-
-    Parquet files split at row-group boundaries; a file written as one
-    big row group yields one task no matter how many cores exist, and a
-    CPU-heavy map pipeline (tokenization, signatures) then runs
-    effectively serial. Measured on q65 at sf1 (50k docs, single
-    row-group file): 10.2s → 4.3s for the identical plan, purely from
-    32-way extraction. The guard keeps this a no-op at real scale —
-    with thousands of input splits the scan already saturates the
-    cluster and a repartition would shuffle the whole corpus for
-    nothing. ``df.rdd.getNumPartitions()`` plans the scan (file
-    listing) but launches no job."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
 
 
 def top_ngrams(

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
+from .partitioning import spread_small_scan
 
 
 def _norm_tokens(col: Column) -> Column:
@@ -127,9 +128,9 @@ def _minhash_signatures(
     per-row work. Duplicate shingles are left in (min is idempotent),
     saving the set-dedup shuffle.
     """
-    exploded = shingle_rows(df, id_col, text_col, shingle_n, distinct=False).withColumn(
-        "h0", F.xxhash64("s")
-    )
+    exploded = shingle_rows(
+        spread_small_scan(df), id_col, text_col, shingle_n, distinct=False
+    ).withColumn("h0", F.xxhash64("s"))
     mins = [
         F.min(_derive_hash(F.col("h0"), k)).alias(f"h{k}")
         for k in range(num_hashes)
@@ -203,9 +204,11 @@ def minhash_banded(
     sets from a second, semi-join-pruned shingle pass at verification.
     """
     rows_per_band = num_hashes // bands
-    ex = shingle_rows(df, id_col, text_col, shingle_n, distinct=False).withColumn(
-        "h0", F.xxhash64("s")
-    )
+    # shingling + K rehash-mins are CPU-bound; a starved scan (one big
+    # row group) serializes them — widen it (no-op at real input widths)
+    ex = shingle_rows(
+        spread_small_scan(df), id_col, text_col, shingle_n, distinct=False
+    ).withColumn("h0", F.xxhash64("s"))
     mins = [
         F.min(_derive_hash(F.col("h0"), k)).alias(f"h{k}") for k in range(num_hashes)
     ]
@@ -451,6 +454,7 @@ def simhash_signatures(
     if not (0 < n_bits <= 64):
         raise ValueError("n_bits must be in 1..64")
     n_groups = (n_bits + 2) // 3
+    df = spread_small_scan(df)  # token votes are CPU-bound map work
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
