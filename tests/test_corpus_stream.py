@@ -1,0 +1,122 @@
+"""Audit-on-arrival: the running top-ngram store must equal the batch
+operator over every prefix of landed documents (the incremental = batch
+equivalence), converge under epoch re-delivery, and keep its file/row
+footprint bounded through merge-compaction."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.operators.corpus import top_ngrams
+from evm_indexer_spark.streaming.corpus_stream import (
+    NgramStatsStore,
+    start_ngram_stream,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox naps under the old tree"),
+    (2, "a slow green turtle crosses the quick brown path"),
+    (3, "the quick brown fox jumps again and again today"),
+    (4, "completely unrelated words about rivers and stones here"),
+    (5, "rivers and stones line the quiet valley floor gently"),
+]
+
+
+def _land(path, rows, name):
+    with open(os.path.join(path, name), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _batch_truth(spark, rows, n=3, k=100, min_count=1):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return [
+        tuple(r)
+        for r in top_ngrams(
+            df, "doc_id", "text", n=n, k=k, min_count=min_count
+        ).collect()
+    ]
+
+
+def test_stream_equals_batch_over_every_prefix(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = NgramStatsStore(spark, str(tmp_path / "stats"))
+    tops: list[tuple[list, int]] = []
+
+    def run():
+        q = start_ngram_stream(
+            spark, str(landing), store, ckpt,
+            on_top=lambda rows, epoch: tops.append((rows, epoch)),
+            n=3, k=100, min_count=1,
+        )
+        q.awaitTermination(120)
+
+    legs = [DOCS[:2], DOCS[2:4], DOCS[4:]]
+    landed: list = []
+    for i, leg in enumerate(legs):
+        landed.extend(leg)
+        _land(str(landing), leg, f"b{i}.json")
+        tops.clear()
+        run()
+        got = [
+            tuple(r.values())
+            for rows, _ in tops
+            for r in rows
+        ]
+        assert got == _batch_truth(spark, landed), f"prefix {i} diverged"
+
+    # restart with no new files: silent
+    tops.clear()
+    run()
+    assert tops == []
+
+
+def test_epoch_redelivery_replaces_not_doubles(spark, tmp_path):
+    store = NgramStatsStore(spark, str(tmp_path / "stats"))
+    df = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])
+    from evm_indexer_spark.operators.corpus import _ngram_counts_pandas
+
+    partial = _ngram_counts_pandas(df, "text", 3).select(
+        "ngram",
+        F.col("n_occurrences").alias("occ"),
+        F.col("n_docs").alias("docs"),
+    )
+    store.append(partial, batch_id=7)
+    want = sorted(map(tuple, store.totals().collect()))
+    store.append(partial, batch_id=7)  # re-delivered epoch
+    assert sorted(map(tuple, store.totals().collect())) == want
+
+
+def test_compaction_merges_and_bounds_files(spark, tmp_path):
+    store = NgramStatsStore(spark, str(tmp_path / "stats"))
+    from evm_indexer_spark.operators.corpus import _ngram_counts_pandas
+
+    for epoch, lo in enumerate(range(0, 6, 2)):
+        df = spark.createDataFrame(DOCS[lo : lo + 2], ["doc_id", "text"])
+        store.append(
+            _ngram_counts_pandas(df, "text", 3).select(
+                "ngram",
+                F.col("n_occurrences").alias("occ"),
+                F.col("n_docs").alias("docs"),
+            ),
+            batch_id=epoch,
+        )
+    want_totals = sorted(map(tuple, store.totals().collect()))
+    raw_rows_before = store.partials().count()
+    nfiles_before = sum(len(fs) for _, _, fs in os.walk(tmp_path / "stats"))
+
+    assert store.compact() == 3
+    assert [
+        d for d in os.listdir(tmp_path / "stats") if d.startswith("batch=")
+    ] == ["batch=base0"]
+    assert sum(len(fs) for _, _, fs in os.walk(tmp_path / "stats")) < nfiles_before
+    # merge-compaction also collapses rows to the distinct-ngram count
+    assert store.partials().count() <= raw_rows_before
+    assert sorted(map(tuple, store.totals().collect())) == want_totals
+    assert store.compact() == 0
