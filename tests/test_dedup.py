@@ -156,6 +156,38 @@ def test_simhash_signature_long_doc_no_ansi_overflow(spark):
     assert set(rows) == {1, 2}
 
 
+def test_simhash_strategies_bit_identical(spark):
+    """The Arrow voting path must reproduce the JVM SWAR path bit for
+    bit on the md5_60 family — including Spark split()'s empty-token
+    behavior at leading/trailing whitespace, unicode, empty text, and
+    null text (dropped by both)."""
+    rows = [
+        (0, "Hello, World! This is a test."),
+        (1, "  leading whitespace here"),
+        (2, "trailing whitespace  "),
+        (3, ""),
+        (4, None),
+        (5, "punct!!! only??? ..."),
+        (6, "Ünïcödé tøkens and ascii mixed"),
+        (7, "the quick brown fox " * 50),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r.id: r.sig for r in dedup.simhash_signatures(
+        df, "doc_id", "text", token_hash="md5_60", n_bits=60,
+        strategy="pandas").collect()}
+    b = {r.id: r.sig for r in dedup.simhash_signatures(
+        df, "doc_id", "text", token_hash="md5_60", n_bits=60,
+        strategy="expr").collect()}
+    assert a == b and 4 not in a and len(a) == 7
+
+    # xxhash64 has no Python twin: pandas must refuse, auto must route
+    # to the JVM path
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="md5_60"):
+        dedup.simhash_signatures(df, "doc_id", "text", strategy="pandas")
+    assert dedup.simhash_signatures(df, "doc_id", "text").count() == 7
+
+
 def test_minhash_no_corpus_wide_shingle_sets(spark):
     """Verification sets must be built only for candidate docs: the
     collect_set aggregate has to sit above a semi-join with candidate
