@@ -182,6 +182,115 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _py_shingles(norm: str, n: int) -> list[str]:
+    """Shingle list matching ``shingle_rows`` on ALREADY-normalized
+    text: word n-grams, or the whole normalized text (possibly '')
+    when shorter than n tokens."""
+    toks = norm.split(" ") if norm else []
+    if len(toks) < n:
+        return [norm]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _minhash_banded_pandas(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, bh) via Arrow-batched per-document signing — the
+    portable ``blake2b`` hash family (stdlib, process-independent, as
+    uniform as a crypto hash gets; the miss-law sizing in
+    ``banding_for_corpus`` is family-agnostic).
+
+    Derived members are splitmix64 over (base ^ k·golden) — vectorized
+    in wrapping uint64 numpy, K·|shingles| ops per document. Band
+    hashes chain splitmix64 over the band's member minima seeded by the
+    band index, so differently-banded rows never collide — the same
+    property the JVM path gets from hashing the band position in.
+
+    Why: the exploded-shingle K-aggregate signature stage is dominated
+    by Spark's explode + hash-agg row machinery (the q65/q28 constant),
+    ~1.3s for 5k docs at sf0.1 vs ~0.4s here — and candidate
+    generation evaluates the banded subtree once per join side.
+
+    NOT interoperable with ``"expr"`` rows: the families differ, so an
+    index and its queries must use one strategy throughout —
+    ``MinHashBucketIndex`` stamps it next to the banding for exactly
+    that reason."""
+    import re
+    from hashlib import blake2b
+
+    import numpy as np
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType, False),
+            StructField("band", IntegerType(), False),
+            StructField("bh", LongType(), False),
+        ]
+    )
+    rows_per_band = num_hashes // bands
+    ws = re.compile(r"\s+", re.ASCII)
+    strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _mix(z):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    ks = (np.arange(1, num_hashes + 1, dtype=np.uint64) * GOLD)[:, None]
+
+    band_seed = np.arange(bands, dtype=np.uint64) ^ GOLD
+    member_idx = np.arange(bands) * rows_per_band
+
+    def _partial(batches):
+        import pandas as pd
+
+        # uint64 wraparound is the HASH, not an error — silence numpy's
+        # scalar-overflow warning (it would also fire per worker)
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                ids, bnds, bhs = [], [], []
+                for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                    if t is None:
+                        continue  # the JVM explode drops null-text docs
+                    norm = ws.sub(" ", strip.sub("", t.lower())).strip()
+                    sh = set(_py_shingles(norm, shingle_n))
+                    base = np.array(
+                        [
+                            int.from_bytes(
+                                blake2b(s.encode(), digest_size=8).digest(),
+                                "big",
+                            )
+                            for s in sh
+                        ],
+                        dtype=np.uint64,
+                    )
+                    mins = _mix(base[None, :] ^ ks).min(axis=1)  # (K,)
+                    # vectorized band-hash chain: fold the band's member
+                    # minima into its seed, all bands at once
+                    h = band_seed.copy()
+                    for j in range(rows_per_band):
+                        h = _mix(h ^ mins[member_idx + j])
+                    ids.extend([doc_id] * bands)
+                    bnds.extend(range(bands))
+                    bhs.extend(h.astype(np.int64).tolist())
+                if ids:
+                    yield pd.DataFrame({"id": ids, "band": bnds, "bh": bhs})
+
+    return df.select(id_col, text_col).mapInPandas(_partial, schema)
+
+
 def minhash_banded(
     df: DataFrame,
     id_col: str,
@@ -189,20 +298,47 @@ def minhash_banded(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Slim (id, band, bh) LSH bucket rows — one row per document per
     band, 16 bytes through any downstream shuffle. The shared candidate
     -generation substrate: ``minhash_candidates`` self-joins it, and the
     incremental pipeline (``streaming/dedup_stream``) persists it as the
-    corpus index new batches join against — the banding MUST match
-    between index and query sides (bh hashes band position in, so rows
-    from different configurations never collide silently).
+    corpus index new batches join against — the banding AND strategy
+    MUST match between index and query sides (bh hashes band position
+    in, so rows from different configurations never collide silently;
+    the two strategies use different hash families and are likewise
+    non-colliding by construction).
+
+    ``strategy``: ``"expr"`` (the ``"auto"`` pick) = the pure-JVM
+    explode + K-min-aggregate form over the xxhash64 family;
+    ``"pandas"`` = Arrow-batched per-document signing over the portable
+    blake2b family (see ``_minhash_banded_pandas``) — for deployments
+    that need engine-portable, Spark-version-independent bucket rows.
+    Candidate sets differ between families only through the LSH miss
+    law, and verification is exact either way.
+
+    NEGATIVE RESULT (r6, measured): unlike SimHash — where the Arrow
+    voting path took the whole entry 4.3→1.4s — pandas signing here
+    wins only the isolated banded stage (1.31→0.93s at sf0.1) and the
+    FULL pipeline is a wash (2.87 vs 2.49s at sf0.1, 11.8 vs 11.4s at
+    sf1): candidate generation evaluates the banded subtree once per
+    join side either way, and the exact-Jaccard verification pass, not
+    signing, dominates MinHash end to end. Default stays on the JVM
+    family; don't re-flip without re-measuring the full entry.
 
     Signature pass: min aggregates only — corpus-wide shingle *sets*
     are never materialized (the invariant that keeps verification
     memory O(candidates), not O(corpus)); candidate docs get their
     sets from a second, semi-join-pruned shingle pass at verification.
     """
+    if strategy not in ("auto", "pandas", "expr"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "pandas":
+        return _minhash_banded_pandas(
+            spread_small_scan(df), id_col, text_col, num_hashes, bands,
+            shingle_n,
+        )
     rows_per_band = num_hashes // bands
     # shingling + K rehash-mins are CPU-bound; a starved scan (one big
     # row group) serializes them — widen it (no-op at real input widths)
@@ -242,6 +378,7 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Candidate near-dup pairs from the MinHash band buckets — the
     slim half of ``minhash_near_duplicates``, exposed separately so
@@ -260,7 +397,9 @@ def minhash_candidates(
     ``exact_duplicates`` upstream: m identical docs produce m(m-1)/2
     candidate pairs here.
     """
-    banded = minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
+    banded = minhash_banded(
+        df, id_col, text_col, num_hashes, bands, shingle_n, strategy
+    )
     return (
         banded.alias("a")
         .join(
@@ -287,6 +426,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    strategy: str = "auto",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact Jaccard verification:
     ``minhash_candidates`` band buckets, then exact Jaccard on the
@@ -295,7 +435,9 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, jaccard) with id_a < id_b,
     jaccard >= threshold.
     """
-    cand = minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    cand = minhash_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, strategy
+    )
     return verify_jaccard_pairs(
         cand, df, id_col, text_col, shingle_n, jaccard_threshold
     )
@@ -350,6 +492,7 @@ def incremental_minhash_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the arriving batch: new-vs-indexed-corpus
     plus new-vs-new, exactly verified — the incremental form of
@@ -368,7 +511,7 @@ def incremental_minhash_pairs(
     Returns (id_a, id_b, jaccard), id_a < id_b, at least one side new.
     """
     new_banded = minhash_banded(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n, strategy
     )
     # new-vs-old: bucket equi-join against the index; the id inequality
     # (not <) keeps pairs in both orientations out before canonicalizing
@@ -674,43 +817,121 @@ def ngram_jaccard_pairs(
     )
 
 
+def _jaccard_all_pairs_pandas(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    """All-pairs Jaccard in ONE Arrow task: coalesce(1) → shingle sets →
+    inverted shingle index → pair intersection counters. Correct only
+    because the callers bound the corpus (brute tier ≤ ``brute_below``
+    docs) — the whole input must fit one worker. 0.37s vs 1.49s for the
+    six-stage JVM plan on the 500-doc slice (the cost there is stage
+    scheduling, not compute).
+
+    Hash parity detail: Spark's ``round(x, 4)`` rounds HALF_UP on the
+    double's shortest decimal representation (BigDecimal.valueOf) —
+    ``Decimal(repr(x))`` + ROUND_HALF_UP reproduces it exactly, where
+    Python's builtin round() (banker's) would not."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id_a", df.schema[id_col].dataType, False),
+            StructField("id_b", df.schema[id_col].dataType, False),
+            StructField("jaccard", DoubleType(), False),
+        ]
+    )
+    ws = re.compile(r"\s+", re.ASCII)
+    strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    q4 = Decimal("0.0001")
+
+    def _all(batches):
+        from collections import Counter, defaultdict
+
+        import pandas as pd
+
+        sets: dict = {}
+        for pdf in batches:
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                norm = ws.sub(" ", strip.sub("", t.lower())).strip()
+                sets[i] = set(_py_shingles(norm, shingle_n))
+        inv = defaultdict(list)
+        for i, sh in sets.items():
+            for s in sh:
+                inv[s].append(i)
+        inter: Counter = Counter()
+        for ids in inv.values():
+            if len(ids) > 1:
+                ids.sort()
+                for x in range(len(ids)):
+                    for y in range(x + 1, len(ids)):
+                        inter[(ids[x], ids[y])] += 1
+        ra, rb, rj = [], [], []
+        for (a, b), c in inter.items():
+            j = c / (len(sets[a]) + len(sets[b]) - c)
+            if j >= threshold:
+                ra.append(a)
+                rb.append(b)
+                rj.append(float(Decimal(repr(j)).quantize(q4, ROUND_HALF_UP)))
+        yield pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj})
+
+    return df.select(id_col, text_col).coalesce(1).mapInPandas(_all, schema)
+
+
 def jaccard_all_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.1,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via a shingle self-join.
+    """Exact all-pairs n-gram Jaccard over a SMALL corpus.
 
-    Shape: distinct (id, shingle) rows → equi-join on the shingle →
-    per-pair intersection counts → |A∪B| = |A|+|B|−|A∩B|. The join
-    shuffles on the shingle key, so very common shingles are skew — at
-    100 TB this is the *verification* stage over an LSH-bounded subset
-    (``minhash_near_duplicates``), never a whole-corpus operation.
-    Output: (id_a, id_b, jaccard double rounded to 4) with id_a < id_b.
+    This is the brute tier: callers bound the input (``brute_below``
+    docs in ``jaccard_prefix_join``; sliced entries elsewhere) — the
+    corpus-scale exact join is ``jaccard_prefix_join``'s prefix plan,
+    and LSH verification is ``verify_jaccard_pairs``. Output:
+    (id_a, id_b, jaccard double rounded to 4) with id_a < id_b.
 
-    One tokenization, one id-shuffle: shingles explode once into a
-    groupBy(id).collect_set — set semantics AND the per-doc size in the
-    same aggregation — and every downstream consumer (both self-join
-    sides) re-derives (id, sz, shingle) rows from that single subtree,
-    which Catalyst materializes once (ReusedExchange). The sizes ride
-    the pair groupBy as functionally-dependent keys, so the old
-    two-join size-attach round trip is gone. Measured on the 500-doc
-    sf1 slice: 0.65s vs 0.97s warm for the previous
-    distinct+sizes-join shape (r6). Per-doc shingle sets are bounded
-    by document length — the same O(doc) memory shape
-    ``verify_jaccard_pairs`` carries — and this brute path only ever
-    runs on sub-``brute_below`` corpora (see jaccard_prefix_join).
+    ``strategy``: ``"pandas"`` (the ``"auto"`` pick) = one Arrow task
+    with an inverted shingle index (``_jaccard_all_pairs_pandas``) —
+    at the scales this operator is for, the six-stage JVM plan is pure
+    scheduling floor (1.49s vs 0.37s on the 500-doc slice); ``"expr"``
+    = the distributed shingle self-join below, for inputs near the
+    brute cutoff on deployments without Python workers.
+
+    Expr shape: one tokenization, one id-shuffle — shingles explode
+    into groupBy(id).collect_set (set semantics AND per-doc size in one
+    aggregation); both self-join sides re-derive (id, sz, shingle) rows
+    from that subtree (ReusedExchange), sizes ride the pair groupBy as
+    functionally-dependent keys. 0.65s vs 0.97s warm on the 500-doc
+    sf1 slice vs the previous distinct+sizes-join shape (r6).
 
     NEGATIVE RESULT (r5, measured): a broadcast nested-loop self-join
     on per-doc ``array_distinct`` shingle arrays + ``array_intersect``
-    — two stages instead of six — ran 4.4s warm vs 0.65s for this shape
-    on the 500-doc sf1 slice. The equi-join touches only pairs that
-    actually share a shingle; the BNLJ form pays an interpreted
+    — two stages instead of six — ran 4.4s warm vs 0.65s for the expr
+    shape on the 500-doc sf1 slice: the equi-join touches only pairs
+    that actually share a shingle; the BNLJ form pays an interpreted
     ~200-element string-array intersect for every one of the n²/2
-    combinations. Stage count is not the cost model here.
+    combinations. Stage count is not the cost model there — but for
+    the PYTHON path it is: one task, no stages, compute measured in
+    tens of milliseconds.
     """
+    if strategy not in ("auto", "pandas", "expr"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "expr":
+        return _jaccard_all_pairs_pandas(
+            df, id_col, text_col, shingle_n, threshold
+        )
     sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
     sets = sh.groupBy("id").agg(F.collect_set("s").alias("sh"))
     sized = sets.select(

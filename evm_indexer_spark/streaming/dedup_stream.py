@@ -99,18 +99,23 @@ class MinHashBucketIndex:
         num_hashes: int = 16,
         bands: int = 8,
         shingle_n: int = 3,
+        strategy: str = "auto",
     ) -> None:
         self.spark = spark
         self.path = path
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        # resolve "auto" so the persisted stamp is concrete: the two
+        # signing strategies use different hash families, so an index
+        # must be written AND queried with one of them forever
+        self.strategy = "pandas" if strategy == "pandas" else "expr"
         fs, jroot = _hadoop(spark, path)
         fs.mkdirs(jroot)
         marker = spark._jvm.org.apache.hadoop.fs.Path(
             posixpath.join(path, self._MARKER)
         )
-        stamp = f"{num_hashes},{bands},{shingle_n}"
+        stamp = f"{num_hashes},{bands},{shingle_n},{self.strategy}"
         if not fs.exists(marker):
             try:
                 out = fs.create(marker, False)  # atomic create-if-absent
@@ -157,7 +162,8 @@ class MinHashBucketIndex:
         ``batch=<batch_id>`` (overwrite — re-delivery of the same epoch
         replaces, never duplicates)."""
         rows = dedup.minhash_banded(
-            docs, id_col, text_col, self.num_hashes, self.bands, self.shingle_n
+            docs, id_col, text_col, self.num_hashes, self.bands,
+            self.shingle_n, self.strategy,
         )
         rows.write.mode("overwrite").parquet(
             posixpath.join(self.path, f"batch={batch_id}")
@@ -235,6 +241,7 @@ class MinHashBucketIndex:
             self.bands,
             self.shingle_n,
             jaccard_threshold,
+            self.strategy,
         )
 
 

@@ -156,6 +156,31 @@ def test_simhash_signature_long_doc_no_ansi_overflow(spark):
     assert set(rows) == {1, 2}
 
 
+def test_jaccard_all_pairs_strategies_identical(spark, corpus):
+    """The one-Arrow-task inverted-index path must be byte-identical to
+    the distributed shingle self-join — including Spark round()'s
+    HALF_UP-on-shortest-repr rounding of the jaccard double."""
+    for t in (0.1, 0.4, 0.8):
+        a = sorted(map(tuple, dedup.jaccard_all_pairs(
+            corpus, "doc_id", "text", 3, t, strategy="pandas").collect()))
+        b = sorted(map(tuple, dedup.jaccard_all_pairs(
+            corpus, "doc_id", "text", 3, t, strategy="expr").collect()))
+        assert a == b, f"threshold {t}"
+    assert len(a) >= 0 and len(b) >= 0
+
+
+def test_minhash_strategies_same_verified_output(spark, corpus):
+    """The blake2b (Arrow) and xxhash64 (JVM) families generate
+    different CANDIDATE sets, but at the full-recall r=1 tier both must
+    verify down to the identical exact-Jaccard pair list."""
+    kw = dict(num_hashes=64, bands=64, jaccard_threshold=0.4)
+    a = sorted(map(tuple, dedup.minhash_near_duplicates(
+        corpus, "doc_id", "text", strategy="pandas", **kw).collect()))
+    b = sorted(map(tuple, dedup.minhash_near_duplicates(
+        corpus, "doc_id", "text", strategy="expr", **kw).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_simhash_strategies_bit_identical(spark):
     """The Arrow voting path must reproduce the JVM SWAR path bit for
     bit on the md5_60 family — including Spark split()'s empty-token

@@ -74,6 +74,15 @@ def test_index_banding_mismatch_rejected(spark, tmp_path):
     MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=16, bands=8)
     with pytest.raises(ValueError, match="banding"):
         MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    # same banding but the other signing strategy: different hash
+    # families never collide — reopening must refuse too
+    with pytest.raises(ValueError, match="banding"):
+        MinHashBucketIndex(
+            spark, str(tmp_path / "ix"), num_hashes=16, bands=8,
+            strategy="pandas",
+        )
+    # same everything reopens fine
+    MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=16, bands=8)
 
 
 def test_index_append_idempotent(spark, tmp_path):
