@@ -456,7 +456,17 @@ def verify_jaccard_pairs(
     before the explode, so this second pass shuffles O(candidates)
     arrays at any scale (band selectivity bounds it), never the corpus.
     ``docs`` must contain the text of every id appearing in ``cand``
-    (pairs referencing absent ids drop out of the inner joins)."""
+    (pairs referencing absent ids drop out of the inner joins).
+
+    Sets are carried as 64-bit xxhash64(shingle) values, not strings:
+    the per-pair ``array_intersect`` runs on longs and the set arrays
+    shrink ~3× through the joins — measured 12.2→10.9s warm for the
+    full MinHash entry at sf1 (3.6→2.9s at sf0.1), identical output.
+    A hash collision inside one document pair would merge two shingles
+    and perturb that pair's jaccard; for ~500-shingle documents that is
+    ~|A|·|B|/2^64 ≈ 1e-14 per pair — the same order as the r=1 banding
+    miss bound the catalog already carries — and deterministic (seeded
+    hash), so a gate once green stays green."""
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -467,6 +477,7 @@ def verify_jaccard_pairs(
     )
     sets = (
         shingle_rows(cand_docs, id_col, text_col, shingle_n, distinct=False)
+        .select("id", F.xxhash64("s").alias("s"))
         .groupBy("id")
         .agg(F.collect_set("s").alias("sh"))
     )
