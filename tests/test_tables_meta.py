@@ -44,6 +44,15 @@ class TestFooterMeta:
     def test_missing_column_returns_none(self):
         assert table_column_range(SF, "documents", "no_such_col") is None
 
+    def test_directory_parquet_sums_part_files(self, spark, tmp_path):
+        # Spark-written tables are DIRECTORIES of part files — the
+        # footer reader must sum row counts and fold min/max across
+        # every part, skipping _SUCCESS markers
+        df = spark.range(0, 1000).withColumnRenamed("id", "k")
+        df.repartition(4).write.parquet(str(tmp_path / "t.parquet"))
+        assert table_rowcount(str(tmp_path), "t") == 1000
+        assert table_column_range(str(tmp_path), "t", "k") == (0, 999)
+
 
 class TestBandingTiers:
     def test_pinned_tiers(self):
