@@ -389,9 +389,19 @@ def minhash_candidates(
 
     Plan shape:
       1. signature job — narrow, no shuffle;
-      2. explode to ``bands`` rows/doc, shuffle on (band, band_hash) —
-         uniform key space;
-      3. in-bucket self-join (small groups) → (id_a, id_b), deduped.
+      2. explode to ``bands`` rows/doc, ONE shuffle on
+         (band, band_hash) — uniform key space — into
+         groupBy.collect_list;
+      3. per-bucket pair emission (posexplode + tail slice), deduped.
+
+    Pair emission replaced an in-bucket SELF-JOIN (r6): the join form
+    evaluates the banded subtree once per side (AQE broadcasts one
+    side and recomputes the whole signature pipeline into it), where
+    the groupBy form signs the corpus exactly once — measured 3.9→1.7s
+    at sf0.1 and 5.9→5.1s at sf1 for identical candidate sets. The
+    in-bucket quadratic is the same in both forms and bounded by the
+    LSH key selectivity; the collect_list arrays are bucket-sized
+    (cluster width, ~10s of ids), never corpus-sized.
 
     Exact-duplicate clusters should be collapsed by
     ``exact_duplicates`` upstream: m identical docs produce m(m-1)/2
@@ -400,21 +410,31 @@ def minhash_candidates(
     banded = minhash_banded(
         df, id_col, text_col, num_hashes, bands, shingle_n, strategy
     )
+    return _bucket_pairs(banded, ["band", "bh"])
+
+
+def _bucket_pairs(rows: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """Distinct (id_a, id_b), id_a < id_b, for every pair of ids that
+    share a bucket: one groupBy shuffle + per-bucket tail-slice pair
+    emission. ``rows`` needs (id, *bucket_cols)."""
+    g = (
+        rows.groupBy(*bucket_cols)
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    p1 = g.select("ids", F.posexplode("ids").alias("i", "x"))
+    p2 = p1.select(
+        "x", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("y")
+    )
     return (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
+        p2.select(
+            F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # three downstream consumers (id-prune union ×2 + the pair
-        # join) — all read the same dedup Exchange, which AQE
-        # materializes once and reuses; nothing persisted or
-        # checkpointed (a checkpoint here pinned executor blocks for
-        # the session lifetime)
+        # downstream consumers (id-prune union ×2 + the pair join) all
+        # read the same dedup Exchange, which AQE materializes once
+        # and reuses; nothing persisted or checkpointed (a checkpoint
+        # here pinned executor blocks for the session lifetime)
     )
 
 
@@ -521,34 +541,44 @@ def incremental_minhash_pairs(
 
     Returns (id_a, id_b, jaccard), id_a < id_b, at least one side new.
 
-    Candidate generation is ONE flagged self-join: indexed rows
-    (is_new=false) union the batch rows (is_new=true), bucket-joined
-    against themselves with ``a.id < b.id AND (a.new OR b.new)`` — the
-    same pair set the previous two-join form (new-vs-index +
-    new-vs-new, unioned) produced, but the freshly-signed batch subtree
-    is referenced once per join side instead of three times and the
-    union/canonicalize stages disappear. Measured back-to-back at sf1
-    (25k+25k split, 194 200 reported pairs): old form med 16.2-17.9s,
-    this form med 13.0s — identical output.
-    old-old pairs never survive the flag predicate, so the index side
-    still contributes only bucket probes, never a corpus² blow-up.
+    Candidate generation is ONE flagged bucket grouping: indexed rows
+    (is_new=false) union the batch rows (is_new=true), grouped on the
+    bucket key; each bucket emits its id pairs with at least one new
+    member. This produces the same pair set as the previous two-join
+    form (new-vs-index + new-vs-new, unioned) while signing the batch
+    exactly once — the join forms evaluated the freshly-signed batch
+    subtree once per join side (measured back-to-back at sf1, 25k+25k
+    split, 194 200 reported pairs: two-join med 16.2-17.9s, flagged
+    self-join med 13.0s, this grouped form med 14.3/min 12.8 — within
+    noise of the flagged join but with one fewer signing of the batch,
+    the property that matters when the batch is large; output
+    identical across all three).
+    old-old pairs are rejected at emission, so the index side still
+    contributes only bucket probes, never a corpus² blow-up; the
+    grouped arrays are bucket-sized (LSH key selectivity), never
+    corpus-sized.
     """
     new_banded = minhash_banded(
         new_docs, id_col, text_col, num_hashes, bands, shingle_n, strategy
     )
-    both = index_buckets.withColumn("_new", F.lit(False)).unionByName(
-        new_banded.withColumn("_new", F.lit(True))
+    both = index_buckets.select(
+        "id", "band", "bh", F.lit(False).alias("n")
+    ).unionByName(new_banded.select("id", "band", "bh", F.lit(True).alias("n")))
+    g = (
+        both.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("id", "n")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
+    p1 = g.select("ms", F.posexplode("ms").alias("i", "a"))
+    p2 = p1.select(
+        "a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b")
+    ).filter(F.col("a.n") | F.col("b.n"))
     cand = (
-        both.alias("a")
-        .join(
-            both.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("a._new") | F.col("b._new")),
+        p2.select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return verify_jaccard_pairs(
@@ -760,11 +790,15 @@ def simhash_near_duplicates(
     assert n_bits % n_blocks == 0
     width = n_bits // n_blocks
     mask = (1 << width) - 1
-    # the bucketed signatures self-join on identical subtrees: the
-    # signature aggregation materializes once as a shuffle stage and the
-    # second side reads it back as a ReusedExchange — no persist (a
-    # lazily-leaked cache was the round-3 retention hazard), no pinned
-    # executor storage
+    # ONE shuffle into per-bucket groups, pairs emitted by tail-slice —
+    # the self-join form this replaced (r6) evaluated the signature
+    # pipeline once per join side (AQE broadcast rebuilds it); grouped,
+    # the corpus is signed exactly once: 2.7→2.0s warm at sf1,
+    # identical output. Group arrays carry (id, sig) structs and are
+    # bucket-sized — bounded by the 2^width key space's selectivity,
+    # same in-bucket quadratic the join form had. (An earlier r5 note
+    # recorded SHUFFLE_HASH-hinting the join as WORSE than broadcast —
+    # that comparison is moot now the join is gone.)
     sigs = simhash_signatures(df, id_col, text_col, token_hash, n_bits)
     bucketed = sigs.select(
         "id",
@@ -783,22 +817,19 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.blk", "bb.bv")
-    # NOT hinted: forcing SHUFFLE_HASH here (to share one signature
-    # stage via ReusedExchange) measured WORSE at both sf0.1 (2.9 vs
-    # 2.7s) and sf1 (12.0 vs 9.0s warm) — recomputing the cheap
-    # signature aggregate into a broadcast beats shuffling both
-    # exploded sides; AQE's cost model already picks right per scale
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    g = (
+        bucketed.groupBy("blk", "bv")
+        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    p1 = g.select("ms", F.posexplode("ms").alias("i", "a"))
+    p2 = p1.select(
+        "a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+        p2.select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
             hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
         # filter BEFORE the dedup exchange: hamming is a pure pair
