@@ -247,24 +247,20 @@ def embedding_near_duplicates(
         return pd.Series(list(out))
 
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # slim bucket table: carry nothing but (id, bucket) through the
-    # self-join. NOT materialized — each join side recomputes the
-    # matmul+explode, a map-side pass that costs less than an eager
-    # checkpoint job at toy scale and less than caching T× bucket rows
-    # per executor at corpus scale
+    # slim bucket table: carry nothing but (id, bucket) into ONE
+    # groupBy; each bucket emits its pairs (dedup._bucket_pairs) — the
+    # self-join form this replaced evaluated the matmul+explode once
+    # per join side (r6, same shape fix as the MinHash/SimHash
+    # candidate stages; A/B at sf1 measured a wash — the matmul is
+    # cheap next to verification here — so the change buys the
+    # single-evaluation property, not latency); vectors never ride the
+    # bucket shuffle (they would be copied ×n_tables)
+    from .dedup import _bucket_pairs
+
     bucketed = vecs.select(
         "id", F.explode(buckets_batch(F.col("v"))).alias("bucket")
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    candidates = _bucket_pairs(bucketed, ["bucket"])
     pairs = candidates.join(
         vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
     ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
