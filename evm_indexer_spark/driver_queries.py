@@ -534,10 +534,15 @@ def q27(spark, sf):
     """
     doc = load_table(spark, sf, "documents")
     n = table_rowcount(sf, "documents")
-    nh, b = dedup.banding_for_corpus(doc.count() if n is None else n)
+    n = doc.count() if n is None else n
+    nh, b = dedup.banding_for_corpus(n)
     out = dedup.minhash_near_duplicates(
         doc, "doc_id", "text",
         num_hashes=nh, bands=b, jaccard_threshold=0.4,
+        # grouped emission signs once and wins 2× below ~100k docs;
+        # above, the streaming join keeps executor memory flat (the
+        # sf10-measured trade documented at dedup._bucket_pairs)
+        pair_source="group" if n <= 100_000 else "join",
     )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
@@ -599,6 +604,8 @@ def q28(spark, sf):
     the sf1 10-way-near-dup corpus — an approximate regime the operator
     still supports, but not one a driver-oracled entry should ship."""
     doc = load_table(spark, sf, "documents")
+    n = table_rowcount(sf, "documents")
+    n = doc.count() if n is None else n
     return dedup.simhash_near_duplicates(
         doc,
         "doc_id",
@@ -607,6 +614,8 @@ def q28(spark, sf):
         n_blocks=4,
         token_hash="md5_60",
         n_bits=60,
+        # same group-below / stream-above routing as q27
+        pair_source="group" if n <= 100_000 else "join",
     )
 
 
@@ -1616,4 +1625,6 @@ def q66(spark, sf):
     return dedup.incremental_minhash_pairs(
         new, index, doc, "doc_id", "text",
         num_hashes=nh, bands=b, jaccard_threshold=0.4,
+        # same group-below / stream-above routing as q27
+        pair_source="group" if n <= 100_000 else "join",
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

@@ -379,6 +379,7 @@ def minhash_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     strategy: str = "auto",
+    pair_source: str = "join",
 ) -> DataFrame:
     """Candidate near-dup pairs from the MinHash band buckets — the
     slim half of ``minhash_near_duplicates``, exposed separately so
@@ -389,19 +390,17 @@ def minhash_candidates(
 
     Plan shape:
       1. signature job — narrow, no shuffle;
-      2. explode to ``bands`` rows/doc, ONE shuffle on
-         (band, band_hash) — uniform key space — into
-         groupBy.collect_list;
-      3. per-bucket pair emission (posexplode + tail slice), deduped.
+      2. explode to ``bands`` rows/doc, shuffle on (band, band_hash) —
+         uniform key space;
+      3. in-bucket pair production (``_bucket_pairs``), deduped.
 
-    Pair emission replaced an in-bucket SELF-JOIN (r6): the join form
-    evaluates the banded subtree once per side (AQE broadcasts one
-    side and recomputes the whole signature pipeline into it), where
-    the groupBy form signs the corpus exactly once — measured 3.9→1.7s
-    at sf0.1 and 5.9→5.1s at sf1 for identical candidate sets. The
-    in-bucket quadratic is the same in both forms and bounded by the
-    LSH key selectivity; the collect_list arrays are bucket-sized
-    (cluster width, ~10s of ids), never corpus-sized.
+    ``pair_source`` (see ``_bucket_pairs`` for the measurements):
+    ``"join"`` (default — the memory-streaming, sf10-proven shape) or
+    ``"group"``, which signs the corpus once instead of once per join
+    side and wins 2× at sub-100k-doc scales (3.9→1.7s at sf0.1,
+    5.9→5.1s at sf1, identical candidate sets) — the catalog entries
+    route it by footer row counts. The in-bucket quadratic is the same
+    in both forms and bounded by the LSH key selectivity.
 
     Exact-duplicate clusters should be collapsed by
     ``exact_duplicates`` upstream: m identical docs produce m(m-1)/2
@@ -410,13 +409,39 @@ def minhash_candidates(
     banded = minhash_banded(
         df, id_col, text_col, num_hashes, bands, shingle_n, strategy
     )
-    return _bucket_pairs(banded, ["band", "bh"])
+    return _bucket_pairs(banded, ["band", "bh"], pair_source)
 
 
-def _bucket_pairs(rows: DataFrame, bucket_cols: list[str]) -> DataFrame:
+def _bucket_pairs(
+    rows: DataFrame, bucket_cols: list[str], pair_source: str = "group"
+) -> DataFrame:
     """Distinct (id_a, id_b), id_a < id_b, for every pair of ids that
-    share a bucket: one groupBy shuffle + per-bucket tail-slice pair
-    emission. ``rows`` needs (id, *bucket_cols)."""
+    share a bucket. ``rows`` needs (id, *bucket_cols).
+
+    ``pair_source``: ``"group"`` = one groupBy shuffle into
+    collect_list + per-bucket tail-slice emission — evaluates ``rows``
+    once and wins 2× at gate/bench scales where the join's broadcast
+    side re-evaluates the whole signature pipeline; ``"join"`` = the
+    streaming self-join — evaluates ``rows`` once per side but buffers
+    nothing per bucket. MEASURED at sf10 (500k docs, 740k buckets,
+    621M in-bucket pairs): identical candidate counts and wall time
+    (1116s vs 1096s), but the grouped aggregation pushed the
+    single-JVM heap past 64g where the join form fit — callers above
+    ~100k docs should pass "join" (the catalog entries route by footer
+    row counts). On a real cluster the buffer is per-executor, but the
+    join's streaming shape is still the right default at corpus
+    scale."""
+    if pair_source == "join":
+        a, b = rows.alias("a"), rows.alias("b")
+        on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+        return (
+            a.join(b, cond & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     g = (
         rows.groupBy(*bucket_cols)
         .agg(F.collect_list("id").alias("ids"))
@@ -447,6 +472,7 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     strategy: str = "auto",
+    pair_source: str = "join",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact Jaccard verification:
     ``minhash_candidates`` band buckets, then exact Jaccard on the
@@ -456,7 +482,8 @@ def minhash_near_duplicates(
     jaccard >= threshold.
     """
     cand = minhash_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_n, strategy
+        df, id_col, text_col, num_hashes, bands, shingle_n, strategy,
+        pair_source,
     )
     return verify_jaccard_pairs(
         cand, df, id_col, text_col, shingle_n, jaccard_threshold
@@ -524,6 +551,7 @@ def incremental_minhash_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     strategy: str = "auto",
+    pair_source: str = "join",
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the arriving batch: new-vs-indexed-corpus
     plus new-vs-new, exactly verified — the incremental form of
@@ -541,22 +569,20 @@ def incremental_minhash_pairs(
 
     Returns (id_a, id_b, jaccard), id_a < id_b, at least one side new.
 
-    Candidate generation is ONE flagged bucket grouping: indexed rows
-    (is_new=false) union the batch rows (is_new=true), grouped on the
-    bucket key; each bucket emits its id pairs with at least one new
-    member. This produces the same pair set as the previous two-join
-    form (new-vs-index + new-vs-new, unioned) while signing the batch
-    exactly once — the join forms evaluated the freshly-signed batch
-    subtree once per join side (measured back-to-back at sf1, 25k+25k
-    split, 194 200 reported pairs: two-join med 16.2-17.9s, flagged
-    self-join med 13.0s, this grouped form med 14.3/min 12.8 — within
-    noise of the flagged join but with one fewer signing of the batch,
-    the property that matters when the batch is large; output
-    identical across all three).
-    old-old pairs are rejected at emission, so the index side still
-    contributes only bucket probes, never a corpus² blow-up; the
-    grouped arrays are bucket-sized (LSH key selectivity), never
-    corpus-sized.
+    Candidate generation is ONE flagged bucket pass: indexed rows
+    (is_new=false) union the batch rows (is_new=true), and pairs with
+    at least one new member come out of a single flagged self-join
+    (``pair_source="join"``, the memory-streaming default — same
+    measurement as ``_bucket_pairs``) or a single flagged grouping
+    (``"group"``, which signs the batch exactly once; the catalog
+    routes it below ~100k docs). Both produce the same pair set as
+    the original two-join form (new-vs-index + new-vs-new, unioned):
+    measured back-to-back at sf1, 25k+25k split, 194 200 reported
+    pairs — two-join med 16.2-17.9s, flagged join med 13.0s, flagged
+    grouping med 14.3/min 12.8; output identical across all three.
+    old-old pairs are rejected by the flag predicate, so the index
+    side still contributes only bucket probes, never a corpus²
+    blow-up.
     """
     new_banded = minhash_banded(
         new_docs, id_col, text_col, num_hashes, bands, shingle_n, strategy
@@ -564,23 +590,37 @@ def incremental_minhash_pairs(
     both = index_buckets.select(
         "id", "band", "bh", F.lit(False).alias("n")
     ).unionByName(new_banded.select("id", "band", "bh", F.lit(True).alias("n")))
-    g = (
-        both.groupBy("band", "bh")
-        .agg(F.collect_list(F.struct("id", "n")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    p1 = g.select("ms", F.posexplode("ms").alias("i", "a"))
-    p2 = p1.select(
-        "a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b")
-    ).filter(F.col("a.n") | F.col("b.n"))
-    cand = (
-        p2.select(
-            F.least("a.id", "b.id").alias("id_a"),
-            F.greatest("a.id", "b.id").alias("id_b"),
+    if pair_source == "join":
+        cand = (
+            both.alias("a")
+            .join(
+                both.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.id") < F.col("b.id"))
+                & (F.col("a.n") | F.col("b.n")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    else:
+        g = (
+            both.groupBy("band", "bh")
+            .agg(F.collect_list(F.struct("id", "n")).alias("ms"))
+            .filter(F.size("ms") > 1)
+        )
+        p1 = g.select("ms", F.posexplode("ms").alias("i", "a"))
+        p2 = p1.select(
+            "a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b")
+        ).filter(F.col("a.n") | F.col("b.n"))
+        cand = (
+            p2.select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return verify_jaccard_pairs(
         cand, corpus_docs, id_col, text_col, shingle_n, jaccard_threshold
     )
@@ -767,6 +807,7 @@ def simhash_near_duplicates(
     n_blocks: int = 4,
     token_hash: str = "xxhash64",
     n_bits: int = 64,
+    pair_source: str = "join",
 ) -> DataFrame:
     """SimHash near-dup pairs via multi-block bucketing.
 
@@ -790,15 +831,14 @@ def simhash_near_duplicates(
     assert n_bits % n_blocks == 0
     width = n_bits // n_blocks
     mask = (1 << width) - 1
-    # ONE shuffle into per-bucket groups, pairs emitted by tail-slice —
-    # the self-join form this replaced (r6) evaluated the signature
-    # pipeline once per join side (AQE broadcast rebuilds it); grouped,
-    # the corpus is signed exactly once: 2.7→2.0s warm at sf1,
-    # identical output. Group arrays carry (id, sig) structs and are
-    # bucket-sized — bounded by the 2^width key space's selectivity,
-    # same in-bucket quadratic the join form had. (An earlier r5 note
-    # recorded SHUFFLE_HASH-hinting the join as WORSE than broadcast —
-    # that comparison is moot now the join is gone.)
+    # pair_source="group": ONE shuffle into per-bucket groups, pairs
+    # emitted by tail-slice — the corpus is signed exactly once where
+    # the self-join's AQE broadcast side rebuilds the signature
+    # pipeline: 2.7→2.0s warm at sf1, identical output; the catalog
+    # routes it below ~100k docs. "join" (default) is the streaming,
+    # memory-flat shape — the same group-vs-join memory trade
+    # _bucket_pairs documents at sf10, with (id, sig) structs in the
+    # group arrays instead of bare ids.
     sigs = simhash_signatures(df, id_col, text_col, token_hash, n_bits)
     bucketed = sigs.select(
         "id",
@@ -817,27 +857,40 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.blk", "bb.bv")
-    g = (
-        bucketed.groupBy("blk", "bv")
-        .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    p1 = g.select("ms", F.posexplode("ms").alias("i", "a"))
-    p2 = p1.select(
-        "a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b")
-    )
-    return (
-        p2.select(
+    if pair_source == "join":
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        paired = a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+    else:
+        g = (
+            bucketed.groupBy("blk", "bv")
+            .agg(F.collect_list(F.struct("id", "sig")).alias("ms"))
+            .filter(F.size("ms") > 1)
+        )
+        p1 = g.select("ms", F.posexplode("ms").alias("i", "a"))
+        p2 = p1.select(
+            "a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b")
+        )
+        paired = p2.select(
             F.least("a.id", "b.id").alias("id_a"),
             F.greatest("a.id", "b.id").alias("id_b"),
             hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
+    return (
         # filter BEFORE the dedup exchange: hamming is a pure pair
         # function, so rejecting non-matches first is semantics-neutral
         # but shrinks the dropDuplicates shuffle from all bucket
         # collisions to true matches (at corpus scale the collision
         # stream is the larger of the two by construction)
-        .filter(F.col("hamming") <= max_hamming)
+        paired.filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -205,6 +205,7 @@ def embedding_near_duplicates(
     n_tables: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    pair_source: str = "join",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-table LSH candidate join,
     then exact cosine verification — the all-pairs O(n²) never runs.
@@ -247,20 +248,18 @@ def embedding_near_duplicates(
         return pd.Series(list(out))
 
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # slim bucket table: carry nothing but (id, bucket) into ONE
-    # groupBy; each bucket emits its pairs (dedup._bucket_pairs) — the
-    # self-join form this replaced evaluated the matmul+explode once
-    # per join side (r6, same shape fix as the MinHash/SimHash
-    # candidate stages; A/B at sf1 measured a wash — the matmul is
-    # cheap next to verification here — so the change buys the
-    # single-evaluation property, not latency); vectors never ride the
-    # bucket shuffle (they would be copied ×n_tables)
+    # slim bucket table: carry nothing but (id, bucket) into candidate
+    # generation (dedup._bucket_pairs: "join" default streams and is
+    # memory-flat — the sf10-proven shape; "group" evaluates the
+    # matmul+explode once instead of once per join side, an A/B wash
+    # at sf1 because verification dominates here); vectors never ride
+    # the bucket shuffle (they would be copied ×n_tables)
     from .dedup import _bucket_pairs
 
     bucketed = vecs.select(
         "id", F.explode(buckets_batch(F.col("v"))).alias("bucket")
     )
-    candidates = _bucket_pairs(bucketed, ["bucket"])
+    candidates = _bucket_pairs(bucketed, ["bucket"], pair_source)
     pairs = candidates.join(
         vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
     ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")

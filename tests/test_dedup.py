@@ -169,6 +169,43 @@ def test_jaccard_all_pairs_strategies_identical(spark, corpus):
     assert len(a) >= 0 and len(b) >= 0
 
 
+def test_pair_sources_identical(spark, corpus):
+    """The grouped bucket-pair emission and the streaming self-join must
+    produce identical verified outputs for MinHash and SimHash — the
+    two forms are a memory/latency trade, never a semantics one."""
+    kw = dict(num_hashes=64, bands=64, jaccard_threshold=0.4)
+    a = sorted(map(tuple, dedup.minhash_near_duplicates(
+        corpus, "doc_id", "text", pair_source="group", **kw).collect()))
+    b = sorted(map(tuple, dedup.minhash_near_duplicates(
+        corpus, "doc_id", "text", pair_source="join", **kw).collect()))
+    assert a == b and len(a) > 0
+
+    sa = sorted(map(tuple, dedup.simhash_near_duplicates(
+        corpus, "doc_id", "text", max_hamming=3, n_blocks=4,
+        pair_source="group").collect()))
+    sb = sorted(map(tuple, dedup.simhash_near_duplicates(
+        corpus, "doc_id", "text", max_hamming=3, n_blocks=4,
+        pair_source="join").collect()))
+    assert sa == sb
+
+
+def test_incremental_pair_sources_identical(spark, corpus):
+    from pyspark.sql import functions as F
+
+    split = 10
+    old = corpus.filter(F.col("doc_id") < split)
+    new = corpus.filter(F.col("doc_id") >= split)
+    index = dedup.minhash_banded(old, "doc_id", "text", 64, 64)
+    kw = dict(num_hashes=64, bands=64, jaccard_threshold=0.4)
+    a = sorted(map(tuple, dedup.incremental_minhash_pairs(
+        new, index, corpus, "doc_id", "text", pair_source="group",
+        **kw).collect()))
+    b = sorted(map(tuple, dedup.incremental_minhash_pairs(
+        new, index, corpus, "doc_id", "text", pair_source="join",
+        **kw).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_minhash_strategies_same_verified_output(spark, corpus):
     """The blake2b (Arrow) and xxhash64 (JVM) families generate
     different CANDIDATE sets, but at the full-recall r=1 tier both must
