@@ -455,6 +455,9 @@ def _bucket_pairs(
         p2.select(
             F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b")
         )
+        # a duplicate id within one bucket would emit a self-pair here;
+        # the join path excludes them structurally via a.id < b.id
+        .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         # downstream consumers (id-prune union ×2 + the pair join) all
         # read the same dedup Exchange, which AQE materializes once
@@ -982,6 +985,11 @@ def _jaccard_all_pairs_pandas(
     return df.select(id_col, text_col).coalesce(1).mapInPandas(_all, schema)
 
 
+# documents above which the single-task brute plan is refused by
+# "auto": one Arrow worker must hold every shingle set + pair counters
+BRUTE_TASK_CAP = 20_000
+
+
 def jaccard_all_pairs(
     df: DataFrame,
     id_col: str,
@@ -998,12 +1006,15 @@ def jaccard_all_pairs(
     and LSH verification is ``verify_jaccard_pairs``. Output:
     (id_a, id_b, jaccard double rounded to 4) with id_a < id_b.
 
-    ``strategy``: ``"pandas"`` (the ``"auto"`` pick) = one Arrow task
-    with an inverted shingle index (``_jaccard_all_pairs_pandas``) —
-    at the scales this operator is for, the six-stage JVM plan is pure
-    scheduling floor (1.49s vs 0.37s on the 500-doc slice); ``"expr"``
-    = the distributed shingle self-join below, for inputs near the
-    brute cutoff on deployments without Python workers.
+    ``strategy``: ``"pandas"`` = one Arrow task with an inverted
+    shingle index (``_jaccard_all_pairs_pandas``) — at the scales this
+    operator is for, the six-stage JVM plan is pure scheduling floor
+    (1.49s vs 0.37s on the 500-doc slice); ``"expr"`` = the
+    distributed shingle self-join below, for inputs near the brute
+    cutoff on deployments without Python workers; ``"auto"`` (default)
+    limit-probes the corpus and refuses the single-task plan above
+    ``BRUTE_TASK_CAP`` docs (falls back to ``"expr"``) — bounded
+    internal callers pass ``"pandas"`` to skip the probe.
 
     Expr shape: one tokenization, one id-shuffle — shingles explode
     into groupBy(id).collect_set (set semantics AND per-doc size in one
@@ -1024,7 +1035,16 @@ def jaccard_all_pairs(
     """
     if strategy not in ("auto", "pandas", "expr"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    if strategy != "expr":
+    if strategy == "auto":
+        # the single-task plan is only safe when the corpus fits one
+        # worker; bounded callers (jaccard_prefix_join's brute tier)
+        # pass "pandas" having already counted — a direct public call
+        # pays one limit-probe (scan short-circuits at the cap) and
+        # degrades to the distributed plan instead of serializing an
+        # unbounded corpus through coalesce(1)
+        small = df.limit(BRUTE_TASK_CAP + 1).count() <= BRUTE_TASK_CAP
+        strategy = "pandas" if small else "expr"
+    if strategy == "pandas":
         return _jaccard_all_pairs_pandas(
             df, id_col, text_col, shingle_n, threshold
         )
@@ -1089,7 +1109,11 @@ def jaccard_prefix_join(
         # fraction of the probe job's cost
         strategy = "brute" if df.limit(brute_below).count() < brute_below else "prefix"
     if strategy == "brute":
-        return jaccard_all_pairs(df, id_col, text_col, shingle_n, threshold)
+        # size already probed above (or asserted by the caller forcing
+        # "brute") — pass "pandas" so the brute tier doesn't re-probe
+        return jaccard_all_pairs(
+            df, id_col, text_col, shingle_n, threshold, strategy="pandas"
+        )
 
     # NOT persisted: pinning corpus-wide shingle rows in executor
     # storage is the O(corpus) hazard this operator exists to avoid —

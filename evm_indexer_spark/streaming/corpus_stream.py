@@ -94,7 +94,17 @@ class NgramStatsStore:
 
     def compact(self) -> int:
         """Merge every batch dir into one summed base generation; see
-        module docstring. Returns the number of directories folded."""
+        module docstring. Returns the number of directories folded.
+
+        Unlike the bucket index (where a duplicated row is harmless),
+        these partials are SUMMED — folding a row twice corrupts the
+        running counts. The merge therefore reads strictly the ``old``
+        snapshot dirs captured before the write (an epoch landing
+        mid-compaction is neither folded nor deleted; it survives for
+        the next compaction), and exactly one concurrent writer is
+        assumed — the streaming ``foreachBatch`` contract, same as
+        ``MinHashBucketIndex.compact``. Run from the maintenance
+        cadence, never concurrently with ``append``."""
         fs, _ = _hadoop(self.spark, self.path)
         Path = self.spark._jvm.org.apache.hadoop.fs.Path
         old = _list_batch_dirs(self.spark, self.path)
@@ -109,7 +119,8 @@ class NgramStatsStore:
                 except ValueError:
                     pass
         merged = (
-            self.partials()
+            self.spark.read.schema(STATS_SCHEMA)
+            .parquet(*old)
             .groupBy("ngram")
             .agg(F.sum("occ").alias("occ"), F.sum("docs").alias("docs"))
         )

@@ -106,6 +106,10 @@ class MinHashBucketIndex:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        if strategy not in ("auto", "pandas", "expr"):
+            raise ValueError(
+                f"strategy must be one of auto/pandas/expr, got {strategy!r}"
+            )
         # resolve "auto" so the persisted stamp is concrete: the two
         # signing strategies use different hash families, so an index
         # must be written AND queried with one of them forever
@@ -123,14 +127,31 @@ class MinHashBucketIndex:
                     out.write(bytearray(stamp.encode()))
                 finally:
                     out.close()
-            except Exception:
-                pass  # lost the creation race — validate below
-        prev = self._read_small(fs, marker)
+            except Exception as exc:
+                # only a lost creation race is recoverable; any other
+                # failure (permissions, transient FS error) must not be
+                # masked as a banding mismatch
+                if not self._is_already_exists(exc):
+                    raise
+        prev = self._read_marker(fs, marker)
         if prev != stamp:
             raise ValueError(
                 f"index at {path} was built with banding {prev}, "
                 f"reopened with {stamp} — rows would never collide"
             )
+
+    @staticmethod
+    def _is_already_exists(exc: Exception) -> bool:
+        """True when a py4j-wrapped Hadoop exception means 'marker file
+        already exists' — the only recoverable create(overwrite=False)
+        failure (the race loser's branch)."""
+        java_exc = getattr(exc, "java_exception", None)
+        name = java_exc.getClass().getName() if java_exc else type(exc).__name__
+        msg = str(exc)
+        return (
+            "AlreadyExists" in name
+            or "already exists" in msg.lower()
+        )
 
     @staticmethod
     def _read_small(fs, jpath) -> str:
@@ -145,6 +166,24 @@ class MinHashBucketIndex:
             return buf.decode()
         finally:
             stream.close()
+
+    @classmethod
+    def _read_marker(cls, fs, jpath) -> str:
+        """Read the banding stamp, retrying briefly: a racing loser can
+        observe the winner's marker between create() and close() —
+        visible but empty. LocalFileSystem flushes on close, object
+        stores publish atomically; either way a short retry converges."""
+        import time
+
+        for _ in range(50):
+            try:
+                stamp = cls._read_small(fs, jpath)
+            except Exception:
+                stamp = ""
+            if stamp:
+                return stamp
+            time.sleep(0.1)
+        return ""
 
     def buckets(self) -> DataFrame:
         """All indexed bucket rows (explicit schema: empty/partial batch

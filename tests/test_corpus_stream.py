@@ -120,3 +120,46 @@ def test_compaction_merges_and_bounds_files(spark, tmp_path):
     assert store.partials().count() <= raw_rows_before
     assert sorted(map(tuple, store.totals().collect())) == want_totals
     assert store.compact() == 0
+
+
+def test_compaction_merges_only_snapshot_dirs(spark, tmp_path):
+    # an epoch landing after the snapshot listing must be neither folded
+    # into the base nor deleted — folding AND keeping it would sum its
+    # counts twice (the one corruption mode for summed partials)
+    from pyspark.sql import functions as F
+
+    store = NgramStatsStore(spark, str(tmp_path / "stats"))
+    docs = spark.createDataFrame([(0, "a b c a b c")], ["doc_id", "text"])
+    from evm_indexer_spark.operators.corpus import _ngram_counts_pandas
+
+    partial = _ngram_counts_pandas(docs, "text", 3).select(
+        "ngram",
+        F.col("n_occurrences").alias("occ"),
+        F.col("n_docs").alias("docs"),
+    )
+    store.append(partial, batch_id=0)
+    store.append(partial, batch_id=1)
+
+    import evm_indexer_spark.streaming.corpus_stream as cs
+
+    real_list = cs._list_batch_dirs
+    landed = {"done": False}
+
+    def racing_list(spark_, root):
+        dirs = real_list(spark_, root)
+        if not landed["done"]:
+            landed["done"] = True
+            store.append(partial, batch_id=2)  # lands mid-compaction
+        return dirs
+
+    try:
+        cs._list_batch_dirs = racing_list
+        store.compact()
+    finally:
+        cs._list_batch_dirs = real_list
+
+    # 3 epochs of the same doc → every count is exactly 3× the single
+    # partial; a double-fold of epoch 2 would read 4×
+    totals = {r["ngram"]: r["n_occurrences"] for r in store.totals().collect()}
+    single = {r["ngram"]: r["occ"] for r in partial.collect()}
+    assert totals == {k: 3 * v for k, v in single.items()}

@@ -295,3 +295,31 @@ def test_editdist_straddling_buckets_found(spark):
     with pytest.raises(ValueError):
         dedup.editdist_near_duplicates(df, "id", "text",
                                        max_dist=50, bucket_width=50)
+
+
+def test_bucket_pairs_group_excludes_self_pairs(spark):
+    # a duplicate id within one bucket must not emit (id, id): the join
+    # path excludes self-pairs structurally; the group path filters
+    from evm_indexer_spark.operators.dedup import _bucket_pairs
+
+    rows = spark.createDataFrame(
+        [(1, 0, 7), (1, 0, 7), (2, 0, 7)], ["id", "band", "bh"]
+    )
+    for src in ("group", "join"):
+        got = sorted(
+            map(tuple, _bucket_pairs(rows, ["band", "bh"], src).collect())
+        )
+        assert got == [(1, 2)], src
+
+
+def test_jaccard_auto_refuses_single_task_above_cap(spark, corpus, monkeypatch):
+    # "auto" must degrade to the distributed plan above the brute cap
+    # instead of serializing the corpus through coalesce(1)
+    monkeypatch.setattr(dedup, "BRUTE_TASK_CAP", 2)
+    out = dedup.jaccard_all_pairs(corpus, "doc_id", "text", threshold=0.5)
+    expected = dedup.jaccard_all_pairs(
+        corpus, "doc_id", "text", threshold=0.5, strategy="expr"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expected.collect())
+    )

@@ -241,3 +241,23 @@ def test_stream_custom_column_names(spark, tmp_path):
     q.awaitTermination(120)
     flat = {(p["id_a"], p["id_b"]) for pairs, _ in seen for p in pairs}
     assert (0, 1) in flat
+
+
+def test_index_rejects_unknown_strategy(spark, tmp_path):
+    # a typo'd strategy must fail loudly, not silently stamp "expr"
+    # into the index marker for its lifetime
+    with pytest.raises(ValueError, match="strategy"):
+        MinHashBucketIndex(spark, str(tmp_path / "ix"), strategy="Pandas")
+
+
+def test_index_marker_permission_error_not_masked(spark, tmp_path):
+    # a non-race create() failure must surface as-is, not resurface as
+    # a misleading banding-mismatch ValueError
+    import evm_indexer_spark.streaming.dedup_stream as ds
+
+    assert not ds.MinHashBucketIndex._is_already_exists(
+        RuntimeError("Permission denied: /ix/_banding")
+    )
+    assert ds.MinHashBucketIndex._is_already_exists(
+        RuntimeError("File already exists: /ix/_banding")
+    )
