@@ -536,14 +536,24 @@ def q27(spark, sf):
     n = table_rowcount(sf, "documents")
     n = doc.count() if n is None else n
     nh, b = dedup.banding_for_corpus(n)
-    out = dedup.minhash_near_duplicates(
-        doc, "doc_id", "text",
-        num_hashes=nh, bands=b, jaccard_threshold=0.4,
-        # grouped emission signs once and wins 2× below ~100k docs;
-        # above, the streaming join keeps executor memory flat (the
-        # sf10-measured trade documented at dedup._bucket_pairs)
-        pair_source="group" if n <= 100_000 else "join",
-    )
+    if n <= dedup.BRUTE_TASK_CAP:
+        # one-Arrow-task tier: the distributed plan is 11 AQE jobs of
+        # ~0.2s scheduling floor against ~0.5s of compute at this scale
+        # (2.4s → 1.0s warm at sf0.1, r7 medians); same blake2b-family
+        # signing, same banding, exact verification on raw shingle sets
+        out = dedup.minhash_pairs_onetask(
+            doc, "doc_id", "text",
+            num_hashes=nh, bands=b, jaccard_threshold=0.4,
+        )
+    else:
+        out = dedup.minhash_near_duplicates(
+            doc, "doc_id", "text",
+            num_hashes=nh, bands=b, jaccard_threshold=0.4,
+            # grouped emission signs once and wins 2× below ~100k docs;
+            # above, the streaming join keeps executor memory flat (the
+            # sf10-measured trade documented at dedup._bucket_pairs)
+            pair_source="group" if n <= 100_000 else "join",
+        )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -1617,10 +1627,21 @@ def q66(spark, sf):
         ).first()
         n, rng = row.n, (row.lo, row.hi)
     split = (int(rng[0]) + int(rng[1]) + 1) // 2
+    nh, b = dedup.banding_for_corpus(n)
+    if n <= dedup.BRUTE_TASK_CAP:
+        # one-Arrow-task tier (same routing as q27): the flagged bucket
+        # pass runs in-task over the whole small corpus — 2.8s → 1.0s
+        # warm at sf0.1 (r7 medians). The O(batch)-not-O(corpus)
+        # incremental story is the distributed path above the cap.
+        return dedup.minhash_pairs_onetask(
+            doc.withColumn("is_new", F.col("doc_id") >= split),
+            "doc_id", "text",
+            num_hashes=nh, bands=b, jaccard_threshold=0.4,
+            new_flag_col="is_new",
+        ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     old, new = doc.filter(F.col("doc_id") < split), doc.filter(
         F.col("doc_id") >= split
     )
-    nh, b = dedup.banding_for_corpus(n)
     index = dedup.minhash_banded(old, "doc_id", "text", num_hashes=nh, bands=b)
     return dedup.incremental_minhash_pairs(
         new, index, doc, "doc_id", "text",

@@ -629,6 +629,134 @@ def incremental_minhash_pairs(
     )
 
 
+def minhash_pairs_onetask(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    new_flag_col: str | None = None,
+) -> DataFrame:
+    """The ENTIRE MinHash pipeline — sign, band, bucket, exact-verify —
+    in ONE Arrow task, for corpora that fit one worker (callers bound
+    the input by ``BRUTE_TASK_CAP`` from parquet footers; same tier
+    rule as ``jaccard_all_pairs``'s brute path).
+
+    Why it exists: below ~20k docs the distributed pipeline is pure
+    stage-scheduling floor — 11 AQE jobs at ~0.2s each against ~0.5s of
+    actual compute (q27 at sf0.1: 2.4s distributed vs one job here; see
+    the catalog entry for the measured numbers). The 100-TB path is the
+    distributed plan; this is the small-corpus tier of the same
+    routing that picks broadcast joins over shuffles.
+
+    Semantics: identical contract to ``minhash_near_duplicates`` on the
+    portable blake2b family (bit-identical signing math to
+    ``_minhash_banded_pandas``), with verification on the raw shingle
+    STRING sets — strictly more exact than the distributed path's
+    hashed-set carry. With ``new_flag_col`` set (a boolean column),
+    only pairs with at least one flagged member are emitted — the
+    incremental form (``incremental_minhash_pairs``) restricted the
+    same way the flagged bucket pass restricts it.
+
+    Returns (id_a, id_b, jaccard double), id_a < id_b.
+    """
+    import re
+    from hashlib import blake2b
+
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id_a", df.schema[id_col].dataType, False),
+            StructField("id_b", df.schema[id_col].dataType, False),
+            StructField("jaccard", DoubleType(), False),
+        ]
+    )
+    rows_per_band = num_hashes // bands
+    ws = re.compile(r"\s+", re.ASCII)
+    strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _mix(z):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    ks = (np.arange(1, num_hashes + 1, dtype=np.uint64) * GOLD)[:, None]
+    band_seed = np.arange(bands, dtype=np.uint64) ^ GOLD
+    member_idx = np.arange(bands) * rows_per_band
+    threshold = float(jaccard_threshold)
+    cols = [id_col, text_col] + ([new_flag_col] if new_flag_col else [])
+
+    def _all(batches):
+        import pandas as pd
+
+        sets: dict = {}  # id -> shingle string set
+        flags: dict = {}
+        buckets: dict = {}  # (band, bh) -> [ids]
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                flag_vals = (
+                    pdf[new_flag_col]
+                    if new_flag_col
+                    else [True] * len(pdf)
+                )
+                for doc_id, t, fl in zip(
+                    pdf[id_col], pdf[text_col], flag_vals
+                ):
+                    if t is None:
+                        continue  # the JVM explode drops null-text docs
+                    norm = ws.sub(" ", strip.sub("", t.lower())).strip()
+                    sh = set(_py_shingles(norm, shingle_n))
+                    sets[doc_id] = sh
+                    flags[doc_id] = bool(fl)
+                    base = np.array(
+                        [
+                            int.from_bytes(
+                                blake2b(s.encode(), digest_size=8).digest(),
+                                "big",
+                            )
+                            for s in sh
+                        ],
+                        dtype=np.uint64,
+                    )
+                    mins = _mix(base[None, :] ^ ks).min(axis=1)
+                    h = band_seed.copy()
+                    for j in range(rows_per_band):
+                        h = _mix(h ^ mins[member_idx + j])
+                    for b, bh in enumerate(h.tolist()):
+                        buckets.setdefault((b, bh), []).append(doc_id)
+        seen = set()
+        ra, rb, rj = [], [], []
+        for ids in buckets.values():
+            if len(ids) < 2:
+                continue
+            for i in range(len(ids) - 1):
+                for j in range(i + 1, len(ids)):
+                    x, y = ids[i], ids[j]
+                    if x == y:
+                        continue
+                    p = (x, y) if x < y else (y, x)
+                    if p in seen:
+                        continue
+                    seen.add(p)
+                    if new_flag_col and not (flags[x] or flags[y]):
+                        continue
+                    sa, sb = sets[p[0]], sets[p[1]]
+                    inter = len(sa & sb)
+                    jac = inter / (len(sa) + len(sb) - inter)
+                    if jac >= threshold:
+                        ra.append(p[0])
+                        rb.append(p[1])
+                        rj.append(jac)
+        yield pd.DataFrame({"id_a": ra, "id_b": rb, "jaccard": rj})
+
+    return df.select(*cols).coalesce(1).mapInPandas(_all, schema)
+
+
 def _token_hash(col: Column, token_hash: str) -> Column:
     """Per-token 64-bit-ish hash column.
 

@@ -323,3 +323,71 @@ def test_jaccard_auto_refuses_single_task_above_cap(spark, corpus, monkeypatch):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_minhash_onetask_matches_distributed(spark, corpus):
+    # full-recall banding (r=1): the one-Arrow-task tier and the
+    # distributed pipeline must report the same verified pairs with the
+    # same jaccard doubles, on any hash family
+    dist = sorted(
+        map(
+            tuple,
+            dedup.minhash_near_duplicates(
+                corpus, "doc_id", "text",
+                num_hashes=64, bands=64, jaccard_threshold=0.4,
+            ).collect(),
+        )
+    )
+    one = sorted(
+        map(
+            tuple,
+            dedup.minhash_pairs_onetask(
+                corpus, "doc_id", "text",
+                num_hashes=64, bands=64, jaccard_threshold=0.4,
+            ).collect(),
+        )
+    )
+    assert one == dist
+    assert len(one) > 0
+
+
+def test_minhash_onetask_flagged_matches_incremental(spark):
+    # the flagged one-task form must equal incremental_minhash_pairs
+    # (pairs touching the new half only)
+    from pyspark.sql import functions as F
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog near the river "
+    for i in range(12):
+        rows.append((i, base + f"variant {i}"))
+    doc = spark.createDataFrame(rows, ["doc_id", "text"])
+    split = 6
+    old = doc.filter(F.col("doc_id") < split)
+    new = doc.filter(F.col("doc_id") >= split)
+    index = dedup.minhash_banded(
+        old, "doc_id", "text", num_hashes=64, bands=64
+    )
+    inc = sorted(
+        map(
+            tuple,
+            dedup.incremental_minhash_pairs(
+                new, index, doc, "doc_id", "text",
+                num_hashes=64, bands=64, jaccard_threshold=0.4,
+            ).collect(),
+        )
+    )
+    one = sorted(
+        map(
+            tuple,
+            dedup.minhash_pairs_onetask(
+                doc.withColumn("is_new", F.col("doc_id") >= split),
+                "doc_id", "text",
+                num_hashes=64, bands=64, jaccard_threshold=0.4,
+                new_flag_col="is_new",
+            ).collect(),
+        )
+    )
+    assert one == inc
+    assert len(one) > 0
+    # every pair touches the new half
+    assert all(b >= split for _a, b, _j in one)
