@@ -1441,10 +1441,21 @@ def q59(spark, sf):
     """,
 )
 def q60(spark, sf):
+    """Near-dup clustering over the id<500 slice (the cap keeps the
+    small-SF benchmark comparable across rounds). The slice is
+    structurally ≤500 docs, so routing picks the one-Arrow-task tier
+    from the footer row count — zero probe jobs; "auto" (which pays one
+    limit-probe job) covers sources without footer stats."""
     from .operators import graph
 
     doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
-    return graph.dedup_clusters(doc, "doc_id", "text", threshold=0.5)
+    n = table_rowcount(sf, "documents")
+    strategy = "auto" if n is None else (
+        "onetask" if min(n, 500) <= 2000 else "distributed"
+    )
+    return graph.dedup_clusters(
+        doc, "doc_id", "text", threshold=0.5, strategy=strategy
+    )
 
 
 @register(

@@ -71,9 +71,32 @@ def test_dedup_clusters_no_broadcast_hint_on_endpoints(spark):
     responsibility."""
     docs = [(i, f"doc number {i} with shared filler words") for i in range(6)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    out = graph.dedup_clusters(df, "doc_id", "text", threshold=0.3)
+    out = graph.dedup_clusters(
+        df, "doc_id", "text", threshold=0.3, strategy="distributed"
+    )
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_dedup_clusters_onetask_matches_distributed(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, base + f" tail {i % 3}") for i in range(20)]
+    docs += [(100 + i, f"unique text island number {i} " * 2) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    one = {
+        (r["doc_id"], r["cluster_id"])
+        for r in graph.dedup_clusters(
+            df, "doc_id", "text", threshold=0.4, strategy="onetask"
+        ).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in graph.dedup_clusters(
+            df, "doc_id", "text", threshold=0.4, strategy="distributed"
+        ).collect()
+    }
+    assert one == dist
+    assert len(one) == 25
 
 
 def test_driver_and_distributed_paths_agree(spark):
