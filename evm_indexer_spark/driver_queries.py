@@ -1660,3 +1660,57 @@ def q66(spark, sf):
         # same group-below / stream-above routing as q27
         pair_source="group" if n <= 100_000 else "join",
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "q67_incremental_embedding_dedup",
+    # embedding-dedup-on-arrival correctness: the pairs an incremental
+    # pass must report when the perturbed copies "arrive" against an
+    # index of the originals = exactly the q35 truth restricted to
+    # pairs touching the arrival (id_a < id_b and new ids are the
+    # +1000000 range, so the restriction is id_b >= 1000000)
+    """
+    WITH corpus AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_concat([CAST(embedding[1] AS DOUBLE) + 0.01],
+                           CAST(embedding AS DOUBLE[])[2:])
+        FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM corpus a JOIN corpus b ON a.id < b.id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+      AND b.id >= 1000000
+    """,
+)
+def q67(spark, sf):
+    """Incremental embedding dedup: the original vectors are the
+    "historical" indexed state (``similarity.embedding_buckets`` rows —
+    what ``streaming/embed_stream.EmbeddingBucketIndex`` persists), the
+    perturbed near-dup copies "arrive", and
+    ``incremental_embedding_pairs`` reports every qualifying pair
+    touching the arrival — ONLY the batch is re-bucketed (one Arrow
+    matmul over O(batch) vectors); the historical side contributes its
+    slim (id, bucket) rows to one flagged bucket join. Same planted
+    corpus and recall argument as q35 (exact verification + multi-table
+    miss ~1e-5/pair ⇒ output equals the brute-force truth restricted to
+    the arrival), so the entry is hash-checkable end to end."""
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = emb.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(
+            F.array(F.get(F.col("v"), 0) + F.lit(0.01)),
+            F.slice(F.col("v"), 2, 1000000),
+        ).alias("v"),
+    )
+    corpus = emb.unionByName(perturbed)
+    index = similarity.embedding_buckets(emb, "id", "v", n_tables=6, dim=64)
+    return similarity.incremental_embedding_pairs(
+        perturbed, index, corpus, "id", "v",
+        min_cosine=0.99, n_tables=6, dim=64,
+    )

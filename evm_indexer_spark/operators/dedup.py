@@ -593,39 +593,54 @@ def incremental_minhash_pairs(
     both = index_buckets.select(
         "id", "band", "bh", F.lit(False).alias("n")
     ).unionByName(new_banded.select("id", "band", "bh", F.lit(True).alias("n")))
+    cand = _flagged_bucket_pairs(both, ["band", "bh"], pair_source)
+    return verify_jaccard_pairs(
+        cand, corpus_docs, id_col, text_col, shingle_n, jaccard_threshold
+    )
+
+
+def _flagged_bucket_pairs(
+    both: DataFrame, bucket_cols: list[str], pair_source: str = "join"
+) -> DataFrame:
+    """Distinct (id_a, id_b), id_a < id_b, for bucket-sharing pairs with
+    at least one flagged member — the incremental candidate pass shared
+    by text (MinHash) and embedding (hyperplane) dedup-on-arrival.
+    ``both`` needs (id, *bucket_cols, n boolean); old-old pairs are
+    rejected by the flag predicate, so the indexed side contributes
+    bucket probes, never a corpus² blow-up. Same group/join trade as
+    ``_bucket_pairs``."""
     if pair_source == "join":
-        cand = (
+        on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols]
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+        return (
             both.alias("a")
             .join(
                 both.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bh") == F.col("b.bh"))
+                cond
                 & (F.col("a.id") < F.col("b.id"))
                 & (F.col("a.n") | F.col("b.n")),
             )
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
-    else:
-        g = (
-            both.groupBy("band", "bh")
-            .agg(F.collect_list(F.struct("id", "n")).alias("ms"))
-            .filter(F.size("ms") > 1)
+    g = (
+        both.groupBy(*bucket_cols)
+        .agg(F.collect_list(F.struct("id", "n")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    p1 = g.select("ms", F.posexplode("ms").alias("i", "a"))
+    p2 = p1.select(
+        "a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b")
+    ).filter(F.col("a.n") | F.col("b.n"))
+    return (
+        p2.select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
         )
-        p1 = g.select("ms", F.posexplode("ms").alias("i", "a"))
-        p2 = p1.select(
-            "a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b")
-        ).filter(F.col("a.n") | F.col("b.n"))
-        cand = (
-            p2.select(
-                F.least("a.id", "b.id").alias("id_a"),
-                F.greatest("a.id", "b.id").alias("id_b"),
-            )
-            .filter(F.col("id_a") != F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-    return verify_jaccard_pairs(
-        cand, corpus_docs, id_col, text_col, shingle_n, jaccard_threshold
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

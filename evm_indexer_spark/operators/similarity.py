@@ -196,6 +196,58 @@ def pair_cosine_batch():
     return score
 
 
+def embedding_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Slim (id, bucket) multi-table hyperplane-LSH rows — one row per
+    vector per table, the shared candidate substrate:
+    ``embedding_near_duplicates`` self-joins it, and the incremental
+    pipeline (``streaming/embed_stream.EmbeddingBucketIndex``) persists
+    it as the corpus index arriving batches probe. The (n_planes,
+    n_tables, seed, dim) tuple MUST match between index and query sides
+    — the table index is encoded in the bucket's high bits, so rows
+    from different configurations never collide silently only when the
+    parameters agree; the persisted index stamps them for that reason.
+
+    All T buckets per row come out of one Arrow-batched matmul;
+    ``bucket_t = (t << n_planes) | sign_bits`` keys one slim long."""
+    from pyspark.sql.functions import pandas_udf
+
+    # dim passed explicitly avoids a driver round-trip job; inferred
+    # from one row otherwise
+    sample_dim = dim if dim is not None else len(df.select(vec_col).first()[0])
+    all_planes = [
+        p
+        for t in range(n_tables)
+        for p in hyperplanes(sample_dim, n_planes, seed + t)
+    ]
+    planes_m = np.array(all_planes, dtype=np.float64).T  # dim × (T*P)
+    shifts = np.tile(np.arange(n_planes, dtype=np.int64), n_tables)
+
+    @pandas_udf("array<long>")
+    def buckets_batch(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        signs = ((m @ planes_m) >= 0).astype(np.int64)  # batch × (T*P)
+        per_plane = signs << shifts
+        out = np.zeros((len(m), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            out[:, t] = per_plane[:, t * n_planes : (t + 1) * n_planes].sum(
+                axis=1
+            ) | (t << n_planes)
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(buckets_batch(F.col(vec_col))).alias("bucket"),
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -222,32 +274,6 @@ def embedding_near_duplicates(
     candidate id — the same candidate-prune shape MinHash verification
     uses, so verification cost is ∝ unique pairs at any corpus size.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    # dim passed explicitly avoids a driver round-trip job; inferred from
-    # one row otherwise
-    sample_dim = dim if dim is not None else len(df.select(vec_col).first()[0])
-    all_planes = [
-        p for t in range(n_tables) for p in hyperplanes(sample_dim, n_planes, seed + t)
-    ]
-    planes_m = np.array(all_planes, dtype=np.float64).T  # dim × (T*P)
-    # tag bucket ids with their table index so one exploded column keys
-    # the join: bucket_t = (t << P) | sign_bits
-    shifts = np.tile(np.arange(n_planes, dtype=np.int64), n_tables)
-
-    @pandas_udf("array<long>")
-    def buckets_batch(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        signs = ((m @ planes_m) >= 0).astype(np.int64)  # batch × (T*P)
-        per_plane = signs << shifts
-        out = np.zeros((len(m), n_tables), dtype=np.int64)
-        for t in range(n_tables):
-            out[:, t] = per_plane[:, t * n_planes : (t + 1) * n_planes].sum(
-                axis=1
-            ) | (t << n_planes)
-        return pd.Series(list(out))
-
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # slim bucket table: carry nothing but (id, bucket) into candidate
     # generation (dedup._bucket_pairs: "join" default streams and is
     # memory-flat — the sf10-proven shape; "group" evaluates the
@@ -256,11 +282,26 @@ def embedding_near_duplicates(
     # the bucket shuffle (they would be copied ×n_tables)
     from .dedup import _bucket_pairs
 
-    bucketed = vecs.select(
-        "id", F.explode(buckets_batch(F.col("v"))).alias("bucket")
+    bucketed = embedding_buckets(
+        df, id_col, vec_col, n_planes, n_tables, seed, dim
     )
     candidates = _bucket_pairs(bucketed, ["bucket"], pair_source)
-    pairs = candidates.join(
+    return _verify_cosine_pairs(candidates, df, id_col, vec_col, min_cosine)
+
+
+def _verify_cosine_pairs(
+    cand: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+) -> DataFrame:
+    """Exact cosine over candidate (id_a, id_b) pairs: two vector
+    re-joins attach each embedding once per unique candidate id — the
+    same candidate-prune shape MinHash verification uses, so cost is
+    ∝ unique pairs at any corpus size."""
+    vecs = docs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = cand.join(
         vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
     ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
     cos = F.round(pair_cosine_batch()(F.col("v_a"), F.col("v_b")), 6)
@@ -269,6 +310,48 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def incremental_embedding_pairs(
+    new_docs: DataFrame,
+    index_buckets: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+    pair_source: str = "join",
+) -> DataFrame:
+    """Embedding near-dup pairs INVOLVING the arriving batch:
+    new-vs-indexed-corpus plus new-vs-new, exactly verified — the
+    incremental form of ``embedding_near_duplicates`` for a growing
+    corpus, mirroring ``dedup.incremental_minhash_pairs`` for text.
+
+    ``index_buckets`` is the persisted (id, bucket) table built with
+    the SAME (n_planes, n_tables, seed, dim); only the new batch is
+    re-bucketed (one Arrow matmul over O(batch) vectors), so per-batch
+    cost is O(batch + collisions), not O(corpus) — at 100 TB the
+    alternative is re-hashing the whole vector corpus per refresh.
+    ``corpus_docs`` supplies vectors for verification and must cover
+    the indexed ids (pruned to candidate ids by the joins). New ids
+    must not collide with indexed ids.
+
+    Returns (id_a, id_b, cosine), id_a < id_b, at least one side new —
+    one flagged bucket pass (``dedup._flagged_bucket_pairs``), old-old
+    pairs rejected by the flag predicate."""
+    from .dedup import _flagged_bucket_pairs
+
+    new_bucketed = embedding_buckets(
+        new_docs, id_col, vec_col, n_planes, n_tables, seed, dim
+    )
+    both = index_buckets.select(
+        "id", "bucket", F.lit(False).alias("n")
+    ).unionByName(new_bucketed.select("id", "bucket", F.lit(True).alias("n")))
+    cand = _flagged_bucket_pairs(both, ["bucket"], pair_source)
+    return _verify_cosine_pairs(cand, corpus_docs, id_col, vec_col, min_cosine)
 
 
 # -- IVF (inverted-file) index: the cluster-routed scale path ---------------

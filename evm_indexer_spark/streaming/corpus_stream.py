@@ -39,7 +39,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.corpus import _ngram_counts_pandas
-from .dedup_stream import _hadoop, _list_batch_dirs
+from .dedup_stream import _fold_batch_dirs, _hadoop, _list_batch_dirs
 
 STATS_SCHEMA = StructType(
     [
@@ -105,33 +105,16 @@ class NgramStatsStore:
         assumed — the streaming ``foreachBatch`` contract, same as
         ``MinHashBucketIndex.compact``. Run from the maintenance
         cadence, never concurrently with ``append``."""
-        fs, _ = _hadoop(self.spark, self.path)
-        Path = self.spark._jvm.org.apache.hadoop.fs.Path
         old = _list_batch_dirs(self.spark, self.path)
         if len(old) <= 1:
             return 0
-        gen = 0
-        for d in old:
-            name = posixpath.basename(d)
-            if name.startswith("batch=base"):
-                try:
-                    gen = max(gen, int(name[len("batch=base"):]) + 1)
-                except ValueError:
-                    pass
         merged = (
             self.spark.read.schema(STATS_SCHEMA)
             .parquet(*old)
             .groupBy("ngram")
             .agg(F.sum("occ").alias("occ"), F.sum("docs").alias("docs"))
         )
-        tmp = posixpath.join(self.path, "_compacting")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        dest = Path(posixpath.join(self.path, f"batch=base{gen}"))
-        if not fs.rename(Path(tmp), dest):
-            raise OSError(f"compaction rename to {dest} failed")
-        for d in old:
-            fs.delete(Path(d), True)
-        return len(old)
+        return _fold_batch_dirs(self.spark, self.path, merged, old, 1)
 
 
 def start_ngram_stream(

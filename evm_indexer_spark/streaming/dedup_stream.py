@@ -76,6 +76,116 @@ def _list_batch_dirs(spark: SparkSession, root: str) -> list[str]:
     return out
 
 
+def _fold_batch_dirs(
+    spark: SparkSession,
+    root: str,
+    rows: DataFrame,
+    old: list[str],
+    coalesce_n: int,
+) -> int:
+    """Shared compaction tail for every batch-dir store (bucket
+    indexes, partial-stat stores): rewrite *rows* into a hidden
+    ``_compacting`` dir (hidden names are excluded from read listings,
+    so readers never see a half-written base), atomically rename it to
+    the next ``batch=base<G>`` generation, then delete the *old*
+    source dirs. Returns ``len(old)``. Crash-safety and concurrency
+    contracts are the CALLER's docstring — what a leftover duplicate
+    means differs per store (harmless for bucket rows, corrupting for
+    summed partials, hence each compact() documents its own read
+    snapshot)."""
+    fs, _ = _hadoop(spark, root)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    gen = 0
+    for d in old:
+        name = posixpath.basename(d)
+        if name.startswith("batch=base"):
+            try:
+                gen = max(gen, int(name[len("batch=base"):]) + 1)
+            except ValueError:
+                pass
+    tmp = posixpath.join(root, "_compacting")
+    rows.coalesce(max(1, coalesce_n)).write.mode("overwrite").parquet(tmp)
+    dest = Path(posixpath.join(root, f"batch=base{gen}"))
+    if not fs.rename(Path(tmp), dest):
+        raise OSError(f"compaction rename to {dest} failed")
+    for d in old:
+        fs.delete(Path(d), True)
+    return len(old)
+
+
+def _claim_stamp(spark: SparkSession, root: str, marker: str, stamp: str) -> None:
+    """Create-or-validate an immutable parameter stamp under *root*:
+    atomic ``create(overwrite=False)`` claims it; a lost race (or an
+    existing marker) validates against what was written and raises
+    ValueError on mismatch. Non-race create failures surface as-is."""
+    fs, jroot = _hadoop(spark, root)
+    fs.mkdirs(jroot)
+    jmarker = spark._jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(root, marker)
+    )
+    if not fs.exists(jmarker):
+        try:
+            out = fs.create(jmarker, False)  # atomic create-if-absent
+            try:
+                out.write(bytearray(stamp.encode()))
+            finally:
+                out.close()
+        except Exception as exc:
+            # only a lost creation race is recoverable; any other
+            # failure (permissions, transient FS error) must not be
+            # masked as a parameter-mismatch error
+            if not _is_already_exists(exc):
+                raise
+    prev = _read_marker(fs, jmarker)
+    if prev != stamp:
+        raise ValueError(
+            f"index at {root} was built with parameters {prev}, "
+            f"reopened with {stamp} — rows would never collide"
+        )
+
+
+def _is_already_exists(exc: Exception) -> bool:
+    """True when a py4j-wrapped Hadoop exception means 'marker file
+    already exists' — the only recoverable create(overwrite=False)
+    failure (the race loser's branch)."""
+    java_exc = getattr(exc, "java_exception", None)
+    name = java_exc.getClass().getName() if java_exc else type(exc).__name__
+    msg = str(exc)
+    return "AlreadyExists" in name or "already exists" in msg.lower()
+
+
+def _read_small(fs, jpath) -> str:
+    stream = fs.open(jpath)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+        return buf.decode()
+    finally:
+        stream.close()
+
+
+def _read_marker(fs, jpath) -> str:
+    """Read a stamp, retrying briefly: a racing loser can observe the
+    winner's marker between create() and close() — visible but empty.
+    LocalFileSystem flushes on close, object stores publish atomically;
+    either way a short retry converges."""
+    import time
+
+    for _ in range(50):
+        try:
+            stamp = _read_small(fs, jpath)
+        except Exception:
+            stamp = ""
+        if stamp:
+            return stamp
+        time.sleep(0.1)
+    return ""
+
+
 class MinHashBucketIndex:
     """Parquet-backed (id, band, bh) LSH index under ``path``.
 
@@ -114,76 +224,16 @@ class MinHashBucketIndex:
         # signing strategies use different hash families, so an index
         # must be written AND queried with one of them forever
         self.strategy = "pandas" if strategy == "pandas" else "expr"
-        fs, jroot = _hadoop(spark, path)
-        fs.mkdirs(jroot)
-        marker = spark._jvm.org.apache.hadoop.fs.Path(
-            posixpath.join(path, self._MARKER)
-        )
-        stamp = f"{num_hashes},{bands},{shingle_n},{self.strategy}"
-        if not fs.exists(marker):
-            try:
-                out = fs.create(marker, False)  # atomic create-if-absent
-                try:
-                    out.write(bytearray(stamp.encode()))
-                finally:
-                    out.close()
-            except Exception as exc:
-                # only a lost creation race is recoverable; any other
-                # failure (permissions, transient FS error) must not be
-                # masked as a banding mismatch
-                if not self._is_already_exists(exc):
-                    raise
-        prev = self._read_marker(fs, marker)
-        if prev != stamp:
-            raise ValueError(
-                f"index at {path} was built with banding {prev}, "
-                f"reopened with {stamp} — rows would never collide"
-            )
-
-    @staticmethod
-    def _is_already_exists(exc: Exception) -> bool:
-        """True when a py4j-wrapped Hadoop exception means 'marker file
-        already exists' — the only recoverable create(overwrite=False)
-        failure (the race loser's branch)."""
-        java_exc = getattr(exc, "java_exception", None)
-        name = java_exc.getClass().getName() if java_exc else type(exc).__name__
-        msg = str(exc)
-        return (
-            "AlreadyExists" in name
-            or "already exists" in msg.lower()
+        _claim_stamp(
+            spark,
+            path,
+            self._MARKER,
+            f"{num_hashes},{bands},{shingle_n},{self.strategy}",
         )
 
-    @staticmethod
-    def _read_small(fs, jpath) -> str:
-        stream = fs.open(jpath)
-        try:
-            buf = bytearray()
-            while True:
-                b = stream.read()
-                if b < 0:
-                    break
-                buf.append(b)
-            return buf.decode()
-        finally:
-            stream.close()
-
-    @classmethod
-    def _read_marker(cls, fs, jpath) -> str:
-        """Read the banding stamp, retrying briefly: a racing loser can
-        observe the winner's marker between create() and close() —
-        visible but empty. LocalFileSystem flushes on close, object
-        stores publish atomically; either way a short retry converges."""
-        import time
-
-        for _ in range(50):
-            try:
-                stamp = cls._read_small(fs, jpath)
-            except Exception:
-                stamp = ""
-            if stamp:
-                return stamp
-            time.sleep(0.1)
-        return ""
+    # kept as a staticmethod alias: external callers/tests probe the
+    # race-vs-failure classification through the class surface
+    _is_already_exists = staticmethod(_is_already_exists)
 
     def buckets(self) -> DataFrame:
         """All indexed bucket rows (explicit schema: empty/partial batch
@@ -229,33 +279,16 @@ class MinHashBucketIndex:
         Single concurrent writer assumed (the streaming foreachBatch
         contract); run it from the maintenance cadence, not per epoch.
         Returns the number of directories folded."""
-        fs, _ = _hadoop(self.spark, self.path)
-        Path = self.spark._jvm.org.apache.hadoop.fs.Path
         old = _list_batch_dirs(self.spark, self.path)
         if len(old) <= 1:
             return 0
-        gen = 0
-        for d in old:
-            name = posixpath.basename(d)
-            if name.startswith("batch=base"):
-                try:
-                    gen = max(gen, int(name[len("batch=base"):]) + 1)
-                except ValueError:
-                    pass
-        tmp = posixpath.join(self.path, "_compacting")
         # the write job lists its input files at planning time, after
         # the `old` snapshot — an epoch landing mid-compaction is read
         # into the base AND survives in its own dir (duplicate rows,
         # harmless as above), never lost
-        self.buckets().coalesce(max(1, self.bands)).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        dest = Path(posixpath.join(self.path, f"batch=base{gen}"))
-        if not fs.rename(Path(tmp), dest):
-            raise OSError(f"compaction rename to {dest} failed")
-        for d in old:
-            fs.delete(Path(d), True)
-        return len(old)
+        return _fold_batch_dirs(
+            self.spark, self.path, self.buckets(), old, self.bands
+        )
 
     def pairs_for(
         self,
