@@ -294,3 +294,204 @@ def test_resp_depth_reorg_broker_restart_at_least_once(spark, tmp_path):
         sub2.close()
     finally:
         broker.stop()
+
+
+def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
+    """Round-7 capstone: ONE landing flow drives all three arrival
+    pipelines — block ingest (publish-once store + RESP), text
+    dedup-on-arrival (MinHashBucketIndex), and audit-on-arrival
+    (NgramStatsStore) — with a broker restart and a depth-3 reorg
+    mid-stream. A consumer loop turns published blocks into document
+    arrivals (at-least-once: the reorged number re-arrives with new
+    content), the dedup stream's anti-join guard reduces that to the
+    at-most-once flow the audit needs (the documented composition),
+    and after recovery every store is exactly-once and the incremental
+    results equal their batch twins."""
+    import json
+
+    from evm_indexer_spark.operators import corpus, dedup
+    from evm_indexer_spark.streaming.corpus_stream import (
+        NgramStatsStore,
+        start_ngram_stream,
+    )
+    from evm_indexer_spark.streaming.dedup_stream import (
+        MinHashBucketIndex,
+        start_dedup_stream,
+    )
+    from evm_indexer_spark.streaming.ingest import start_ingest_stream
+    from evm_indexer_spark.streaming.resp import (
+        RespBroker,
+        RespClient,
+        make_resp_publisher,
+    )
+    from evm_indexer_spark.streaming.store import BlockStore
+
+    from .test_streaming import raw_block
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays a quiet tune in the old town hall tonight"
+    )
+
+    def doc_text(payload: dict) -> str:
+        # content derives from the block HASH, so a reorged number
+        # re-arrives as the same doc_id with DIFFERENT text
+        return f"{BASE} block {payload['number']} tag {payload['hash'][:10]}"
+
+    broker = RespBroker().start()
+    host, port = broker.host, broker.port
+    block_landing = tmp_path / "blocks"
+    block_landing.mkdir()
+    doc_landing = tmp_path / "docs"
+    doc_landing.mkdir()
+    audit_landing = tmp_path / "audit"
+    audit_landing.mkdir()
+    store = BlockStore(spark, str(tmp_path / "store"))
+    ingest_ckpt = str(tmp_path / "ckpt_ingest")
+    index = MinHashBucketIndex(
+        spark, str(tmp_path / "ix"), num_hashes=64, bands=64
+    )
+    stats = NgramStatsStore(spark, str(tmp_path / "stats"))
+    publish = make_resp_publisher(host, port)
+
+    pairs_seen: list[dict] = []
+    tops: list[list] = []
+    audited: set[int] = set()  # ids already handed to the audit
+    stored_text: dict[int, str] = {}  # expected text-store content
+
+    def drain_blocks(client) -> list[dict]:
+        out = []
+        while True:
+            msg = client.get_message(timeout=1.5)
+            if msg is None:
+                return out
+            if msg["channel"] == "block":
+                out.append(json.loads(msg["data"]))
+
+    def run_doc_pipelines(leg: str) -> None:
+        # dedup-on-arrival over the doc landing (guard enabled)
+        q = start_dedup_stream(
+            spark, str(doc_landing), index, str(tmp_path / "ckpt_dedup"),
+            on_pairs=lambda pairs, epoch: pairs_seen.extend(pairs),
+            jaccard_threshold=0.4,
+        )
+        q.awaitTermination(180)
+        # audit consumes the DEDUPED flow: the delta of the dedup text
+        # store (first-arrival-wins ids) — the module-documented pairing
+        new_ids = sorted(set(stored_text) - audited)
+        if new_ids:
+            with open(audit_landing / f"{leg}.json", "w") as fh:
+                for i in new_ids:
+                    fh.write(
+                        json.dumps({"doc_id": i, "text": stored_text[i]})
+                        + "\n"
+                    )
+            audited.update(new_ids)
+        q = start_ngram_stream(
+            spark, str(audit_landing), stats, str(tmp_path / "ckpt_audit"),
+            on_top=lambda rows, epoch: tops.append(rows),
+            min_count=1,
+        )
+        q.awaitTermination(180)
+
+    try:
+        # ---- leg 1: blocks 0..4 ----------------------------------------
+        sub = RespClient(host, port)
+        sub.subscribe("block")
+        with open(block_landing / "a.json", "w") as f:
+            for n in range(5):
+                f.write(json.dumps(raw_block(n)) + "\n")
+        start_ingest_stream(
+            spark, str(block_landing), store, ingest_ckpt, publish=publish
+        ).awaitTermination(180)
+        payloads = drain_blocks(sub)
+        assert len(payloads) == 5
+        with open(doc_landing / "leg1.json", "w") as fh:
+            for p in payloads:
+                fh.write(
+                    json.dumps({"doc_id": p["number"], "text": doc_text(p)})
+                    + "\n"
+                )
+                stored_text[p["number"]] = doc_text(p)
+        run_doc_pipelines("leg1")
+        sub.close()
+
+        # ---- broker restart mid-stream ---------------------------------
+        broker.stop()
+        broker = RespBroker(host=host, port=port).start()
+        sub2 = RespClient(host, port)
+        sub2.subscribe("block")
+
+        # ---- leg 2: tips 5,6 + depth-3 reorg of block 2 ----------------
+        with open(block_landing / "b.json", "w") as f:
+            f.write(json.dumps(raw_block(5)) + "\n")
+            f.write(json.dumps(raw_block(6)) + "\n")
+            f.write(json.dumps(raw_block(2, salt="R")) + "\n")
+        start_ingest_stream(
+            spark, str(block_landing), store, ingest_ckpt, publish=publish
+        ).awaitTermination(180)
+        payloads2 = drain_blocks(sub2)
+        assert {p["number"] for p in payloads2} == {5, 6, 2}
+        with open(doc_landing / "leg2.json", "w") as fh:
+            for p in payloads2:
+                fh.write(
+                    json.dumps({"doc_id": p["number"], "text": doc_text(p)})
+                    + "\n"
+                )
+                # first arrival wins: the re-arrived 2 must NOT replace
+                stored_text.setdefault(p["number"], doc_text(p))
+        run_doc_pipelines("leg2")
+        sub2.close()
+
+        # ---- exactly-once across all three stores ----------------------
+        # 1. block store: reorg cascaded, publish-once log unique
+        assert store.blocks().count() == 7
+        new2 = raw_block(2, salt="R")["hash"].lower()
+        hashes = {r["hash"] for r in store.blocks().collect()}
+        assert new2 in hashes and raw_block(2)["hash"] not in hashes
+        pub = [(r["number"], r["hash"]) for r in store.published().collect()]
+        assert len(pub) == len(set(pub)) == 8  # 0..6 + reorged 2
+
+        # 2. dedup index: re-arrived id 2 indexed once, text store kept
+        #    the FIRST text (the guard dropped the mutated re-arrival)
+        assert index.buckets().count() == 7 * index.bands
+        text_df = spark.read.parquet(str(tmp_path / "ix" / "_text"))
+        got_text = {r["doc_id"]: r["text"] for r in text_df.collect()}
+        assert got_text == stored_text
+        assert "tag 0x2R" not in got_text[2]
+
+        # 3. incremental pairs == batch truth over the deduped corpus
+        #    (every pair reported exactly once, at its second member's
+        #    arrival epoch)
+        docs_df = spark.createDataFrame(
+            list(stored_text.items()), "doc_id long, text string"
+        )
+        batch = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in dedup.minhash_near_duplicates(
+                docs_df, "doc_id", "text",
+                num_hashes=64, bands=64, jaccard_threshold=0.4,
+            ).collect()
+        }
+        inc = {
+            (p["id_a"], p["id_b"], round(p["jaccard"], 6))
+            for p in pairs_seen
+        }
+        assert len(pairs_seen) == len(inc)  # no pair reported twice
+        assert inc == batch
+        assert len(inc) == 21  # C(7,2): all docs share BASE
+
+        # 4. audit store == batch top_ngrams over the same corpus
+        want = {
+            (r["ngram"], r["n_occurrences"], r["n_docs"])
+            for r in corpus.top_ngrams(
+                docs_df, "doc_id", "text", n=3, k=100, min_count=1
+            ).collect()
+        }
+        got = {
+            (r["ngram"], r["n_occurrences"], r["n_docs"])
+            for r in stats.top(100, 1).collect()
+        }
+        assert got == want
+    finally:
+        broker.stop()
