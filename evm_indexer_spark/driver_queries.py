@@ -1714,3 +1714,52 @@ def q67(spark, sf):
         perturbed, index, corpus, "id", "v",
         min_cosine=0.99, n_tables=6, dim=64,
     )
+
+
+@register(
+    "q68_jpeg_pixel_stats",
+    # REAL lossy-codec gate: the Spark side synthesizes baseline-JPEG
+    # payloads (functions/jpegcodec.py — DCT + Annex K + Huffman),
+    # DECODES them back, and reports exact integer pixel statistics.
+    # The oracle recomputes those statistics from the closed-form
+    # block formula and knows nothing about JPEG — the hash matches
+    # only if encode→decode is bit-exact, which holds for
+    # block-constant grayscale at quality 100 (integer DC, zero AC,
+    # unit quant tables; see the jpegcodec module docstring). Any
+    # defect anywhere in the codec (tables, zig-zag, Huffman, bit
+    # stuffing, DC prediction, IDCT) breaks the match.
+    """
+    SELECT doc_id,
+           32 AS width, 24 AS height,
+           CAST(min((doc_id * 7 + bx * 13 + by * 29) % 256) AS BIGINT)
+               AS px_min,
+           CAST(max((doc_id * 7 + bx * 13 + by * 29) % 256) AS BIGINT)
+               AS px_max,
+           CAST(64 * sum((doc_id * 7 + bx * 13 + by * 29) % 256) AS BIGINT)
+               AS px_sum
+    FROM documents,
+         generate_series(0, 3) AS gx(bx),
+         generate_series(0, 2) AS gy(by)
+    GROUP BY doc_id
+    """,
+)
+def q68(spark, sf):
+    """Baseline-JPEG round-trip over the documents table: synthesize
+    real JFIF payloads (32x24 grayscale, block-constant pixels,
+    quality 100), decode them with the same pure-numpy codec, emit
+    exact per-image pixel statistics. Both stages are Arrow-batched
+    ``mapInPandas`` maps — payloads never leave executors, no shuffle.
+    Beyond-reference multimodal family (the reference engine has no
+    media path)."""
+    from .operators.partitioning import spread_small_scan
+
+    # codec work is CPU-bound Arrow map work; a single-row-group scan
+    # would serialize it (same starvation fix as q27/q28/q65)
+    doc = spread_small_scan(load_table(spark, sf, "documents"))
+    media = multimodal.synthesize_jpeg(doc, width=32, height=24, quality=100)
+    return multimodal.image_pixel_extremes(media).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "px_min", "px_max", "px_sum",
+    )

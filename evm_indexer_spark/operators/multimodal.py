@@ -8,14 +8,18 @@ The reference engine has no media path; this extends the engine the way a
 without ever collecting to the driver.
 
 Codec coverage is split honestly by what this container can run:
-**WAV, BMP and PNG decode are REAL** — RIFF parsed with stdlib
-``wave``, BMP headers parsed by hand, PNG implemented from the public
-W3C specification on stdlib ``zlib`` (all five scanline filters,
-8-bit gray/RGB/RGBA, non-interlaced) — see ``wav_features`` /
-``image_pixel_stats`` / ``resize_image_payloads``, with synthesizers
-emitting genuine containers so round-trips are testable against
-independently computed expectations. Codecs needing native libraries
-(JPEG/H.264/FLAC — PIL / torchaudio / av are NOT installed) stay
+**WAV, BMP, PNG and baseline JPEG decode are REAL** — RIFF parsed with
+stdlib ``wave``, BMP headers parsed by hand, PNG implemented from the
+public W3C specification on stdlib ``zlib`` (all five scanline
+filters, 8-bit gray/RGB/RGBA, non-interlaced), and baseline JPEG
+implemented from ITU-T T.81 in pure numpy (``functions/jpegcodec.py``:
+DCT, Annex K tables, Huffman entropy coding, 4:4:4 subset) — see
+``wav_features`` / ``image_pixel_stats`` / ``image_pixel_extremes`` /
+``resize_image_payloads``, with synthesizers emitting genuine
+containers so round-trips are testable against independently computed
+expectations. Codecs needing native libraries (H.264/FLAC —
+torchaudio / av are NOT installed, and a pure-Python motion-
+compensated video decoder would be dishonest about throughput) stay
 stubbed behind an import-try raising a clearly-marked
 ``NotImplementedError``; their Spark-side plumbing (schema,
 partitioning, UDF signatures, Arrow batch shapes) is identical to the
@@ -112,8 +116,8 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     """Payload bytes → DataFrame[width int, height int, pixels
     array<float>] per batch, for use inside ``mapInPandas``.
 
-    REAL for BMP and PNG (hand-parsed codecs below); JPEG falls through
-    to the honest stub unless PIL happens to be installed."""
+    REAL for BMP, PNG and baseline JPEG (hand-parsed codecs below and
+    in ``functions/jpegcodec.py``); other formats hit the honest stub."""
     widths, heights, pixels = [], [], []
     for buf in payloads:
         _, px = decode_image_payload(bytes(buf))
@@ -126,8 +130,8 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
 
 
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Alias of ``resize_image_payloads`` (BMP + PNG; JPEG would need a
-    native codec, absent in this container)."""
+    """Alias of ``resize_image_payloads`` (BMP, PNG and baseline
+    JPEG)."""
     return resize_image_payloads(df, width, height)
 
 
@@ -277,8 +281,9 @@ def audio_chunk_offsets(media: DataFrame, chunk_seconds: float = 1.0) -> DataFra
 
 # -- real codecs: WAV (stdlib wave) and BMP (manual header) ------------------
 #
-# Compressed formats (JPEG/PNG/H.264) stay stubbed — their codecs are not
-# in this container. WAV and BMP need nothing beyond the stdlib and
+# H.264/FLAC stay stubbed — their codecs are not in this container
+# (and pure-Python video decode would misstate throughput). WAV, BMP,
+# PNG and baseline JPEG need nothing beyond the stdlib and
 # numpy, so for them the decode path is GENUINE end to end: real RIFF /
 # BITMAP headers are written by the synthesizers and parsed back by the
 # decoders, all inside Arrow-batched mapInPandas stages.
@@ -544,9 +549,13 @@ def decode_image_payload(buf: bytes) -> tuple[str, np.ndarray]:
         return "bmp", _bmp_decode(buf)
     if buf.startswith(_PNG_SIG):
         return "png", _png_decode(buf)
+    if buf[:2] == b"\xff\xd8":
+        from evm_indexer_spark.functions.jpegcodec import jpeg_decode
+
+        return "jpeg", jpeg_decode(buf)
     raise NotImplementedError(
-        "only BMP and PNG payloads decode in this container (JPEG/H.264 "
-        "need native codec libraries, absent here)"
+        "only BMP, PNG and baseline JPEG payloads decode in this "
+        "container (H.264 needs native codec libraries, absent here)"
     )
 
 
@@ -555,6 +564,10 @@ def _encode_image_payload(fmt: str, pixels: np.ndarray) -> bytes:
         return _bmp_encode(pixels)
     if fmt == "png":
         return _png_encode(pixels)
+    if fmt == "jpeg":
+        from evm_indexer_spark.functions.jpegcodec import jpeg_encode
+
+        return jpeg_encode(pixels)
     raise NotImplementedError(f"no encoder for format {fmt!r}")
 
 
@@ -584,6 +597,42 @@ def synthesize_png(
                     )
                 px = np.stack(planes, axis=-1).astype(np.uint8)
                 payloads.append(_png_encode(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def synthesize_jpeg(
+    documents: DataFrame,
+    width: int = 32,
+    height: int = 24,
+    quality: int = 100,
+) -> DataFrame:
+    """Real baseline-JPEG payloads (grayscale, 4:4:4-subset encoder in
+    ``functions.jpegcodec``) whose pixels are CONSTANT on each 8x8
+    block: ``px[by*8:by*8+8, bx*8:bx*8+8] = (did*7 + bx*13 + by*29) %
+    256``. Block-constant grayscale at quality 100 round-trips
+    bit-exactly through the lossy codec (integer DC, zero AC, unit
+    quant — see the jpegcodec module docstring), so decoded pixel
+    statistics are recomputable from this closed formula by an oracle
+    that knows nothing about JPEG."""
+    if width % 8 or height % 8:
+        raise ValueError("synthesize_jpeg wants 8-multiple dimensions")
+    from evm_indexer_spark.functions.jpegcodec import jpeg_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bxs = np.arange(width // 8)
+        bys = np.arange(height // 8)[:, None]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                vals = ((int(did) * 7 + bxs * 13 + bys * 29) % 256).astype(
+                    np.uint8
+                )
+                px = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(jpeg_encode(px, quality=quality))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return documents.select("doc_id").mapInPandas(
@@ -646,6 +695,36 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         decode, schema=IMAGE_STATS_SCHEMA
+    )
+
+
+def image_pixel_extremes(media: DataFrame) -> DataFrame:
+    """REAL decode (BMP/PNG/JPEG sniffed by magic) → exact integer
+    pixel statistics per payload: min, max and sum over every sample of
+    every channel. Integer outputs (unlike the float means of
+    ``image_pixel_stats``) so a SQL oracle can match them hash-exactly
+    when the pixels are recomputable — the q68 gate strategy."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "px_min", "px_max", "px_sum")}
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                _, px = decode_image_payload(bytes(buf))
+                out["doc_id"].append(did)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["px_min"].append(int(px.min()))
+                out["px_max"].append(int(px.max()))
+                out["px_sum"].append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width long, height long, "
+            "px_min long, px_max long, px_sum long"
+        ),
     )
 
 

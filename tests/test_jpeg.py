@@ -1,0 +1,195 @@
+"""Baseline JPEG codec (functions/jpegcodec.py) and its Spark plumbing
+(multimodal.synthesize_jpeg / image_pixel_extremes / resize path).
+
+The correctness spine is the determinism theorem the q68 oracle leans
+on: block-constant grayscale at quality 100 round-trips BIT-EXACTLY
+through the lossy pipeline (integer DC, zero AC, unit quant tables).
+Around it: tolerance-bounded round-trips for arbitrary content, marker
+/ subset guardrails, and container interop with the sniffing decode
+entry point."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.functions.jpegcodec import (
+    QUANT_LUMA,
+    ZIGZAG,
+    jpeg_decode,
+    jpeg_encode,
+    quant_tables_for_quality,
+)
+from evm_indexer_spark.operators import multimodal
+from evm_indexer_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _blocky(vals: np.ndarray) -> np.ndarray:
+    """Expand a (by, bx[, c]) block-value grid to 8x8-constant pixels."""
+    if vals.ndim == 2:
+        return np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    planes = [np.kron(vals[..., c], np.ones((8, 8), dtype=np.uint8))
+              for c in range(vals.shape[-1])]
+    return np.stack(planes, axis=-1)
+
+
+# -- pure-codec tests -------------------------------------------------------
+
+
+def test_zigzag_is_a_permutation_with_pinned_corners():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # first five entries of the T.81 zig-zag: DC, then (0,1),(1,0),(2,0),(1,1)
+    assert ZIGZAG[:5].tolist() == [0, 1, 8, 16, 9]
+    assert ZIGZAG[63] == 63
+
+
+def test_quality_scaling_endpoints():
+    q100_l, q100_c = quant_tables_for_quality(100)
+    assert (q100_l == 1).all() and (q100_c == 1).all()
+    q50_l, _ = quant_tables_for_quality(50)
+    assert (q50_l == QUANT_LUMA).all()  # scale 100% reproduces Annex K
+    q10_l, _ = quant_tables_for_quality(10)
+    assert (q10_l >= QUANT_LUMA).all()  # coarser than base
+    with pytest.raises(ValueError):
+        quant_tables_for_quality(0)
+
+
+def test_blocky_grayscale_q100_roundtrip_is_exact():
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    img = _blocky(vals)
+    out = jpeg_decode(jpeg_encode(img, quality=100))
+    assert out.dtype == np.uint8 and out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_blocky_rgb_q100_roundtrip_is_exact():
+    # also exact in color: the YCbCr transform is float64 and the
+    # inverse reconstructs within rounding for DC-only blocks
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    img = _blocky(vals)
+    out = jpeg_decode(jpeg_encode(img, quality=100))
+    assert np.array_equal(out, img)
+
+
+def test_arbitrary_grayscale_q100_within_one_level():
+    # non-constant blocks: only DCT/IDCT float rounding remains at
+    # quality 100 (unit quant), so error is at most one pixel level
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(24, 33), dtype=np.uint8)  # pad path
+    out = jpeg_decode(jpeg_encode(img, quality=100))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_lossy_quality_psnr_and_size_monotonicity():
+    h, w = 32, 40
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    img = np.stack(
+        [
+            np.broadcast_to((x + y) % 256, (h, w)),
+            np.broadcast_to((2 * x) % 256, (h, w)),
+            np.broadcast_to((y * 3) % 256, (h, w)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=90))
+    mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+    assert psnr > 35.0  # smooth gradients at q90 reconstruct well
+    assert len(jpeg_encode(img, 30)) < len(jpeg_encode(img, 85))
+
+
+def test_entropy_stream_survives_ff_bytes():
+    # all-extreme images force long runs of 1-bits in the entropy
+    # stream → stuffed 0xFF bytes; round-trip pins the stuffing logic
+    img = np.full((8, 8), 255, dtype=np.uint8)
+    img[0, 0] = 0  # large AC energy too
+    payload = jpeg_encode(img, quality=95)
+    assert b"\xff\xd8" == payload[:2] and payload.endswith(b"\xff\xd9")
+    out = jpeg_decode(payload)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 30  # lossy but sane
+
+
+def test_decoder_guardrails():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    payload = bytearray(jpeg_encode(img, 90))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x00\x01" + bytes(payload[2:]))
+    # flip SOF0 → SOF2 (progressive): must refuse, not mis-decode
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(payload))
+    with pytest.raises(ValueError):
+        jpeg_encode(img.astype(np.int32))  # non-uint8 refused
+
+
+# -- Spark plumbing ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") < 64
+    ).cache()
+
+
+def test_synthesize_jpeg_payloads_decode_to_formula(spark, docs):
+    media = multimodal.synthesize_jpeg(docs, width=32, height=24, quality=100)
+    rows = media.collect()
+    assert len(rows) == docs.count()
+    bxs = np.arange(4)
+    bys = np.arange(3)[:, None]
+    for r in rows[:8]:
+        fmt, px = multimodal.decode_image_payload(bytes(r["payload"]))
+        assert fmt == "jpeg" and px.shape == (24, 32)
+        want = np.kron(
+            ((r["doc_id"] * 7 + bxs * 13 + bys * 29) % 256).astype(np.uint8),
+            np.ones((8, 8), dtype=np.uint8),
+        )
+        assert np.array_equal(px, want)
+
+
+def test_image_pixel_extremes_matches_formula(spark, docs):
+    media = multimodal.synthesize_jpeg(docs, width=32, height=24, quality=100)
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.image_pixel_extremes(media).collect()
+    }
+    bxs = np.arange(4)
+    bys = np.arange(3)[:, None]
+    for did, r in got.items():
+        vals = (did * 7 + bxs * 13 + bys * 29) % 256
+        assert (r["width"], r["height"]) == (32, 24)
+        assert r["px_min"] == int(vals.min())
+        assert r["px_max"] == int(vals.max())
+        assert r["px_sum"] == int(vals.sum()) * 64
+
+
+def test_resize_reencodes_jpeg_container(spark, docs):
+    media = multimodal.synthesize_jpeg(
+        docs.filter(F.col("doc_id") < 8), width=32, height=24, quality=100
+    )
+    small = multimodal.resize_image_payloads(media, 16, 8)
+    for r in small.collect():
+        fmt, px = multimodal.decode_image_payload(bytes(r["payload"]))
+        assert fmt == "jpeg" and px.shape == (8, 16)
+
+
+def test_pixel_stats_handles_jpeg_alongside_bmp_png(spark, docs):
+    eight = docs.filter(F.col("doc_id") < 8)
+    for media in (
+        multimodal.synthesize_jpeg(eight, width=32, height=24),
+        multimodal.synthesize_bmp(eight),
+        multimodal.synthesize_png(eight),
+    ):
+        stats = multimodal.image_pixel_stats(media)
+        assert stats.count() == 8  # sniffing decode covers all three
