@@ -1763,3 +1763,44 @@ def q68(spark, sf):
         F.col("height").cast("int").alias("height"),
         "px_min", "px_max", "px_sum",
     )
+
+
+@register(
+    "q69_flac_sample_stats",
+    # Lossless-codec gate: the Spark side synthesizes real FLAC
+    # payloads (functions/flaccodec.py — fixed predictors, Rice
+    # residuals, CRC-8/CRC-16 verified frames), DECODES them back, and
+    # reports exact integer sample statistics. FLAC is lossless, so
+    # the oracle recomputes those statistics from the closed-form
+    # waveform formula (same one synthesize_wav uses) knowing nothing
+    # about FLAC — any codec defect (predictor integration, Rice
+    # zigzag, bit packing, CRC, UTF-8 frame numbers) breaks the hash.
+    """
+    SELECT doc_id,
+           16000 AS sample_rate,
+           2048 AS n_samples,
+           CAST(max(abs((doc_id * 31 + i * 7) % 2048 - 1024)) AS BIGINT)
+               AS peak,
+           CAST(sum((doc_id * 31 + i * 7) % 2048 - 1024) AS BIGINT)
+               AS s_sum
+    FROM documents, generate_series(0, 2047) AS gs(i)
+    GROUP BY doc_id
+    """,
+)
+def q69(spark, sf):
+    """FLAC round-trip over the documents table: synthesize real FLAC
+    streams (2048 mono int16 samples from the doc_id waveform
+    formula), decode them with the same pure-numpy codec, emit exact
+    per-payload sample statistics. Both stages are Arrow-batched
+    ``mapInPandas`` maps — no shuffle, payloads never leave executors.
+    Beyond-reference multimodal family."""
+    from .operators.partitioning import spread_small_scan
+
+    doc = spread_small_scan(load_table(spark, sf, "documents"))
+    media = multimodal.synthesize_flac(doc, n_samples=2048, sample_rate=16_000)
+    return multimodal.flac_features(media).select(
+        "doc_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_samples").cast("int").alias("n_samples"),
+        "peak", "s_sum",
+    )

@@ -1,0 +1,423 @@
+"""FLAC codec (subset) in pure numpy + stdlib bit twiddling.
+
+Closes the FLAC entry of the honest-stub list in
+``operators/multimodal.py``. The container has no native audio codec
+libraries, so the free-lossless-audio-codec format is implemented here
+from the public format specification (xiph.org / RFC 9639): STREAMINFO
+metadata, frame headers with UTF-8-coded frame numbers and CRC-8 /
+CRC-16 integrity, subframe types CONSTANT / VERBATIM / FIXED (orders
+0-4, the spec's fixed linear predictors), and Rice-coded residuals.
+
+Because FLAC is LOSSLESS, correctness is a bit-exactness statement
+with no quality-100 caveat: ``flac_decode(flac_encode(x)) == x`` for
+every int16 signal, which the q69 gate entry exploits — decoded sample
+statistics hash-match a SQL oracle that recomputes them from the
+closed-form waveform formula and knows nothing about FLAC.
+
+Subset limits (validated, not silently mis-decoded):
+
+- 16-bit samples, mono or independent stereo (no mid/side), fixed
+  block size, no LPC subframes (encoder never emits them; decoder
+  raises on type 32-63), single Rice partition per subframe
+  (partition order 0; decoder handles any order), no escape codes.
+- The per-sample Rice loop is Python on numpy arrays — fine for the
+  fixture-scale payloads this repo synthesizes; bulk 100 TB audio
+  decode remains a native-codec job (the reason H.264 stays stubbed).
+
+Both CRCs are computed and VERIFIED on decode (table-driven CRC-8
+poly 0x07, CRC-16 poly 0x8005, per the format spec), so a corrupted
+payload fails loudly instead of decoding to garbage.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_CRC8_TABLE = np.zeros(256, dtype=np.uint8)
+_CRC16_TABLE = np.zeros(256, dtype=np.uint16)
+for _i in range(256):
+    _c8 = _i
+    _c16 = _i << 8
+    for _ in range(8):
+        _c8 = ((_c8 << 1) ^ 0x07) & 0xFF if _c8 & 0x80 else (_c8 << 1) & 0xFF
+        _c16 = (
+            ((_c16 << 1) ^ 0x8005) & 0xFFFF
+            if _c16 & 0x8000
+            else (_c16 << 1) & 0xFFFF
+        )
+    _CRC8_TABLE[_i] = _c8
+    _CRC16_TABLE[_i] = _c16
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC8_TABLE[c ^ b])
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC16_TABLE[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            self.out.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+    def write_unary(self, q: int) -> None:
+        # FLAC unary: q zero bits terminated by a one bit
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.bytepos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read(self, nbits: int) -> int:
+        while self._n < nbits:
+            if self.bytepos >= len(self.data):
+                raise ValueError("FLAC bitstream exhausted")
+            self._acc = (self._acc << 8) | self.data[self.bytepos]
+            self.bytepos += 1
+            self._n += 8
+        self._n -= nbits
+        v = (self._acc >> self._n) & ((1 << nbits) - 1)
+        self._acc &= (1 << self._n) - 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
+
+    def align(self) -> None:
+        self._n = 0
+        self._acc = 0
+
+
+# Fixed predictors (format spec §9.2.2): residual = diff^order.
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _utf8_number(n: int) -> bytes:
+    """UTF-8-style coded number for frame headers (spec §9.1.5)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (1 + 5 * nbytes)) and nbytes < 7:
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_number(rd: _BitReader) -> int:
+    first = rd.read(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    mask = 0x80
+    while first & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("bad UTF-8-coded frame number")
+    n = first & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        b = rd.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8-coded frame number continuation")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+def _rice_param(res: np.ndarray) -> int:
+    """Smallest k with mean(|res|) < 2^k — the standard estimator."""
+    if len(res) == 0:
+        return 0
+    mean = float(np.abs(res).mean())
+    k = 0
+    while (1 << k) < mean and k < 14:
+        k += 1
+    return k
+
+
+def _write_residual(bw: _BitWriter, res: np.ndarray) -> None:
+    """Rice-coded residual, 4-bit params, partition order 0."""
+    bw.write(0, 2)  # coding method: 4-bit Rice
+    bw.write(0, 4)  # partition order 0 → one partition
+    k = _rice_param(res)
+    bw.write(k, 4)
+    for v in res.tolist():
+        u = (v << 1) ^ (v >> 63)  # zigzag (int64 arithmetic shift)
+        bw.write_unary(u >> k)
+        if k:
+            bw.write(u & ((1 << k) - 1), k)
+
+
+def _read_residual(rd: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    method = rd.read(2)
+    if method != 0:
+        raise ValueError("only 4-bit Rice residual coding supported")
+    porder = rd.read(4)
+    nparts = 1 << porder
+    out = np.empty(blocksize - order, dtype=np.int64)
+    pos = 0
+    for p in range(nparts):
+        k = rd.read(4)
+        if k == 0xF:
+            raise ValueError("Rice escape codes not supported")
+        n = blocksize // nparts - (order if p == 0 else 0)
+        for _ in range(n):
+            q = rd.read_unary()
+            u = (q << k) | (rd.read(k) if k else 0)
+            out[pos] = (u >> 1) ^ -(u & 1)  # un-zigzag
+            pos += 1
+    return out
+
+
+def flac_encode(
+    samples: np.ndarray, sample_rate: int = 16000, block_size: int = 4096
+) -> bytes:
+    """Encode int16 samples — (n,) mono or (n, 2) independent stereo —
+    to a FLAC stream (subset per module docstring). Each block tries
+    fixed predictor orders 0-2 plus CONSTANT/VERBATIM and keeps the
+    cheapest."""
+    x = np.asarray(samples)
+    if x.dtype != np.int16:
+        raise ValueError("samples must be int16")
+    if x.ndim == 1:
+        chans = [x]
+    elif x.ndim == 2 and x.shape[1] in (1, 2):
+        chans = [x[:, c] for c in range(x.shape[1])]
+    else:
+        raise ValueError(f"unsupported sample shape {x.shape}")
+    n = len(chans[0])
+    if n == 0:
+        raise ValueError("empty signal")
+
+    out = bytearray(b"fLaC")
+    # STREAMINFO (type 0, last metadata block, 34 bytes)
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(len(chans) - 1, 3)
+    si.write(16 - 1, 5)
+    si.write(n, 36)
+    body = bytes(si.out) + b"\x00" * 16  # MD5 unset (0 = unknown, per spec)
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    for frame_idx, start in enumerate(range(0, n, block_size)):
+        blk = [c[start : start + block_size] for c in chans]
+        bs = len(blk[0])
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed block size stream
+        hdr.write(0b0111, 4)  # block size: 16-bit value at header end
+        hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
+        hdr.write(len(chans) - 1, 4)  # independent channels
+        hdr.write(0b100, 3)  # 16-bit samples
+        hdr.write(0, 1)  # reserved
+        hdr_bytes = bytes(hdr.out) + _utf8_number(frame_idx)
+        hdr_bytes += struct.pack(">H", bs - 1)
+        hdr_bytes += bytes([_crc8(hdr_bytes)])
+
+        fw = _BitWriter()
+        for ch in blk:
+            fw.write(0, 1)  # padding
+            ci = ch.astype(np.int64)
+            if np.all(ci == ci[0]):
+                fw.write(0, 6)  # CONSTANT
+                fw.write(0, 1)  # no wasted bits
+                fw.write(int(ci[0]) & 0xFFFF, 16)
+                continue
+            # pick the fixed order with the smallest residual sum
+            best_o, best_res, best_cost = 0, ci, float(np.abs(ci).sum())
+            for o in (1, 2):
+                if bs <= o:
+                    break
+                res = _fixed_residual(ci, o)
+                cost = float(np.abs(res).sum())
+                if cost < best_cost:
+                    best_o, best_res, best_cost = o, res, cost
+            # VERBATIM fallback if rice would exceed raw width
+            if _rice_param(best_res) >= 15:
+                fw.write(1, 6)  # VERBATIM
+                fw.write(0, 1)
+                for v in ci.tolist():
+                    fw.write(v & 0xFFFF, 16)
+                continue
+            fw.write(0b001000 | best_o, 6)  # FIXED, order o
+            fw.write(0, 1)
+            for v in ci[:best_o].tolist():  # warmup samples
+                fw.write(v & 0xFFFF, 16)
+            _write_residual(fw, best_res)
+        fw.align()
+        frame = hdr_bytes + bytes(fw.out)
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+_BLOCKSIZE_CODES = {
+    0b0001: 192,
+    **{c: 576 << (c - 2) for c in range(0b0010, 0b0110)},
+    **{c: 256 << (c - 8) for c in range(0b1000, 0b10000)},
+}
+
+
+def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream (subset per module docstring) →
+    ``(samples, sample_rate)``; samples are int16, shape (n,) for mono
+    else (n, nchannels). Verifies both header CRC-8 and frame CRC-16."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (missing fLaC magic)")
+    pos = 4
+    nchan = bits = srate = total = None
+    while True:  # metadata blocks
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata")
+        last = data[pos] & 0x80
+        btype = data[pos] & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + blen]
+        pos += 4 + blen
+        if btype == 0:  # STREAMINFO
+            rd = _BitReader(body)
+            rd.read(16)
+            rd.read(16)
+            rd.read(24)
+            rd.read(24)
+            srate = rd.read(20)
+            nchan = rd.read(3) + 1
+            bits = rd.read(5) + 1
+            total = rd.read(36)
+        if last:
+            break
+    if nchan is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    if bits != 16:
+        raise ValueError("only 16-bit FLAC supported")
+    if nchan > 2:
+        raise ValueError("only mono/stereo FLAC supported")
+
+    chans: list[list[int]] = [[] for _ in range(nchan)]
+    while pos < len(data):
+        frame_start = pos
+        rd = _BitReader(data, pos)
+        sync = rd.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        rd.read(1)  # reserved
+        rd.read(1)  # blocking strategy
+        bs_code = rd.read(4)
+        sr_code = rd.read(4)
+        chan_code = rd.read(4)
+        size_code = rd.read(3)
+        rd.read(1)
+        if chan_code >= 8:
+            raise ValueError("mid/side channel assignments not supported")
+        if size_code != 0b100:
+            raise ValueError("only 16-bit frames supported")
+        _read_utf8_number(rd)
+        if bs_code == 0b0110:
+            bs = rd.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = rd.read(16) + 1
+        elif bs_code in _BLOCKSIZE_CODES:
+            bs = _BLOCKSIZE_CODES[bs_code]
+        else:
+            raise ValueError(f"bad block size code {bs_code}")
+        if sr_code == 0b1100:
+            rd.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            rd.read(16)
+        elif sr_code == 0b1111:
+            raise ValueError("invalid sample rate code")
+        hdr_len = rd.bytepos - frame_start
+        crc8_got = rd.read(8)
+        if _crc8(data[frame_start : frame_start + hdr_len]) != crc8_got:
+            raise ValueError("frame header CRC-8 mismatch")
+
+        for c in range(chan_code + 1):
+            if rd.read(1):
+                raise ValueError("bad subframe padding bit")
+            stype = rd.read(6)
+            if rd.read(1):
+                raise ValueError("wasted bits not supported")
+            if stype == 0:  # CONSTANT
+                v = rd.read_signed(16)
+                chans[c].extend([v] * bs)
+            elif stype == 1:  # VERBATIM
+                chans[c].extend(rd.read_signed(16) for _ in range(bs))
+            elif 8 <= stype <= 12:  # FIXED order 0-4
+                order = stype - 8
+                warm = np.array(
+                    [rd.read_signed(16) for _ in range(order)], dtype=np.int64
+                )
+                res = _read_residual(rd, bs, order)
+                # x is recovered by integrating the o-th difference o
+                # times; the k-th difference's first element comes from
+                # the warmup samples (d_k[0] = k-th diff of warmups)
+                acc = res
+                for k in range(order - 1, -1, -1):
+                    seed = _fixed_residual(warm, k)[:1]
+                    acc = np.concatenate([seed, acc]).cumsum()
+                chans[c].extend(int(v) for v in acc.tolist())
+            else:
+                raise ValueError(f"unsupported subframe type {stype}")
+        rd.align()
+        crc16_got = (data[rd.bytepos] << 8) | data[rd.bytepos + 1]
+        if _crc16(data[frame_start : rd.bytepos]) != crc16_got:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = rd.bytepos + 2
+
+    n = total if total else len(chans[0])
+    arrs = [np.array(c[:n], dtype=np.int64) for c in chans]
+    for a in arrs:
+        if a.max(initial=0) > 32767 or a.min(initial=0) < -32768:
+            raise ValueError("decoded samples exceed 16-bit range")
+    out = arrs[0] if nchan == 1 else np.stack(arrs, axis=-1)
+    return out.astype(np.int16), srate

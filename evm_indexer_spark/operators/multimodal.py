@@ -8,22 +8,24 @@ The reference engine has no media path; this extends the engine the way a
 without ever collecting to the driver.
 
 Codec coverage is split honestly by what this container can run:
-**WAV, BMP, PNG and baseline JPEG decode are REAL** — RIFF parsed with
-stdlib ``wave``, BMP headers parsed by hand, PNG implemented from the
-public W3C specification on stdlib ``zlib`` (all five scanline
-filters, 8-bit gray/RGB/RGBA, non-interlaced), and baseline JPEG
-implemented from ITU-T T.81 in pure numpy (``functions/jpegcodec.py``:
-DCT, Annex K tables, Huffman entropy coding, 4:4:4 subset) — see
-``wav_features`` / ``image_pixel_stats`` / ``image_pixel_extremes`` /
+**WAV, BMP, PNG, baseline JPEG and FLAC decode are REAL** — RIFF
+parsed with stdlib ``wave``, BMP headers parsed by hand, PNG
+implemented from the public W3C specification on stdlib ``zlib`` (all
+five scanline filters, 8-bit gray/RGB/RGBA, non-interlaced), baseline
+JPEG implemented from ITU-T T.81 in pure numpy
+(``functions/jpegcodec.py``: DCT, Annex K tables, Huffman entropy
+coding, 4:4:4 subset), and a FLAC subset from the public format spec
+(``functions/flaccodec.py``: fixed predictors, Rice residuals,
+CRC-verified frames) — see ``wav_features`` / ``flac_features`` /
+``image_pixel_stats`` / ``image_pixel_extremes`` /
 ``resize_image_payloads``, with synthesizers emitting genuine
 containers so round-trips are testable against independently computed
-expectations. Codecs needing native libraries (H.264/FLAC —
-torchaudio / av are NOT installed, and a pure-Python motion-
-compensated video decoder would be dishonest about throughput) stay
-stubbed behind an import-try raising a clearly-marked
-``NotImplementedError``; their Spark-side plumbing (schema,
+expectations. Only H.264 remains stubbed (native codecs are absent
+and a pure-Python motion-compensated video decoder would be dishonest
+about 100 TB throughput), raising a clearly-marked
+``NotImplementedError``; its Spark-side plumbing (schema,
 partitioning, UDF signatures, Arrow batch shapes) is identical to the
-real WAV/BMP/PNG paths, so swapping a codec in changes no plan shape.
+real codec paths, so swapping a codec in changes no plan shape.
 The byte-histogram feature extractor is genuine vectorized numpy work
 with the same data movement profile as a real embedding model.
 
@@ -281,9 +283,9 @@ def audio_chunk_offsets(media: DataFrame, chunk_seconds: float = 1.0) -> DataFra
 
 # -- real codecs: WAV (stdlib wave) and BMP (manual header) ------------------
 #
-# H.264/FLAC stay stubbed — their codecs are not in this container
-# (and pure-Python video decode would misstate throughput). WAV, BMP,
-# PNG and baseline JPEG need nothing beyond the stdlib and
+# H.264 stays stubbed — native codecs are not in this container and
+# pure-Python video decode would misstate throughput. WAV, BMP, PNG,
+# baseline JPEG and the FLAC subset need nothing beyond the stdlib and
 # numpy, so for them the decode path is GENUINE end to end: real RIFF /
 # BITMAP headers are written by the synthesizers and parsed back by the
 # decoders, all inside Arrow-batched mapInPandas stages.
@@ -337,6 +339,66 @@ def synthesize_wav(
 
     return documents.select("doc_id").mapInPandas(
         gen, schema="doc_id long, payload binary"
+    )
+
+
+def synthesize_flac(
+    documents: DataFrame, n_samples: int = 2048, sample_rate: int = 16_000
+) -> DataFrame:
+    """Real FLAC payloads (pure-numpy subset codec in
+    ``functions.flaccodec``: STREAMINFO, CRC-verified frames, fixed
+    predictors + Rice residuals), mono 16-bit, samples derived from the
+    SAME arithmetic formula as ``synthesize_wav`` (``s[i] = (doc_id*31
+    + i*7) % 2048 - 1024``). FLAC is lossless, so decoded sample
+    statistics are recomputable from the formula by a codec-blind
+    oracle — the q69 gate strategy."""
+    from evm_indexer_spark.functions.flaccodec import flac_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                samples = ((int(did) * 31 + idx * 7) % 2048 - 1024).astype(
+                    np.int16
+                )
+                payloads.append(flac_encode(samples, sample_rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def flac_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-audio decode: parse the FLAC container, Rice-
+    decode and re-integrate the fixed-predictor residuals, verify both
+    CRCs, emit exact integer sample statistics (lossless ⇒ oracle-
+    matchable): sample_rate, n_samples, peak = max|s|, s_sum = Σs."""
+    from evm_indexer_spark.functions.flaccodec import flac_decode
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "sample_rate", "n_samples", "peak", "s_sum")
+            }
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = flac_decode(bytes(buf))
+                s = samples.astype(np.int64)
+                out["doc_id"].append(did)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(s.size)
+                out["peak"].append(int(np.abs(s).max()) if s.size else 0)
+                out["s_sum"].append(int(s.sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long, "
+            "peak long, s_sum long"
+        ),
     )
 
 

@@ -1,0 +1,130 @@
+"""FLAC subset codec (functions/flaccodec.py) and its Spark plumbing
+(multimodal.synthesize_flac / flac_features).
+
+FLAC is lossless, so the spine is unconditional bit-exactness:
+decode(encode(x)) == x for every int16 signal — no quality caveats.
+Around it: CRC integrity (corruption must fail loudly), subset
+guardrails, compression sanity on predictable signals, and the
+q69-style formula cross-check through the Spark surface."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.functions.flaccodec import (
+    _crc8,
+    _crc16,
+    flac_decode,
+    flac_encode,
+)
+from evm_indexer_spark.operators import multimodal
+from evm_indexer_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# -- pure-codec tests -------------------------------------------------------
+
+
+def test_crc_vectors():
+    # CRC-8 poly 0x07 and CRC-16 poly 0x8005, both init 0 — the
+    # format-spec parameters; pinned on the classic check string
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+def test_random_mono_roundtrip_exact():
+    rng = np.random.default_rng(5)
+    x = rng.integers(-32768, 32768, size=10_000, dtype=np.int16)
+    out, sr = flac_decode(flac_encode(x, 16_000))
+    assert sr == 16_000
+    assert np.array_equal(out, x)
+
+
+def test_smooth_signal_compresses_and_roundtrips():
+    t = np.arange(12_000)
+    y = (3000 * np.sin(t / 50) + 500 * np.sin(t / 7)).astype(np.int16)
+    enc = flac_encode(y, 44_100)
+    out, sr = flac_decode(enc)
+    assert sr == 44_100
+    assert np.array_equal(out, y)
+    # fixed predictors + Rice must actually compress a smooth signal
+    assert len(enc) < 2 * len(y) * 0.6
+
+
+def test_stereo_and_constant_subframes():
+    t = np.arange(6_000)
+    left = (2000 * np.sin(t / 30)).astype(np.int16)
+    st = np.stack([left, (left // 2).astype(np.int16)], axis=-1)
+    out, _ = flac_decode(flac_encode(st, 8_000))
+    assert np.array_equal(out, st) and out.shape == (6_000, 2)
+    c = np.full(4_196, -123, dtype=np.int16)  # multi-frame, constant path
+    enc = flac_encode(c)
+    assert len(enc) < 200  # CONSTANT subframes are ~20 bytes per frame
+    out2, _ = flac_decode(enc)
+    assert np.array_equal(out2, c)
+
+
+def test_extreme_values_and_short_signals():
+    for x in (
+        np.array([-32768, 32767] * 7, dtype=np.int16),
+        np.array([0], dtype=np.int16),
+        np.array([-32768], dtype=np.int16),
+        np.arange(-40, 40, dtype=np.int16),  # pure ramp → order-2 zeros
+    ):
+        out, _ = flac_decode(flac_encode(x))
+        assert np.array_equal(out, x)
+
+
+def test_crc_catches_corruption():
+    y = (1000 * np.sin(np.arange(4096) / 20)).astype(np.int16)
+    buf = bytearray(flac_encode(y))
+    buf[-40] ^= 0x01  # flip a bit in the entropy-coded frame body
+    with pytest.raises(ValueError, match="CRC"):
+        flac_decode(bytes(buf))
+
+
+def test_guardrails():
+    with pytest.raises(ValueError, match="int16"):
+        flac_encode(np.zeros(8, dtype=np.int32))
+    with pytest.raises(ValueError, match="fLaC"):
+        flac_decode(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="empty"):
+        flac_encode(np.array([], dtype=np.int16))
+
+
+# -- Spark plumbing ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") < 48
+    ).cache()
+
+
+def test_flac_features_match_waveform_formula(spark, docs):
+    media = multimodal.synthesize_flac(docs, n_samples=512, sample_rate=8_000)
+    got = {r["doc_id"]: r for r in multimodal.flac_features(media).collect()}
+    assert len(got) == docs.count()
+    idx = np.arange(512, dtype=np.int64)
+    for did, r in got.items():
+        s = (did * 31 + idx * 7) % 2048 - 1024
+        assert r["sample_rate"] == 8_000
+        assert r["n_samples"] == 512
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["s_sum"] == int(s.sum())
+
+
+def test_flac_payload_magic_and_size(spark, docs):
+    rows = multimodal.synthesize_flac(
+        docs.filter(F.col("doc_id") < 4), n_samples=2048
+    ).collect()
+    for r in rows:
+        buf = bytes(r["payload"])
+        assert buf[:4] == b"fLaC"
+        assert len(buf) < 2 * 2048  # beats raw PCM on the sawtooth

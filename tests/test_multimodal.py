@@ -101,12 +101,16 @@ def test_sample_frames_slices_match(media):
 def test_decode_stub_contract():
     import pandas as pd
 
-    # unknown container magic (e.g. JPEG) still hits the honest stub;
-    # BMP/PNG are decoded for real (TestRealCodecs)
+    # unknown container magic (e.g. an H.264 Annex B start code) still
+    # hits the honest stub; BMP/PNG/JPEG are decoded for real
+    # (TestRealCodecs, test_jpeg.py)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image_batch(pd.Series([b"\xff\xd8\xff\xe0jpg"]))
+        multimodal.decode_image_batch(pd.Series([b"\x00\x00\x00\x01\x67"]))
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_payload(b"\x00\x01\x02")
+    # truncated-but-sniffable JPEG is a decode ERROR, not a stub hit
+    with pytest.raises(ValueError):
+        multimodal.decode_image_payload(b"\xff\xd8\xff\xe0jpg")
 
 
 class TestRealCodecs:
