@@ -1804,3 +1804,114 @@ def q69(spark, sf):
         F.col("n_samples").cast("int").alias("n_samples"),
         "peak", "s_sum",
     )
+
+
+@register(
+    "q70_pii_redaction",
+    # typed PII detection + redaction; PII spans are injected into the
+    # corpus text by the SAME closed-form expression on both sides, so
+    # the regex engines (Java on Spark, RE2 in DuckDB) are exercised on
+    # guaranteed-nonzero matches and the redacted text hash-matches
+    # byte for byte. Pattern order: email, ssn, phone, ipv4.
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' reach user' || doc_id ||
+             '@example.com, ssn ' || (100 + doc_id % 900) || '-' ||
+             (10 + doc_id % 90) || '-' || (1000 + doc_id % 9000) ||
+             ', tel 555-' || (100 + doc_id % 900) || '-' ||
+             (1000 + doc_id % 9000) || ', host 10.' || (doc_id % 256)
+             || '.0.' || ((doc_id * 3) % 256) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+        AS n_email,
+      CAST(len(regexp_extract_all(text,
+        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_ssn,
+      CAST(len(regexp_extract_all(text,
+        '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(text,
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+        AS n_ipv4,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'),
+        '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '[PHONE]', 'g'),
+        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g')
+        AS redacted
+    FROM seeded
+    """,
+)
+def q70(spark, sf):
+    """PII compliance pass (operators/corpus.pii_profile): typed
+    detection counts + placeholder redaction as pure JVM regex Columns
+    — no UDF, no shuffle, scan-throughput at 100 TB. The corpus text
+    is seeded with formula-derived PII spans identically on both
+    engines so every pattern fires."""
+    doc = load_table(spark, sf, "documents")
+    d = F.col("doc_id")
+    seeded = doc.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), d.cast("string"),
+            F.lit("@example.com, ssn "),
+            (d % 900 + 100).cast("string"), F.lit("-"),
+            (d % 90 + 10).cast("string"), F.lit("-"),
+            (d % 9000 + 1000).cast("string"),
+            F.lit(", tel 555-"),
+            (d % 900 + 100).cast("string"), F.lit("-"),
+            (d % 9000 + 1000).cast("string"),
+            F.lit(", host 10."),
+            (d % 256).cast("string"), F.lit(".0."),
+            ((d * 3) % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = corpus.pii_profile(seeded, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "redacted",
+    )
+
+
+@register(
+    "q71_unigram_logprob",
+    # corpus-fit quality score: MLE unigram LM over the corpus itself,
+    # per-doc sum of token log-probabilities — the engine-exact
+    # stand-in for CCNet's KenLM perplexity filter. ln() on both
+    # engines; same rounding discipline as q58.
+    """
+    WITH tok AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id,
+               UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ), cnt AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(ln(c / n)), 4) AS logprob
+    FROM tok JOIN cnt USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q71(spark, sf):
+    """Unigram-LM log-probability per document
+    (operators/ranking.unigram_logprob): one explode, one vocabulary
+    agg (map-side combined), one broadcastable (term) join, one per-doc
+    agg — all Column math in whole-stage codegen."""
+    from .operators import ranking
+
+    doc = load_table(spark, sf, "documents")
+    return ranking.unigram_logprob(doc, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_tokens", "logprob"
+    )

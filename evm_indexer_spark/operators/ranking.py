@@ -110,3 +110,36 @@ def tfidf_scores(
             ).alias("score")
         )
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-fit quality score: per-document sum of unigram
+    log-probabilities under the corpus's own maximum-likelihood unigram
+    LM — the cheap, engine-exact stand-in for the KenLM-perplexity
+    filters used by CCNet-style pretraining pipelines (a document whose
+    tokens are globally rare scores low; boilerplate scores high).
+    Returns (id, n_tokens, logprob) with logprob = Σ ln(c(t)/N) rounded
+    to 4 places.
+
+    Scale shape: one tokenize+explode (map-side), one vocabulary agg
+    (map-side-combined — vocab ≪ corpus), one (term)-keyed join the
+    optimizer broadcasts when the vocabulary is small, one per-doc agg.
+    No UDFs anywhere; the whole plan is whole-stage-codegen Column
+    math, and the same formula is expressible in ANSI SQL for the
+    oracle twin (q71)."""
+    tok = _postings(df, id_col, text_col).filter(F.col("term") != "")
+    counts = tok.groupBy("term").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    total = counts.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(F.log(F.col("c") / F.col("n"))), 4).alias(
+                "logprob"
+            ),
+        )
+    )

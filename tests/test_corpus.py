@@ -203,3 +203,33 @@ class TestTopNgrams:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pii_profile_counts_and_redaction(spark):
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org, ssn 123-45-6789"),
+        (2, "call 555-123-4567 or 555.987.6543 from 192.168.0.1"),
+        (3, "versions 1.2.3.4.5 and value 12-34-5678 stay as-is"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r for r in corpus.pii_profile(df, "doc_id", "text").collect()
+    }
+    assert (got[1]["n_email"], got[1]["n_ssn"]) == (2, 1)
+    assert got[1]["redacted"] == "mail [EMAIL] and [EMAIL], ssn [SSN]"
+    assert (got[2]["n_phone"], got[2]["n_ipv4"]) == (2, 1)
+    assert got[2]["redacted"] == "call [PHONE] or [PHONE] from [IP]"
+    # 1.2.3.4.5 contains an ipv4-shaped prefix (leftmost match wins in
+    # both engines); 12-34-5678 is neither SSN (2-2-4) nor phone
+    assert got[3]["n_ssn"] == 0 and got[3]["n_phone"] == 0
+    assert got[3]["n_ipv4"] == 1
+    assert got[4]["redacted"] == "nothing sensitive here"
+    assert sum(got[4][f"n_{k}"] for k in ("email", "ssn", "phone", "ipv4")) == 0
+
+
+def test_pii_profile_is_pure_map(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = corpus.pii_profile(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: scan-throughput compliance pass
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

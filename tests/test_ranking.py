@@ -110,3 +110,31 @@ def test_chunk_tokens_rejects_bad_args(spark):
         corpus.chunk_tokens(df, "doc_id", "text", 0, 3)
     with pytest.raises(ValueError):
         corpus.chunk_tokens(df, "doc_id", "text", 4, -1)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["id"]: r
+        for r in ranking.unigram_logprob(df, "doc_id", "text").collect()
+    }
+    # corpus counts over DOCS: 15 tokens total
+    toks = [t for _, s in DOCS for t in s.lower().split()]
+    n = len(toks)
+    cnt = {t: toks.count(t) for t in set(toks)}
+    for did, s in DOCS:
+        expect = sum(math.log(cnt[t] / n) for t in s.lower().split())
+        assert got[did]["n_tokens"] == len(s.split())
+        assert got[did]["logprob"] == pytest.approx(round(expect, 4))
+    # boilerplate (common tokens) must outscore rare-token documents
+    assert got[1]["logprob"] / got[1]["n_tokens"] > got[2]["logprob"] / got[2]["n_tokens"]
+
+
+def test_unigram_logprob_skips_empty_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "  a   a  "), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in ranking.unigram_logprob(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 2
+    assert rows[1]["logprob"] == pytest.approx(0.0)  # ln(2/2)*2
+    assert 2 not in rows  # all-whitespace doc contributes no tokens
