@@ -20,9 +20,13 @@ Subset limits (validated, not silently mis-decoded):
   block size, no LPC subframes (encoder never emits them; decoder
   raises on type 32-63), single Rice partition per subframe
   (partition order 0; decoder handles any order), no escape codes.
-- The per-sample Rice loop is Python on numpy arrays — fine for the
-  fixture-scale payloads this repo synthesizes; bulk 100 TB audio
-  decode remains a native-codec job (the reason H.264 stays stubbed).
+- Rice coding is vectorized on both sides (cumulative-offset bit
+  layout + one np.packbits on encode; a per-k terminator jump table +
+  vectorized remainder extraction on decode — the only per-sample step
+  is one list hop), with per-sample scalar twins kept and pinned
+  bit-identical by test_flac. Still honestly Python-orchestrated:
+  bulk 100 TB audio decode remains a native-codec job (the reason
+  H.264 stays stubbed).
 
 Both CRCs are computed and VERIFIED on decode (table-driven CRC-8
 poly 0x07, CRC-16 poly 0x8005, per the format spec), so a corrupted
@@ -86,6 +90,19 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bitarray(self, bits: np.ndarray) -> None:
+        """Append a uint8 0/1 bit vector in one vectorized pass
+        (np.packbits), preserving any pending partial-byte state."""
+        if self._n:
+            pending = (self._acc >> np.arange(self._n - 1, -1, -1)) & 1
+            bits = np.concatenate([pending.astype(np.uint8), bits])
+            self._acc = 0
+            self._n = 0
+        n_full = (len(bits) // 8) * 8
+        self.out += np.packbits(bits[:n_full]).tobytes()
+        for b in bits[n_full:]:
+            self.write(int(b), 1)
+
     def align(self) -> None:
         if self._n:
             self.write(0, 8 - self._n)
@@ -115,6 +132,73 @@ class _BitReader:
         while self.read(1) == 0:
             q += 1
         return q
+
+    def read_rice_block(self, n: int, k: int) -> np.ndarray:
+        """Vectorized Rice decode of *n* zigzag-coded values with
+        parameter *k*. Terminator (1-)bit positions are cached once per
+        stream; a per-k jump table (one vectorized searchsorted) links
+        each terminator to the next code's terminator, so the walk is
+        one list hop per sample; quotients, 4-byte-window remainders
+        and the zigzag inverse are then computed as whole-array math.
+        Bit-identical to n× (read_unary + read(k)); pinned against the
+        scalar path by test_flac."""
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        if not hasattr(self, "_ones"):
+            bytes_u8 = np.frombuffer(self.data, dtype=np.uint8)
+            arr = np.unpackbits(bytes_u8)
+            ones = np.flatnonzero(arr).astype(np.int64)
+            self._ones = np.append(ones, 1 << 62)  # sentinel terminator
+            pad = np.zeros(4, dtype=np.int64)
+            self._bytes64 = np.concatenate([bytes_u8.astype(np.int64), pad])
+            self._nxt: dict[int, list[int]] = {}
+        ones = self._ones
+        nbits = len(self.data) * 8
+        # per-k jump table: nxt[j] = index of the first terminator
+        # candidate after consuming ones[j]'s code (1 + k bits) — one
+        # vectorized searchsorted, amortized over every frame/partition
+        nxt = self._nxt.get(k)
+        if nxt is None:
+            # clip to the sentinel's own index so the walk self-loops
+            # there (and then fails the nbits guard) instead of running
+            # off the array on a truncated stream
+            nxt = np.minimum(
+                np.searchsorted(ones, ones + (k + 1)), len(ones) - 1
+            ).tolist()
+            self._nxt[k] = nxt
+        pos0 = self.bytepos * 8 - self._n
+        j = int(np.searchsorted(ones, pos0))
+        path = np.empty(n, dtype=np.int64)
+        for i in range(n):  # the only per-sample step: one list hop
+            path[i] = j
+            j = nxt[j]
+        t = ones[path]
+        if int(t[-1]) >= nbits:
+            raise ValueError("FLAC bitstream exhausted")
+        prev_end = np.empty(n, dtype=np.int64)
+        prev_end[0] = pos0
+        prev_end[1:] = t[:-1] + (1 + k)
+        u = (t - prev_end) << k
+        if k:
+            start = t + 1
+            b0 = start >> 3
+            d = self._bytes64
+            words = (
+                (d[b0] << 24) | (d[b0 + 1] << 16) | (d[b0 + 2] << 8) | d[b0 + 3]
+            )
+            u |= (words >> (32 - (start & 7) - k)) & ((1 << k) - 1)
+        pos = int(t[-1]) + 1 + k
+        if pos > nbits:
+            raise ValueError("FLAC bitstream exhausted")
+        # hand the scalar reader back a consistent position
+        self.bytepos = pos // 8
+        self._acc = 0
+        self._n = 0
+        if pos % 8:
+            self._acc = self.data[self.bytepos] & ((1 << (8 - pos % 8)) - 1)
+            self._n = 8 - pos % 8
+            self.bytepos += 1
+        return (u >> 1) ^ -(u & 1)
 
     def read_signed(self, nbits: int) -> int:
         v = self.read(nbits)
@@ -182,9 +266,32 @@ def _rice_param(res: np.ndarray) -> int:
 
 
 def _write_residual(bw: _BitWriter, res: np.ndarray) -> None:
-    """Rice-coded residual, 4-bit params, partition order 0."""
+    """Rice-coded residual, 4-bit params, partition order 0. The whole
+    partition's bit vector is laid out with cumulative-offset index
+    math and appended in one ``np.packbits`` pass — byte-identical to
+    ``_write_residual_scalar`` (pinned by test_flac)."""
     bw.write(0, 2)  # coding method: 4-bit Rice
     bw.write(0, 4)  # partition order 0 → one partition
+    k = _rice_param(res)
+    bw.write(k, 4)
+    r = res.astype(np.int64)
+    u = (r << 1) ^ (r >> 63)  # zigzag
+    q = u >> k
+    lens = q + 1 + k
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    bits = np.zeros(int(lens.sum()), dtype=np.uint8)
+    term = starts + q
+    bits[term] = 1  # unary terminators
+    for j in range(k):  # k ≤ 14 vector passes, one per remainder bit
+        bits[term + 1 + j] = (u >> (k - 1 - j)) & 1
+    bw.write_bitarray(bits)
+
+
+def _write_residual_scalar(bw: _BitWriter, res: np.ndarray) -> None:
+    """Per-sample reference implementation of ``_write_residual`` —
+    kept as the cross-check twin the equality test runs against."""
+    bw.write(0, 2)
+    bw.write(0, 4)
     k = _rice_param(res)
     bw.write(k, 4)
     for v in res.tolist():
@@ -195,6 +302,24 @@ def _write_residual(bw: _BitWriter, res: np.ndarray) -> None:
 
 
 def _read_residual(rd: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    method = rd.read(2)
+    if method != 0:
+        raise ValueError("only 4-bit Rice residual coding supported")
+    porder = rd.read(4)
+    nparts = 1 << porder
+    parts = []
+    for p in range(nparts):
+        k = rd.read(4)
+        if k == 0xF:
+            raise ValueError("Rice escape codes not supported")
+        n = blocksize // nparts - (order if p == 0 else 0)
+        parts.append(rd.read_rice_block(n, k))
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _read_residual_scalar(rd: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    """Per-bit reference implementation of ``_read_residual`` — the
+    cross-check twin."""
     method = rd.read(2)
     if method != 0:
         raise ValueError("only 4-bit Rice residual coding supported")

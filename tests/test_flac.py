@@ -128,3 +128,38 @@ def test_flac_payload_magic_and_size(spark, docs):
         buf = bytes(r["payload"])
         assert buf[:4] == b"fLaC"
         assert len(buf) < 2 * 2048  # beats raw PCM on the sawtooth
+
+
+def test_rice_vector_scalar_parity():
+    # the vectorized Rice writer/reader must be bit-identical to the
+    # per-sample scalar twins, across k regimes and unaligned starts
+    from evm_indexer_spark.functions.flaccodec import (
+        _BitReader,
+        _BitWriter,
+        _read_residual,
+        _read_residual_scalar,
+        _write_residual,
+        _write_residual_scalar,
+    )
+
+    rng = np.random.default_rng(23)
+    for scale in (2, 50, 1000, 30000):
+        res = rng.integers(-scale, scale, size=2500).astype(np.int64)
+        a, b = _BitWriter(), _BitWriter()
+        a.write(5, 3)  # unaligned start state
+        b.write(5, 3)
+        _write_residual(a, res)
+        _write_residual_scalar(b, res)
+        a.write(2, 2)  # trailing writes survive the packbits path
+        b.write(2, 2)
+        a.align()
+        b.align()
+        assert bytes(a.out) == bytes(b.out)
+        w = _BitWriter()
+        _write_residual(w, res)
+        w.align()
+        data = bytes(w.out)
+        va = _read_residual(_BitReader(data), 2500, 0)
+        vb = _read_residual_scalar(_BitReader(data), 2500, 0)
+        assert np.array_equal(va, res)
+        assert np.array_equal(vb, res)
