@@ -408,8 +408,14 @@ def flac_encode(
                 cost = float(np.abs(res).sum())
                 if cost < best_cost:
                     best_o, best_res, best_cost = o, res, cost
-            # VERBATIM fallback if rice would exceed raw width
-            if _rice_param(best_res) >= 15:
+            # VERBATIM fallback when Rice coding would cost more bits
+            # than raw 16-bit samples (true incompressible content)
+            k_est = _rice_param(best_res)
+            u_est = (best_res << 1) ^ (best_res >> 63)
+            rice_bits = best_o * 16 + len(u_est) * (1 + k_est) + int(
+                (u_est >> k_est).sum()
+            )
+            if rice_bits > 16 * bs:
                 fw.write(1, 6)  # VERBATIM
                 fw.write(0, 1)
                 for v in ci.tolist():

@@ -163,3 +163,14 @@ def test_rice_vector_scalar_parity():
         vb = _read_residual_scalar(_BitReader(data), 2500, 0)
         assert np.array_equal(va, res)
         assert np.array_equal(vb, res)
+
+
+def test_verbatim_fallback_on_incompressible_content():
+    # alternating extremes defeat every fixed predictor; the encoder
+    # must fall back to VERBATIM (≈16 bits/sample) instead of paying
+    # Rice overhead, and the decoder must reproduce it exactly
+    x = np.tile(np.array([-32768, 32767], dtype=np.int16), 600)
+    enc = flac_encode(x)
+    out, _ = flac_decode(enc)
+    assert np.array_equal(out, x)
+    assert len(enc) < 2 * len(x) + 120  # no worse than raw + headers
