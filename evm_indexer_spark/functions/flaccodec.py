@@ -346,7 +346,9 @@ def flac_encode(
     """Encode int16 samples — (n,) mono or (n, 2) independent stereo —
     to a FLAC stream (subset per module docstring). Each block tries
     fixed predictor orders 0-2 plus CONSTANT/VERBATIM and keeps the
-    cheapest."""
+    cheapest. Note mono is canonically (n,): a (n, 1) input is
+    accepted but decodes back to shape (n,), matching how the format
+    itself carries no column axis."""
     x = np.asarray(samples)
     if x.dtype != np.int16:
         raise ValueError("samples must be int16")
@@ -475,9 +477,16 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("only mono/stereo FLAC supported")
 
     chans: list[list[int]] = [[] for _ in range(nchan)]
+    # ONE reader for every frame: read_rice_block's set-bit positions
+    # and per-k jump tables are stream-level caches, so re-creating the
+    # reader per frame would rebuild them each time — O(frames x
+    # stream) instead of O(stream) (the round-8 review finding)
+    rd = _BitReader(data)
     while pos < len(data):
         frame_start = pos
-        rd = _BitReader(data, pos)
+        rd.bytepos = pos
+        rd._acc = 0
+        rd._n = 0
         sync = rd.read(14)
         if sync != 0b11111111111110:
             raise ValueError("lost frame sync")

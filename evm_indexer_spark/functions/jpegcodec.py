@@ -312,7 +312,6 @@ def _encode_block(
     if size:
         writer.write(_amplitude_bits(diff, size), size)
     run = 0
-    last_nz = 0
     nz = np.nonzero(zz[1:])[0]
     last_nz = int(nz[-1]) + 1 if len(nz) else 0
     for k in range(1, last_nz + 1):
@@ -504,8 +503,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # optional fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no body
+            pos += 2
+            continue
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen

@@ -174,3 +174,20 @@ def test_verbatim_fallback_on_incompressible_content():
     out, _ = flac_decode(enc)
     assert np.array_equal(out, x)
     assert len(enc) < 2 * len(x) + 120  # no worse than raw + headers
+
+
+def test_multiframe_decode_builds_stream_caches_once():
+    # the Rice fast path's set-bit cache must be built once per STREAM,
+    # not once per frame (the round-8 quadratic-decode finding)
+    from unittest import mock
+
+    import evm_indexer_spark.functions.flaccodec as fc
+
+    t = np.arange(20_000)  # 5 frames at block_size 4096
+    y = (2500 * np.sin(t / 40) + 300 * np.sin(t / 9)).astype(np.int16)
+    enc = flac_encode(y, 16_000)
+    real = np.unpackbits
+    with mock.patch.object(fc.np, "unpackbits", side_effect=real) as m:
+        out, _ = flac_decode(enc)
+    assert np.array_equal(out, y)
+    assert m.call_count == 1
