@@ -1850,7 +1850,12 @@ def q70(spark, sf):
     — no UDF, no shuffle, scan-throughput at 100 TB. The corpus text
     is seeded with formula-derived PII spans identically on both
     engines so every pattern fires."""
-    doc = load_table(spark, sf, "documents")
+    from .operators.partitioning import spread_small_scan
+
+    # 8 regex passes are CPU-bound map work; an unspread single-row-
+    # group scan serialized this onto one core (5.5s at sf1 = 50k docs
+    # x 110us on ONE task — same starvation mode as q27/q65/q68)
+    doc = spread_small_scan(load_table(spark, sf, "documents"))
     d = F.col("doc_id")
     seeded = doc.select(
         "doc_id",
@@ -1908,7 +1913,11 @@ def q71(spark, sf):
     """Unigram-LM log-probability per document
     (operators/ranking.unigram_logprob): one explode, one vocabulary
     agg (map-side combined), one broadcastable (term) join, one per-doc
-    agg — all Column math in whole-stage codegen."""
+    agg — all Column math in whole-stage codegen. NOT spread: unlike
+    the pure-map entries, this plan shuffles right after tokenize, and
+    a measured interleaved A/B at sf1 showed the extra exchange costs
+    more than the starved scan saves (warm 2.2-2.6s unspread vs
+    3.0-3.4s spread, 4 rounds each in one session)."""
     from .operators import ranking
 
     doc = load_table(spark, sf, "documents")
