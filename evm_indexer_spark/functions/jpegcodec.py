@@ -33,6 +33,10 @@ Determinism note (load-bearing for the oracle strategy, see
 Annex K table entry to 1, and an image that is CONSTANT on each 8x8
 block has an integer DC coefficient and exactly-zero AC coefficients —
 so encode→decode is bit-exact for block-constant grayscale images.
+(For ARBITRARY content q100 is near-lossless, not lossless: each of
+the 64 coefficients still rounds to an integer and those errors can
+stack through the IDCT to a few pixel levels — property-tested bound
+≤3 in test_jpeg.)
 That turns a lossy codec into something a SQL oracle can verify: the
 oracle recomputes pixel statistics from the closed-form block formula,
 knowing nothing about JPEG, and any codec defect breaks the hash match.

@@ -191,3 +191,24 @@ def test_multiframe_decode_builds_stream_caches_once():
         out, _ = flac_decode(enc)
     assert np.array_equal(out, y)
     assert m.call_count == 1
+
+
+def test_flac_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        arrays(
+            np.int16,
+            st.integers(min_value=1, max_value=600),
+            elements=st.integers(min_value=-32768, max_value=32767),
+        ),
+        st.sampled_from([64, 192, 4096]),
+    )
+    def roundtrip(x, bs):
+        out, _ = flac_decode(flac_encode(x, block_size=bs))
+        assert np.array_equal(out, x)
+
+    roundtrip()

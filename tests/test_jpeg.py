@@ -193,3 +193,32 @@ def test_pixel_stats_handles_jpeg_alongside_bmp_png(spark, docs):
     ):
         stats = multimodal.image_pixel_stats(media)
         assert stats.count() == 8  # sniffing decode covers all three
+
+
+def test_jpeg_q100_property_bounded_error():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(min_value=1, max_value=24),
+                st.integers(min_value=1, max_value=24),
+            ),
+            elements=st.integers(min_value=0, max_value=255),
+        )
+    )
+    def roundtrip(img):
+        out = jpeg_decode(jpeg_encode(img, quality=100))
+        assert out.shape == img.shape
+        # unit quant still rounds each of the 64 coefficients to an
+        # integer; those errors (each <= 0.5) can stack through the
+        # IDCT to a few pixel levels on adversarial content (hypothesis
+        # found maxdiff 2) — the BIT-EXACT claim is only ever made for
+        # block-constant images (the q68 oracle theorem, tested above)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    roundtrip()
