@@ -6,7 +6,10 @@ libraries, so the free-lossless-audio-codec format is implemented here
 from the public format specification (xiph.org / RFC 9639): STREAMINFO
 metadata, frame headers with UTF-8-coded frame numbers and CRC-8 /
 CRC-16 integrity, subframe types CONSTANT / VERBATIM / FIXED (orders
-0-4, the spec's fixed linear predictors), and Rice-coded residuals.
+0-4, the spec's fixed linear predictors) and LPC (decode, orders 1-32),
+stereo decorrelation (left/side, right/side, mid/side — the encoder
+chooses mid/side per frame by measured residual cost), wasted-bits
+handling, and Rice-coded residuals.
 
 Because FLAC is LOSSLESS, correctness is a bit-exactness statement
 with no quality-100 caveat: ``flac_decode(flac_encode(x)) == x`` for
@@ -16,10 +19,13 @@ closed-form waveform formula and knows nothing about FLAC.
 
 Subset limits (validated, not silently mis-decoded):
 
-- 16-bit samples, mono or independent stereo (no mid/side), fixed
-  block size, no LPC subframes (encoder never emits them; decoder
-  raises on type 32-63), single Rice partition per subframe
-  (partition order 0; decoder handles any order), no escape codes.
+- 16-bit streams, mono or stereo, fixed block size. The DECODER
+  covers the full baseline subframe surface real encoders emit —
+  CONSTANT/VERBATIM/FIXED/LPC, all three stereo decorrelations,
+  wasted bits, any Rice partition order (LPC conformance is pinned by
+  a hand-built spec stream in test_flac) — while the ENCODER emits
+  the fixed-predictor subset plus per-frame mid/side. No escape
+  codes; reserved channel assignments and negative LPC shifts raise.
 - Rice coding is vectorized on both sides (cumulative-offset bit
   layout + one np.packbits on encode; a per-k terminator jump table +
   vectorized remainder extraction on decode — the only per-sample step
@@ -217,6 +223,66 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
     return r
 
 
+def _read_subframe(rd: _BitReader, bs: int, bps: int) -> np.ndarray:
+    """Decode one subframe of *bs* samples at *bps* bits (17 for side
+    channels): CONSTANT, VERBATIM, FIXED 0-4 and LPC 1-32, with
+    wasted-bits handling — the full baseline subframe surface real
+    encoders emit. Returns int64 samples."""
+    if rd.read(1):
+        raise ValueError("bad subframe padding bit")
+    stype = rd.read(6)
+    wasted = 0
+    if rd.read(1):  # wasted-bits flag: unary-coded k-1 follows
+        wasted = 1
+        while rd.read(1) == 0:
+            wasted += 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        out = np.full(bs, rd.read_signed(bps), dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.array(
+            [rd.read_signed(bps) for _ in range(bs)], dtype=np.int64
+        )
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = np.array(
+            [rd.read_signed(bps) for _ in range(order)], dtype=np.int64
+        )
+        res = _read_residual(rd, bs, order)
+        # x is recovered by integrating the o-th difference o times;
+        # the k-th difference's first element comes from the warmups
+        # (d_k[0] = k-th diff of warmups)
+        acc = res
+        for k in range(order - 1, -1, -1):
+            seed = _fixed_residual(warm, k)[:1]
+            acc = np.concatenate([seed, acc]).cumsum()
+        out = acc
+    elif stype >= 32:  # LPC order 1-32 (spec §9.2.3)
+        order = stype - 31
+        warm = [rd.read_signed(bps) for _ in range(order)]
+        precision = rd.read(4)
+        if precision == 0b1111:
+            raise ValueError("invalid LPC coefficient precision")
+        precision += 1
+        shift = rd.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift is reserved")
+        coefs = [rd.read_signed(precision) for _ in range(order)]
+        res = _read_residual(rd, bs, order)
+        x = warm + [0] * (bs - order)
+        rlist = res.tolist()
+        for i in range(order, bs):
+            # coefs[0] weights the most recent sample x[i-1]
+            pred = 0
+            for j in range(order):
+                pred += coefs[j] * x[i - 1 - j]
+            x[i] = rlist[i - order] + (pred >> shift)
+        out = np.array(x, dtype=np.int64)
+    else:
+        raise ValueError(f"unsupported subframe type {stype}")
+    return out << wasted if wasted else out
+
+
 def _utf8_number(n: int) -> bytes:
     """UTF-8-style coded number for frame headers (spec §9.1.5)."""
     if n < 0x80:
@@ -377,15 +443,30 @@ def flac_encode(
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
 
     for frame_idx, start in enumerate(range(0, n, block_size)):
-        blk = [c[start : start + block_size] for c in chans]
+        blk = [c[start : start + block_size].astype(np.int64) for c in chans]
         bs = len(blk[0])
+        # stereo decorrelation: encode mid/side when its best-predictor
+        # residual cost beats independent channels (spec §9.2.1; the
+        # side channel carries one extra sample bit)
+        if len(blk) == 2:
+            mid = (blk[0] + blk[1]) >> 1
+            side = blk[0] - blk[1]
+            ind_cost = _subframe_cost(blk[0]) + _subframe_cost(blk[1])
+            ms_cost = _subframe_cost(mid) + _subframe_cost(side)
+            if ms_cost < ind_cost:
+                chan_field, subframes = 0b1010, [(mid, 16), (side, 17)]
+            else:
+                chan_field, subframes = 1, [(blk[0], 16), (blk[1], 16)]
+        else:
+            chan_field = len(blk) - 1
+            subframes = [(c, 16) for c in blk]
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 1)  # reserved
         hdr.write(0, 1)  # fixed block size stream
         hdr.write(0b0111, 4)  # block size: 16-bit value at header end
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
-        hdr.write(len(chans) - 1, 4)  # independent channels
+        hdr.write(chan_field, 4)
         hdr.write(0b100, 3)  # 16-bit samples
         hdr.write(0, 1)  # reserved
         hdr_bytes = bytes(hdr.out) + _utf8_number(frame_idx)
@@ -393,45 +474,62 @@ def flac_encode(
         hdr_bytes += bytes([_crc8(hdr_bytes)])
 
         fw = _BitWriter()
-        for ch in blk:
-            fw.write(0, 1)  # padding
-            ci = ch.astype(np.int64)
-            if np.all(ci == ci[0]):
-                fw.write(0, 6)  # CONSTANT
-                fw.write(0, 1)  # no wasted bits
-                fw.write(int(ci[0]) & 0xFFFF, 16)
-                continue
-            # pick the fixed order with the smallest residual sum
-            best_o, best_res, best_cost = 0, ci, float(np.abs(ci).sum())
-            for o in (1, 2):
-                if bs <= o:
-                    break
-                res = _fixed_residual(ci, o)
-                cost = float(np.abs(res).sum())
-                if cost < best_cost:
-                    best_o, best_res, best_cost = o, res, cost
-            # VERBATIM fallback when Rice coding would cost more bits
-            # than raw 16-bit samples (true incompressible content)
-            k_est = _rice_param(best_res)
-            u_est = (best_res << 1) ^ (best_res >> 63)
-            rice_bits = best_o * 16 + len(u_est) * (1 + k_est) + int(
-                (u_est >> k_est).sum()
-            )
-            if rice_bits > 16 * bs:
-                fw.write(1, 6)  # VERBATIM
-                fw.write(0, 1)
-                for v in ci.tolist():
-                    fw.write(v & 0xFFFF, 16)
-                continue
-            fw.write(0b001000 | best_o, 6)  # FIXED, order o
-            fw.write(0, 1)
-            for v in ci[:best_o].tolist():  # warmup samples
-                fw.write(v & 0xFFFF, 16)
-            _write_residual(fw, best_res)
+        for ci, bps in subframes:
+            _write_subframe(fw, ci, bps)
         fw.align()
         frame = hdr_bytes + bytes(fw.out)
         out += frame + struct.pack(">H", _crc16(frame))
     return bytes(out)
+
+
+def _best_fixed(ci: np.ndarray) -> tuple[int, np.ndarray, float]:
+    """(order, residual, cost) of the cheapest fixed predictor 0-2."""
+    best_o, best_res, best_cost = 0, ci, float(np.abs(ci).sum())
+    for o in (1, 2):
+        if len(ci) <= o:
+            break
+        res = _fixed_residual(ci, o)
+        cost = float(np.abs(res).sum())
+        if cost < best_cost:
+            best_o, best_res, best_cost = o, res, cost
+    return best_o, best_res, best_cost
+
+
+def _subframe_cost(ci: np.ndarray) -> float:
+    if np.all(ci == ci[0] if len(ci) else True):
+        return 0.0
+    return _best_fixed(ci)[2]
+
+
+def _write_subframe(fw: _BitWriter, ci: np.ndarray, bps: int) -> None:
+    """Encode one subframe at *bps* bits (17 for side channels):
+    CONSTANT / best FIXED 0-2 / VERBATIM by measured bit cost."""
+    mask = (1 << bps) - 1
+    fw.write(0, 1)  # padding
+    if np.all(ci == ci[0]):
+        fw.write(0, 6)  # CONSTANT
+        fw.write(0, 1)  # no wasted bits
+        fw.write(int(ci[0]) & mask, bps)
+        return
+    best_o, best_res, _ = _best_fixed(ci)
+    # VERBATIM fallback when Rice coding would cost more bits than raw
+    # samples (true incompressible content)
+    k_est = _rice_param(best_res)
+    u_est = (best_res << 1) ^ (best_res >> 63)
+    rice_bits = best_o * bps + len(u_est) * (1 + k_est) + int(
+        (u_est >> k_est).sum()
+    )
+    if rice_bits > bps * len(ci):
+        fw.write(1, 6)  # VERBATIM
+        fw.write(0, 1)
+        for v in ci.tolist():
+            fw.write(v & mask, bps)
+        return
+    fw.write(0b001000 | best_o, 6)  # FIXED, order o
+    fw.write(0, 1)
+    for v in ci[:best_o].tolist():  # warmup samples
+        fw.write(v & mask, bps)
+    _write_residual(fw, best_res)
 
 
 _BLOCKSIZE_CODES = {
@@ -497,8 +595,8 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
         chan_code = rd.read(4)
         size_code = rd.read(3)
         rd.read(1)
-        if chan_code >= 8:
-            raise ValueError("mid/side channel assignments not supported")
+        if chan_code > 0b1010:
+            raise ValueError(f"reserved channel assignment {chan_code}")
         if size_code != 0b100:
             raise ValueError("only 16-bit frames supported")
         _read_utf8_number(rd)
@@ -521,33 +619,28 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
         if _crc8(data[frame_start : frame_start + hdr_len]) != crc8_got:
             raise ValueError("frame header CRC-8 mismatch")
 
-        for c in range(chan_code + 1):
-            if rd.read(1):
-                raise ValueError("bad subframe padding bit")
-            stype = rd.read(6)
-            if rd.read(1):
-                raise ValueError("wasted bits not supported")
-            if stype == 0:  # CONSTANT
-                v = rd.read_signed(16)
-                chans[c].extend([v] * bs)
-            elif stype == 1:  # VERBATIM
-                chans[c].extend(rd.read_signed(16) for _ in range(bs))
-            elif 8 <= stype <= 12:  # FIXED order 0-4
-                order = stype - 8
-                warm = np.array(
-                    [rd.read_signed(16) for _ in range(order)], dtype=np.int64
-                )
-                res = _read_residual(rd, bs, order)
-                # x is recovered by integrating the o-th difference o
-                # times; the k-th difference's first element comes from
-                # the warmup samples (d_k[0] = k-th diff of warmups)
-                acc = res
-                for k in range(order - 1, -1, -1):
-                    seed = _fixed_residual(warm, k)[:1]
-                    acc = np.concatenate([seed, acc]).cumsum()
-                chans[c].extend(int(v) for v in acc.tolist())
-            else:
-                raise ValueError(f"unsupported subframe type {stype}")
+        if chan_code < 8:
+            frame_chans = [
+                _read_subframe(rd, bs, 16) for _ in range(chan_code + 1)
+            ]
+        else:
+            # stereo decorrelation (spec §9.2.1): the side channel
+            # carries one extra bit of sample depth
+            if chan_code == 0b1000:  # left/side
+                left = _read_subframe(rd, bs, 16)
+                side = _read_subframe(rd, bs, 17)
+                frame_chans = [left, left - side]
+            elif chan_code == 0b1001:  # right/side (side first)
+                side = _read_subframe(rd, bs, 17)
+                right = _read_subframe(rd, bs, 16)
+                frame_chans = [right + side, right]
+            else:  # 0b1010 mid/side
+                mid = _read_subframe(rd, bs, 16)
+                side = _read_subframe(rd, bs, 17)
+                m = (mid << 1) | (side & 1)
+                frame_chans = [(m + side) >> 1, (m - side) >> 1]
+        for c, vals in enumerate(frame_chans):
+            chans[c].extend(int(v) for v in vals.tolist())
         rd.align()
         crc16_got = (data[rd.bytepos] << 8) | data[rd.bytepos + 1]
         if _crc16(data[frame_start : rd.bytepos]) != crc16_got:

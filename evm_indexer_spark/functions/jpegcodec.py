@@ -16,12 +16,13 @@ Scope (and honest limits):
   the last row/column (the standard's recommended padding), so any
   dimensions work.
 - **Decode**: baseline sequential only — SOF0, 8-bit samples, 1 or 3
-  components, 1x1 sampling factors (4:4:4), no progressive scans, no
-  restart markers (none are ever emitted by this encoder; streams using
-  them raise ``ValueError`` rather than decoding wrongly). Quant and
-  Huffman tables are read from the stream's DQT/DHT segments, so any
-  conforming baseline 4:4:4 stream within this subset decodes, not just
-  our own output.
+  components, 1x1 sampling factors (4:4:4), no progressive scans.
+  Restart intervals (DRI + RSTn, with sequence validation), optional
+  fill bytes and TEM markers are handled; unsupported features raise
+  ``ValueError`` rather than decoding wrongly. Quant and Huffman
+  tables are read from the stream's DQT/DHT segments, so any
+  conforming baseline 4:4:4 stream within this subset decodes, not
+  just our own output.
 - The entropy loop is per-coefficient Python — fine for the small
   fixture payloads this repo synthesizes (decode is ~1 ms for a 32x24
   tile inside an Arrow batch), and honestly NOT the shape you'd ship
@@ -410,10 +411,15 @@ def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, by, bx
 
 
-def jpeg_encode(pixels: np.ndarray, quality: int = 85) -> bytes:
+def jpeg_encode(
+    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
     """Encode 8-bit grayscale (h, w) or RGB (h, w, 3) to baseline JFIF
     bytes. All the DCT/quantization math is vectorized over blocks; the
-    per-coefficient Huffman loop is Python (see module docstring)."""
+    per-coefficient Huffman loop is Python (see module docstring).
+    *restart_interval* > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (DC predictors reset at each) — the error-resilience
+    feature real encoders use for parallel/robust decode."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
@@ -465,6 +471,8 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 85) -> bytes:
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])  # DC/AC table ids
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
@@ -473,7 +481,15 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 85) -> bytes:
     writer = _BitWriter()
     preds = [0] * ncomp
     nblocks = comp_zz[0].shape[0]
+    rst = 0
     for b in range(nblocks):
+        if restart_interval and b and b % restart_interval == 0:
+            # close the entropy segment, emit RSTn, reset DC predictors
+            out += writer.flush()
+            out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            writer = _BitWriter()
+            preds = [0] * ncomp
         for ci in range(ncomp):
             dc_codes = DC_LUMA_CODES if ci == 0 else DC_CHROMA_CODES
             ac_codes = AC_LUMA_CODES if ci == 0 else AC_CHROMA_CODES
@@ -499,6 +515,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffDecoder] = {}
+    restart_interval = 0
     h = w = None
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     scan: bytes | None = None
@@ -554,8 +571,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = body[0]
             if ns != len(comps):
@@ -575,7 +592,23 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     by, bx = -(-h // 8), -(-w // 8)
     planes = np.empty((len(comps), by * 8, bx * 8), dtype=np.float64)
     preds = [0] * len(comps)
+    rst = 0
     for blk in range(by * bx):
+        if restart_interval and blk and blk % restart_interval == 0:
+            # byte-align past the pad bits, consume RSTn, reset DC preds
+            reader._nbits = 0
+            reader._acc = 0
+            if not (
+                reader.pos + 1 < len(reader.data)
+                and reader.data[reader.pos] == 0xFF
+                and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+            ):
+                raise ValueError("expected restart marker in scan")
+            if reader.data[reader.pos + 1] & 7 != rst % 8:
+                raise ValueError("restart marker out of sequence")
+            reader.pos += 2
+            rst += 1
+            preds = [0] * len(comps)
         yy, xx = divmod(blk, bx)
         for ci, (_cid, tq) in enumerate(comps):
             dc_dec = htables[(0, scan_tables[ci][0])]

@@ -212,3 +212,85 @@ def test_flac_roundtrip_property():
         assert np.array_equal(out, x)
 
     roundtrip()
+
+
+def test_lpc_subframe_decode_spec_conformance():
+    # the encoder never emits LPC, so conformance is pinned by HAND-
+    # BUILDING a spec-valid stream (order-2 LPC, precision-4 coefs,
+    # shift 1) with the module's own bit primitives and checking the
+    # decoder reproduces the predictor recursion exactly
+    import struct
+
+    from evm_indexer_spark.functions.flaccodec import (
+        _BitWriter,
+        _crc8,
+        _crc16,
+        _utf8_number,
+        _write_residual,
+    )
+
+    bs, order, shift = 12, 2, 1
+    coefs = [3, -1]  # coef[0] weights x[i-1]
+    warm = [100, 120]
+    res = [5, -3, 0, 7, -2, 1, 4, -6, 2, 0]
+    x = list(warm)
+    for i in range(order, bs):
+        pred = coefs[0] * x[i - 1] + coefs[1] * x[i - 2]
+        x.append(res[i - order] + (pred >> shift))
+
+    si = _BitWriter()
+    si.write(bs, 16); si.write(bs, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(15, 5); si.write(bs, 36)
+    stream = b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:] \
+        + bytes(si.out) + b"\x00" * 16
+
+    hdr = _BitWriter()
+    hdr.write(0b11111111111110, 14); hdr.write(0, 1); hdr.write(0, 1)
+    hdr.write(0b0111, 4); hdr.write(0b0000, 4)
+    hdr.write(0, 4); hdr.write(0b100, 3); hdr.write(0, 1)
+    hdr_bytes = bytes(hdr.out) + _utf8_number(0) + struct.pack(">H", bs - 1)
+    hdr_bytes += bytes([_crc8(hdr_bytes)])
+
+    fw = _BitWriter()
+    fw.write(0, 1)                      # subframe padding
+    fw.write(32 + order - 1, 6)         # LPC, order 2
+    fw.write(0, 1)                      # no wasted bits
+    for v in warm:
+        fw.write(v & 0xFFFF, 16)
+    fw.write(4 - 1, 4)                  # coefficient precision 4
+    fw.write(shift, 5)
+    for c in coefs:
+        fw.write(c & 0xF, 4)
+    _write_residual(fw, np.array(res, dtype=np.int64))
+    fw.align()
+    frame = hdr_bytes + bytes(fw.out)
+    stream += frame + struct.pack(">H", _crc16(frame))
+
+    out, sr = flac_decode(stream)
+    assert sr == 8000
+    assert out.tolist() == x
+
+
+def test_mid_side_stereo_roundtrip_and_wins_on_correlated_input():
+    rng = np.random.default_rng(3)
+    t = np.arange(20_000)
+    left = (4000 * np.sin(t / 60) + rng.integers(-20, 20, 20_000)).astype(
+        np.int16
+    )
+    right = (left.astype(np.int64) - rng.integers(-30, 30, 20_000)).astype(
+        np.int16
+    )
+    st = np.stack([left, right], axis=-1)
+    enc = flac_encode(st, 16_000)
+    out, _ = flac_decode(enc)
+    assert np.array_equal(out, st)
+    # the near-identical channels must compress far below raw PCM
+    assert len(enc) < 0.55 * st.size * 2
+    # and a mid/side frame is actually present (channel assignment 10)
+    # — byte 3 of a frame header holds [chan:4][size:3][reserved:1]
+    assert any(
+        enc[i + 3] >> 4 == 0b1010
+        for i in range(len(enc) - 4)
+        if enc[i] == 0xFF and enc[i + 1] == 0xF8
+    )

@@ -222,3 +222,24 @@ def test_jpeg_q100_property_bounded_error():
         assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
 
     roundtrip()
+
+
+def test_restart_intervals_roundtrip_and_validation():
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)  # 12 MCUs
+    for ri in (1, 3, 5):
+        enc = jpeg_encode(img, quality=100, restart_interval=ri)
+        assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+        out = jpeg_decode(enc)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+    # DC prediction must genuinely reset: identical output either way
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(img, 100, restart_interval=2)),
+        jpeg_decode(jpeg_encode(img, 100)),
+    )
+    # an out-of-sequence RSTn is a corruption signal, not silence
+    enc = bytearray(jpeg_encode(img, 100, restart_interval=2))
+    i = enc.find(b"\xff\xd0")
+    enc[i + 1] = 0xD3
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_decode(bytes(enc))
