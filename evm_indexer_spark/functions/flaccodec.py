@@ -482,6 +482,54 @@ def flac_encode(
     return bytes(out)
 
 
+def _lpc_analyze(
+    ci: np.ndarray, order: int, precision: int = 12
+) -> tuple[list[int], int, np.ndarray] | None:
+    """Levinson-Durbin LPC analysis → (quantized coefs, shift,
+    residual), or None when the signal is degenerate (zero power /
+    unstable). coefs[0] weights x[i-1]; residual matches the decoder's
+    integer reconstruction exactly:
+    ``res[i] = x[i] - ((Σ coefs[j]·x[i-1-j]) >> shift)``."""
+    n = len(ci)
+    if n <= order:
+        return None
+    x = ci.astype(np.float64)
+    # autocorrelation with a Welch window (tapering stabilizes the
+    # normal equations on short blocks, the standard encoder trick)
+    w = 1.0 - (2.0 * np.arange(n) / max(n - 1, 1) - 1.0) ** 2
+    xw = x * w
+    r = np.array(
+        [np.dot(xw[: n - lag], xw[lag:]) for lag in range(order + 1)]
+    )
+    if r[0] <= 0:
+        return None
+    # Levinson-Durbin recursion
+    err = r[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = r[i + 1] - np.dot(a[:i], r[1 : i + 1][::-1])
+        k = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - k * a[:i][::-1], [0]])[: i + 1]
+        a[i] = k
+        err *= 1.0 - k * k
+        if err <= 0:
+            return None
+    cmax = np.abs(a).max()
+    if not np.isfinite(cmax) or cmax == 0:
+        return None
+    # shift so max |coef| uses the full precision budget
+    shift = precision - 1 - max(0, int(np.floor(np.log2(cmax))) + 1)
+    shift = max(0, min(31, shift))
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    lim = 1 << (precision - 1)
+    q = np.clip(q, -lim, lim - 1)
+    if not q.any():
+        return None
+    xi = ci.astype(np.int64)
+    pred = np.convolve(xi, q, "full")[order - 1 : n - 1] >> shift
+    return q.tolist(), shift, xi[order:] - pred
+
+
 def _best_fixed(ci: np.ndarray) -> tuple[int, np.ndarray, float]:
     """(order, residual, cost) of the cheapest fixed predictor 0-2."""
     best_o, best_res, best_cost = 0, ci, float(np.abs(ci).sum())
@@ -501,9 +549,21 @@ def _subframe_cost(ci: np.ndarray) -> float:
     return _best_fixed(ci)[2]
 
 
+def _rice_cost(res: np.ndarray) -> int:
+    """Estimated Rice bits for a residual vector at its chosen param."""
+    k = _rice_param(res)
+    u = (res << 1) ^ (res >> 63)
+    return len(u) * (1 + k) + int((u >> k).sum())
+
+
+LPC_ORDER = 8  # encoder analysis order (decode accepts 1-32)
+LPC_PRECISION = 12
+
+
 def _write_subframe(fw: _BitWriter, ci: np.ndarray, bps: int) -> None:
     """Encode one subframe at *bps* bits (17 for side channels):
-    CONSTANT / best FIXED 0-2 / VERBATIM by measured bit cost."""
+    CONSTANT / best FIXED 0-2 / LPC order-8 / VERBATIM, chosen by
+    measured Rice bit cost."""
     mask = (1 << bps) - 1
     fw.write(0, 1)  # padding
     if np.all(ci == ci[0]):
@@ -512,14 +572,28 @@ def _write_subframe(fw: _BitWriter, ci: np.ndarray, bps: int) -> None:
         fw.write(int(ci[0]) & mask, bps)
         return
     best_o, best_res, _ = _best_fixed(ci)
+    fixed_bits = best_o * bps + _rice_cost(best_res)
+    lpc = _lpc_analyze(ci, LPC_ORDER, LPC_PRECISION)
+    lpc_bits = (
+        LPC_ORDER * bps
+        + 4 + 5 + LPC_ORDER * LPC_PRECISION
+        + _rice_cost(lpc[2])
+    ) if lpc else None
+    if lpc_bits is not None and lpc_bits < min(fixed_bits, bps * len(ci)):
+        coefs, shift, res = lpc
+        fw.write(32 + LPC_ORDER - 1, 6)  # LPC, order 8
+        fw.write(0, 1)
+        for v in ci[:LPC_ORDER].tolist():  # warmup samples
+            fw.write(v & mask, bps)
+        fw.write(LPC_PRECISION - 1, 4)
+        fw.write(shift, 5)
+        for c in coefs:
+            fw.write(c & ((1 << LPC_PRECISION) - 1), LPC_PRECISION)
+        _write_residual(fw, res)
+        return
     # VERBATIM fallback when Rice coding would cost more bits than raw
     # samples (true incompressible content)
-    k_est = _rice_param(best_res)
-    u_est = (best_res << 1) ^ (best_res >> 63)
-    rice_bits = best_o * bps + len(u_est) * (1 + k_est) + int(
-        (u_est >> k_est).sum()
-    )
-    if rice_bits > bps * len(ci):
+    if fixed_bits > bps * len(ci):
         fw.write(1, 6)  # VERBATIM
         fw.write(0, 1)
         for v in ci.tolist():

@@ -5,9 +5,11 @@ container has no native image libraries (PIL/libjpeg absent), so the
 baseline sequential DCT process is implemented here from the public
 T.81 specification — 8x8 forward/inverse DCT as float64 matrix
 products, the Annex K quantization and Huffman tables, JFIF container
-markers, byte-stuffed entropy coding, and (for color) the JFIF YCbCr
-transform at 4:4:4 (no chroma subsampling, so the codec stays a
-bounded, easily-audited subset).
+markers, byte-stuffed entropy coding, the JFIF YCbCr transform, and
+chroma subsampling: 4:4:4 or 4:2:0 on the encoder (2x2 box-averaged
+chroma, the layout camera/libjpeg output typically uses), and any
+1-2x1-2 sampling-factor combination (4:4:4/4:2:0/4:2:2/4:4:0) on the
+decoder with sample-replication upsampling.
 
 Scope (and honest limits):
 
@@ -16,13 +18,13 @@ Scope (and honest limits):
   the last row/column (the standard's recommended padding), so any
   dimensions work.
 - **Decode**: baseline sequential only — SOF0, 8-bit samples, 1 or 3
-  components, 1x1 sampling factors (4:4:4), no progressive scans.
-  Restart intervals (DRI + RSTn, with sequence validation), optional
-  fill bytes and TEM markers are handled; unsupported features raise
-  ``ValueError`` rather than decoding wrongly. Quant and Huffman
-  tables are read from the stream's DQT/DHT segments, so any
-  conforming baseline 4:4:4 stream within this subset decodes, not
-  just our own output.
+  components, sampling factors 1-2 in each axis (4:4:4, 4:2:0, 4:2:2,
+  4:4:0), no progressive scans. Restart intervals (DRI + RSTn, with
+  sequence validation), optional fill bytes and TEM markers are
+  handled; unsupported features raise ``ValueError`` rather than
+  decoding wrongly. Quant and Huffman tables are read from the
+  stream's DQT/DHT segments, so conforming baseline streams within
+  this subset decode, not just our own output.
 - The entropy loop is per-coefficient Python — fine for the small
   fixture payloads this repo synthesizes (decode is ~1 ms for a 32x24
   tile inside an Arrow batch), and honestly NOT the shape you'd ship
@@ -411,18 +413,49 @@ def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, by, bx
 
 
+def _grid_blocks(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Edge-pad a float plane to (rows*8, cols*8) and return its 8x8
+    blocks row-major — the MCU-aligned generalization of
+    ``_plane_blocks`` (a component's grid must cover the MCU lattice,
+    not just 8-multiples)."""
+    ph, pw = rows * 8 - plane.shape[0], cols * 8 - plane.shape[1]
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return (
+        plane.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _box_downsample2(p: np.ndarray) -> np.ndarray:
+    """2x2 box average with edge replication on odd dims — the encoder
+    side of 4:2:0 chroma subsampling."""
+    if p.shape[0] % 2:
+        p = np.vstack([p, p[-1:]])
+    if p.shape[1] % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+
+
 def jpeg_encode(
-    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode 8-bit grayscale (h, w) or RGB (h, w, 3) to baseline JFIF
     bytes. All the DCT/quantization math is vectorized over blocks; the
     per-coefficient Huffman loop is Python (see module docstring).
     *restart_interval* > 0 emits a DRI segment and RSTn markers every
     that many MCUs (DC predictors reset at each) — the error-resilience
-    feature real encoders use for parallel/robust decode."""
+    feature real encoders use for parallel/robust decode.
+    *subsampling* "444" (default, mathematically cleanest) or "420"
+    (2x2-box-averaged chroma, what camera/libjpeg output typically
+    uses — 4 luma + 2 chroma blocks per MCU)."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     if px.ndim == 2:
         planes = [px.astype(np.float64)]
     elif px.ndim == 3 and px.shape[2] == 3:
@@ -434,16 +467,30 @@ def jpeg_encode(
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError("image dimensions out of JPEG range")
     ncomp = len(planes)
+    if ncomp == 3 and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _box_downsample2(planes[1]),
+                  _box_downsample2(planes[2])]
+    else:
+        samp = [(1, 1)] * ncomp
+    hmax = max(hs for hs, _ in samp)
+    vmax = max(vs for _, vs in samp)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
     qluma, qchroma = quant_tables_for_quality(quality)
 
-    # quantized zig-zag coefficients per component, vectorized
+    # quantized zig-zag coefficients per component, vectorized; each
+    # component's block grid is MCU-aligned (mcy*vs x mcx*hs)
     comp_zz: list[np.ndarray] = []
+    comp_cols: list[int] = []
     for ci, plane in enumerate(planes):
         q = qluma if ci == 0 else qchroma
-        blocks, _, _ = _plane_blocks(plane - 128.0)
+        hs, vs = samp[ci]
+        blocks = _grid_blocks(plane - 128.0, mcy * vs, mcx * hs)
         coeffs = np.einsum("ux,nxy,vy->nuv", DCT_M, blocks, DCT_M)
         zz = np.round(coeffs / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
         comp_zz.append(zz)
+        comp_cols.append(mcx * hs)
 
     # headers
     out = bytearray(b"\xff\xd8")  # SOI
@@ -456,9 +503,10 @@ def jpeg_encode(
     # SOF0
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
+        hs, vs = samp[ci]
         sof += struct.pack(
-            "BBB", ci + 1, 0x11, 0 if ci == 0 else 1
-        )  # id, 1x1 sampling, quant table
+            "BBB", ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1
+        )  # id, sampling factors, quant table
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT
     specs = [(0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC)]
@@ -476,26 +524,31 @@ def jpeg_encode(
     sos += bytes([0, 63, 0])  # spectral selection (baseline fixed)
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # entropy-coded segment: interleaved MCUs; at 4:4:4 one MCU is one
-    # 8x8 block per component
+    # entropy-coded segment: interleaved MCUs — each MCU carries
+    # hs*vs blocks per component in raster order within the MCU
     writer = _BitWriter()
     preds = [0] * ncomp
-    nblocks = comp_zz[0].shape[0]
     rst = 0
-    for b in range(nblocks):
-        if restart_interval and b and b % restart_interval == 0:
+    for m in range(mcx * mcy):
+        if restart_interval and m and m % restart_interval == 0:
             # close the entropy segment, emit RSTn, reset DC predictors
             out += writer.flush()
             out += bytes([0xFF, 0xD0 + rst % 8])
             rst += 1
             writer = _BitWriter()
             preds = [0] * ncomp
+        my, mx = divmod(m, mcx)
         for ci in range(ncomp):
             dc_codes = DC_LUMA_CODES if ci == 0 else DC_CHROMA_CODES
             ac_codes = AC_LUMA_CODES if ci == 0 else AC_CHROMA_CODES
-            preds[ci] = _encode_block(
-                writer, comp_zz[ci][b], preds[ci], dc_codes, ac_codes
-            )
+            hs, vs = samp[ci]
+            for vv in range(vs):
+                for hh in range(hs):
+                    bidx = (my * vs + vv) * comp_cols[ci] + (mx * hs + hh)
+                    preds[ci] = _encode_block(
+                        writer, comp_zz[ci][bidx], preds[ci],
+                        dc_codes, ac_codes,
+                    )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -563,11 +616,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported component count {nc}")
             for ci in range(nc):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
+                hs, vs = sampling >> 4, sampling & 0x0F
+                if nc == 1:
+                    hs = vs = 1  # single-component scans are one block/MCU
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError(
-                        "only 1x1 sampling (4:4:4 / grayscale) supported"
+                        f"unsupported sampling factors {hs}x{vs}"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hs, vs))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
@@ -589,12 +645,18 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         raise ValueError("truncated JPEG: missing SOF/SOS")
 
     reader = _BitReader(scan)
-    by, bx = -(-h // 8), -(-w // 8)
-    planes = np.empty((len(comps), by * 8, bx * 8), dtype=np.float64)
+    hmax = max(hs for _, _, hs, _ in comps)
+    vmax = max(vs for _, _, _, vs in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    planes = [
+        np.empty((mcy * vs * 8, mcx * hs * 8), dtype=np.float64)
+        for _, _, hs, vs in comps
+    ]
     preds = [0] * len(comps)
     rst = 0
-    for blk in range(by * bx):
-        if restart_interval and blk and blk % restart_interval == 0:
+    for m in range(mcx * mcy):
+        if restart_interval and m and m % restart_interval == 0:
             # byte-align past the pad bits, consume RSTn, reset DC preds
             reader._nbits = 0
             reader._acc = 0
@@ -609,35 +671,49 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             reader.pos += 2
             rst += 1
             preds = [0] * len(comps)
-        yy, xx = divmod(blk, bx)
-        for ci, (_cid, tq) in enumerate(comps):
+        my, mx = divmod(m, mcx)
+        for ci, (_cid, tq, hs, vs) in enumerate(comps):
             dc_dec = htables[(0, scan_tables[ci][0])]
             ac_dec = htables[(1, scan_tables[ci][1])]
-            zz = np.zeros(64, dtype=np.int64)
-            size = dc_dec.decode(reader)
-            preds[ci] += _extend(reader.read_bits(size), size)
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
-                sym = ac_dec.decode(reader)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _extend(reader.read_bits(size), size)
-                k += 1
-            nat = np.empty(64, dtype=np.int64)
-            nat[ZIGZAG] = zz
-            coeffs = nat.reshape(8, 8) * qtables[tq]
-            block = DCT_M.T @ coeffs @ DCT_M + 128.0
-            planes[ci, yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = block
+            for vv in range(vs):
+                for hh in range(hs):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = dc_dec.decode(reader)
+                    preds[ci] += _extend(reader.read_bits(size), size)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = ac_dec.decode(reader)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("invalid AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run overflows block")
+                        zz[k] = _extend(reader.read_bits(size), size)
+                        k += 1
+                    nat = np.empty(64, dtype=np.int64)
+                    nat[ZIGZAG] = zz
+                    coeffs = nat.reshape(8, 8) * qtables[tq]
+                    block = DCT_M.T @ coeffs @ DCT_M + 128.0
+                    y0 = (my * vs + vv) * 8
+                    x0 = (mx * hs + hh) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample subsampled components to full resolution (nearest /
+    # sample replication — the decoder's choice per the spec) and crop
+    planes = np.stack(
+        [
+            np.repeat(
+                np.repeat(pl, vmax // vs, axis=0), hmax // hs, axis=1
+            )[: mcy * vmax * 8, : mcx * hmax * 8]
+            for pl, (_, _, hs, vs) in zip(planes, comps)
+        ]
+    )
     planes = planes[:, :h, :w]
     if len(comps) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -243,3 +243,42 @@ def test_restart_intervals_roundtrip_and_validation():
     enc[i + 1] = 0xD3
     with pytest.raises(ValueError, match="out of sequence"):
         jpeg_decode(bytes(enc))
+
+
+def test_420_subsampling_roundtrip_and_structure():
+    h, w = 34, 50  # exercises MCU padding on both axes
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    img = np.stack(
+        [
+            np.broadcast_to((x + y) % 256, (h, w)),
+            np.broadcast_to((2 * x) % 200, (h, w)),
+            np.broadcast_to((y * 3) % 220, (h, w)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    enc = jpeg_encode(img, quality=90, subsampling="420")
+    # SOF0 must carry 2x2 luma sampling (0x22) and a smaller payload
+    sof = enc.find(b"\xff\xc0")
+    assert enc[sof + 11] == 0x22  # first component's sampling byte
+    assert len(enc) < len(jpeg_encode(img, quality=90))
+    out = jpeg_decode(enc)
+    assert out.shape == img.shape
+    mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / max(mse, 1e-12)) > 35.0
+    # restart intervals compose with subsampled MCUs
+    out_r = jpeg_decode(
+        jpeg_encode(img, quality=90, restart_interval=2, subsampling="420")
+    )
+    assert np.array_equal(out_r, out)
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(img, subsampling="422")
+
+
+def test_444_bit_identical_after_mcu_generalization():
+    # the generic MCU path must reproduce the original 4:4:4 layout
+    # exactly — q68's oracle theorem depends on it
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    assert np.array_equal(jpeg_decode(jpeg_encode(img, 100)), img)
