@@ -1472,7 +1472,14 @@ def q61(spark, sf):
     from .operators import order
 
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
-    return order.global_row_number(li, ["l_orderkey", "l_linenumber"])
+    # footer row count routes small inputs to the one-task window tier;
+    # above the tier (sf1's 6M rows and beyond) the two-phase
+    # range-partition plan runs — zero plan-build Spark jobs either way
+    return order.global_row_number(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        n_rows_hint=table_rowcount(sf, "lineitem"),
+    )
 
 
 @register(
@@ -1923,4 +1930,51 @@ def q71(spark, sf):
     doc = load_table(spark, sf, "documents")
     return ranking.unigram_logprob(doc, "doc_id", "text").select(
         F.col("id").alias("doc_id"), "n_tokens", "logprob"
+    )
+
+
+@register(
+    "q72_h264_frame_stats",
+    # Lossless-video-codec gate: the Spark side synthesizes real H.264
+    # Annex B streams (functions/h264codec.py — SPS/PPS Exp-Golomb
+    # headers, IDR slices of I_PCM macroblocks, emulation prevention),
+    # DECODES them back, and reports exact integer luma statistics.
+    # I_PCM is lossless, so the oracle recomputes the statistics from
+    # the closed-form pixel formula knowing nothing about H.264 — any
+    # codec defect (NAL framing, Exp-Golomb, slice headers, PCM
+    # alignment, plane layout, emulation prevention) breaks the hash.
+    """
+    SELECT doc_id,
+           2 AS n_frames, 32 AS width, 16 AS height,
+           CAST(min((doc_id * 13 + f * 97 + r * 5 + c * 3) % 256) AS BIGINT)
+               AS y_min,
+           CAST(max((doc_id * 13 + f * 97 + r * 5 + c * 3) % 256) AS BIGINT)
+               AS y_max,
+           CAST(sum((doc_id * 13 + f * 97 + r * 5 + c * 3) % 256) AS BIGINT)
+               AS y_sum
+    FROM documents,
+         generate_series(0, 1) AS gf(f),
+         generate_series(0, 15) AS gr(r),
+         generate_series(0, 31) AS gc(c)
+    GROUP BY doc_id
+    """,
+)
+def q72(spark, sf):
+    """H.264 round-trip over the documents table: synthesize real
+    Annex B clips (2 IDR frames, 32x16, I_PCM macroblocks from the
+    doc_id pixel formula), decode them with the same pure-numpy codec,
+    emit exact per-clip luma statistics. Both stages are Arrow-batched
+    ``mapInPandas`` maps — payloads never leave executors, no shuffle.
+    Beyond-reference multimodal family (closes the last honest codec
+    stub; motion-compensated profiles remain a native-codec job)."""
+    from .operators.partitioning import spread_small_scan
+
+    doc = spread_small_scan(load_table(spark, sf, "documents"))
+    media = multimodal.synthesize_h264(doc, width=32, height=16, n_frames=2)
+    return multimodal.h264_frame_features(media).select(
+        "doc_id",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "y_min", "y_max", "y_sum",
     )

@@ -1,0 +1,506 @@
+"""H.264/AVC codec (I_PCM subset) in pure numpy + stdlib bit twiddling.
+
+Closes the last entry of the honest-stub list in
+``operators/multimodal.py``. The container has no native video codec
+libraries, so the subset implemented here comes from the public
+ITU-T H.264 specification: Annex B byte streams (start codes +
+emulation prevention), SPS/PPS parameter sets with Exp-Golomb coded
+headers, and IDR slices whose macroblocks are all I_PCM — the spec's
+raw-sample macroblock type (mb_type 25 in I slices), which carries
+the 16x16 luma block and both 8x8 chroma blocks byte-aligned and
+uncompressed (spec 7.3.5 / 8.3.5).
+
+Because I_PCM is LOSSLESS, correctness is a bit-exactness statement:
+``h264_decode(h264_encode(y, cb, cr)) == (y, cb, cr)`` for every
+uint8 input whose dimensions are multiples of 16 — which the q72 gate
+entry exploits: decoded pixel statistics hash-match a SQL oracle that
+recomputes them from the closed-form pixel formula and knows nothing
+about H.264.
+
+Subset limits (validated, not silently mis-decoded):
+
+- ENCODE: Baseline profile (profile_idc 66), 4:2:0, frame_mbs_only,
+  one IDR slice per frame, every macroblock I_PCM. This is a fully
+  conforming stream any spec decoder plays; it simply spends no bits
+  on prediction (I_PCM exists in the spec exactly as the lossless /
+  worst-case escape hatch).
+- DECODE: full Annex B framing (start codes of either length,
+  emulation-prevention removal, trailing-zero tolerance), SPS parsing
+  across profiles (including the High-profile chroma_format_idc
+  branch, all three pic_order_cnt_types, frame cropping, VUI skip),
+  PPS, IDR/non-IDR slice headers, and slice data whose macroblocks
+  are I_PCM. Entropy-coded residual macroblocks (CAVLC/CABAC) raise
+  NotImplementedError with the honest reason — decoding those is a
+  native-codec job, the same boundary the FLAC module documents.
+
+The hot paths are byte-bulk: I_PCM sample planes are sliced with
+numpy (no per-pixel Python), and emulation prevention runs a
+vectorized no-violation fast path with a scalar walk only on the rare
+payloads that actually contain escapable byte patterns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MB = 16  # macroblock edge (luma samples)
+
+
+# ---------------------------------------------------------------------------
+# bit IO + Exp-Golomb (spec 9.1)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit accumulator over a bytearray."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def u(self, value: int, n: int) -> None:
+        if n <= 0:
+            return
+        self._acc = (self._acc << n) | (value & ((1 << n) - 1))
+        self._nbits += n
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self.buf.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def ue(self, value: int) -> None:
+        code = value + 1
+        n = code.bit_length()
+        self.u(code, 2 * n - 1)
+
+    def se(self, value: int) -> None:
+        self.ue(2 * value - 1 if value > 0 else -2 * value)
+
+    def align(self) -> None:
+        if self._nbits:
+            self.u(0, 8 - self._nbits)
+
+    def bytes_aligned(self, data: bytes) -> None:
+        assert self._nbits == 0, "bulk bytes require byte alignment"
+        self.buf.extend(data)
+
+    def trailing_bits(self) -> None:
+        """rbsp_trailing_bits: stop bit then zero-pad to alignment."""
+        self.u(1, 1)
+        self.align()
+
+    def getvalue(self) -> bytes:
+        assert self._nbits == 0, "unterminated bitstream"
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first bit reader over an RBSP (emulation already stripped)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        pos = self.pos
+        if pos + n > len(self.data) * 8:
+            raise ValueError("bitstream truncated")
+        for _ in range(n):
+            v = (v << 1) | ((self.data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("malformed Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def more_rbsp_data(self) -> bool:
+        """True while bits remain before the rbsp_stop_one_bit (spec
+        7.2): the stop bit is the last set bit of the RBSP."""
+        data = self.data
+        i = len(data) - 1
+        while i >= 0 and data[i] == 0:
+            i -= 1
+        if i < 0:
+            return False
+        low = (data[i] & -data[i]).bit_length() - 1
+        return self.pos < i * 8 + (7 - low)
+
+    def bytes_aligned(self, n: int) -> bytes:
+        assert self.pos % 8 == 0
+        off = self.pos >> 3
+        if off + n > len(self.data):
+            raise ValueError("bitstream truncated in PCM samples")
+        self.pos += 8 * n
+        return self.data[off : off + n]
+
+
+# ---------------------------------------------------------------------------
+# emulation prevention (spec 7.3.1 / 7.4.1.1)
+# ---------------------------------------------------------------------------
+
+
+def _rbsp_to_ebsp(rbsp: bytes) -> bytes:
+    """Insert emulation_prevention_three_byte so no 0x000000..0x000003
+    pattern survives in the NAL payload."""
+    a = np.frombuffer(rbsp, dtype=np.uint8)
+    if a.size >= 3:
+        cand = (a[:-2] == 0) & (a[1:-1] == 0) & (a[2:] <= 3)
+        if not cand.any():
+            return rbsp
+    elif a.size < 3:
+        return rbsp
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:  # only payloads that actually need escaping walk here
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ebsp_to_rbsp(ebsp: bytes) -> bytes:
+    """Remove emulation_prevention_three_byte occurrences."""
+    a = np.frombuffer(ebsp, dtype=np.uint8)
+    if a.size >= 3:
+        cand = (a[:-2] == 0) & (a[1:-1] == 0) & (a[2:] == 3)
+        if not cand.any():
+            return ebsp
+    elif a.size < 3:
+        return ebsp
+    out = bytearray()
+    zeros = 0
+    for b in ebsp:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue  # the escape byte itself never reaches the RBSP
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _nal(nal_type: int, ref_idc: int, rbsp: bytes) -> bytes:
+    header = bytes([(ref_idc << 5) | nal_type])
+    return b"\x00\x00\x00\x01" + header + _rbsp_to_ebsp(rbsp)
+
+
+# ---------------------------------------------------------------------------
+# parameter sets
+# ---------------------------------------------------------------------------
+
+
+def _sps_rbsp(mbs_w: int, mbs_h: int) -> bytes:
+    w = _BitWriter()
+    w.u(66, 8)  # profile_idc: Baseline
+    w.u(0x80, 8)  # constraint_set0_flag=1, rest + reserved zero
+    w.u(10, 8)  # level_idc 1.0 (tiny frames)
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(0)  # log2_max_frame_num_minus4 -> MaxFrameNum 16
+    w.ue(2)  # pic_order_cnt_type 2 (output order == decode order)
+    w.ue(0)  # max_num_ref_frames (all-IDR stream)
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(mbs_w - 1)  # pic_width_in_mbs_minus1
+    w.ue(mbs_h - 1)  # pic_height_in_map_units_minus1
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(0, 1)  # direct_8x8_inference_flag
+    w.u(0, 1)  # frame_cropping_flag
+    w.u(0, 1)  # vui_parameters_present_flag
+    w.trailing_bits()
+    return w.getvalue()
+
+
+def _pps_rbsp() -> bytes:
+    w = _BitWriter()
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.u(0, 1)  # entropy_coding_mode_flag: CAVLC
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)  # weighted_pred_flag
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(0, 1)  # deblocking_filter_control_present_flag
+    w.u(0, 1)  # constrained_intra_pred_flag
+    w.u(0, 1)  # redundant_pic_cnt_present_flag
+    w.trailing_bits()
+    return w.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def h264_encode(
+    y: np.ndarray, cb: np.ndarray | None = None, cr: np.ndarray | None = None
+) -> bytes:
+    """Encode uint8 planes into a conforming Annex B byte stream.
+
+    ``y``: luma, shape (n_frames, H, W) with H and W multiples of 16
+    (a single (H, W) frame is accepted and treated as n_frames=1).
+    ``cb``/``cr``: chroma planes, shape (n_frames, H/2, W/2); omitted
+    planes encode as the neutral 128. Every frame becomes one IDR
+    picture made entirely of I_PCM macroblocks — lossless by
+    construction."""
+    y = np.asarray(y, dtype=np.uint8)
+    if y.ndim == 2:
+        y = y[None, :, :]
+    if y.ndim != 3:
+        raise ValueError("luma must be (n_frames, H, W) or (H, W)")
+    n, h, wdt = y.shape
+    if h % _MB or wdt % _MB:
+        raise ValueError(
+            f"frame dimensions must be multiples of 16, got {h}x{wdt} "
+            "(the subset emits no frame cropping)"
+        )
+    ch, cw = h // 2, wdt // 2
+    if cb is None:
+        cb = np.full((n, ch, cw), 128, dtype=np.uint8)
+    if cr is None:
+        cr = np.full((n, ch, cw), 128, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8).reshape(n, ch, cw)
+    cr = np.asarray(cr, dtype=np.uint8).reshape(n, ch, cw)
+
+    mbs_w, mbs_h = wdt // _MB, h // _MB
+    out = bytearray()
+    out += _nal(7, 3, _sps_rbsp(mbs_w, mbs_h))
+    out += _nal(8, 3, _pps_rbsp())
+    for f in range(n):
+        w = _BitWriter()
+        # slice_header (IDR, spec 7.3.3)
+        w.ue(0)  # first_mb_in_slice
+        w.ue(7)  # slice_type: I (all slices of the picture are I)
+        w.ue(0)  # pic_parameter_set_id
+        w.u(0, 4)  # frame_num (log2_max_frame_num = 4); 0 for every IDR
+        w.ue(f % 2)  # idr_pic_id: consecutive IDR pictures must differ
+        w.se(0)  # slice_qp_delta
+        for by in range(mbs_h):
+            for bx in range(mbs_w):
+                w.ue(25)  # mb_type: I_PCM in I slices (table 7-11)
+                w.align()  # pcm_alignment_zero_bit(s)
+                w.bytes_aligned(
+                    y[
+                        f,
+                        by * _MB : (by + 1) * _MB,
+                        bx * _MB : (bx + 1) * _MB,
+                    ].tobytes()
+                )
+                w.bytes_aligned(
+                    cb[f, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].tobytes()
+                )
+                w.bytes_aligned(
+                    cr[f, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].tobytes()
+                )
+        w.trailing_bits()
+        out += _nal(5, 3, w.getvalue())  # IDR slice
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _split_nals(buf: bytes) -> list[bytes]:
+    """Annex B: split on 3- or 4-byte start codes; returns EBSP NAL
+    units (header byte included), tolerating leading/trailing zeros."""
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size < 4:
+        raise ValueError("not an Annex B stream")
+    starts = np.flatnonzero(
+        (a[:-2] == 0) & (a[1:-1] == 0) & (a[2:] == 1)
+    )  # positions of 00 00 01
+    if starts.size == 0:
+        raise ValueError("no start codes found")
+    nals = []
+    for i, s in enumerate(starts):
+        begin = int(s) + 3
+        end = int(starts[i + 1]) if i + 1 < starts.size else len(buf)
+        unit = buf[begin:end]
+        # trailing_zero_8bits before the next start code (a 4-byte start
+        # code is 00 + 00 00 01, covered the same way)
+        unit = unit.rstrip(b"\x00") or unit
+        if unit:
+            nals.append(unit)
+    return nals
+
+
+def _parse_sps(r: _BitReader) -> dict:
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    r.u(8)  # level_idc
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135):
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            raise NotImplementedError(
+                "scaling matrices require residual decoding, outside the "
+                "I_PCM subset"
+            )
+    log2_max_frame_num = r.ue() + 4
+    poc_type = r.ue()
+    log2_max_poc_lsb = 0
+    delta_poc_always_zero = 0
+    if poc_type == 0:
+        log2_max_poc_lsb = r.ue() + 4
+    elif poc_type == 1:
+        delta_poc_always_zero = r.u(1)
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):  # num_ref_frames_in_pic_order_cnt_cycle
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    mbs_w = r.ue() + 1
+    mbs_h = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        raise NotImplementedError("interlaced (field) coding unsupported")
+    r.u(1)  # direct_8x8_inference_flag
+    crop = (0, 0, 0, 0)
+    if r.u(1):  # frame_cropping_flag
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    # vui ignored (nothing after it is needed for the subset)
+    if chroma_format_idc != 1:
+        raise NotImplementedError(
+            f"chroma_format_idc {chroma_format_idc} unsupported (4:2:0 only)"
+        )
+    return {
+        "mbs_w": mbs_w,
+        "mbs_h": mbs_h,
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
+        "delta_poc_always_zero": delta_poc_always_zero,
+        "crop": crop,
+    }
+
+
+def _parse_pps(r: _BitReader) -> dict:
+    r.ue()  # pic_parameter_set_id
+    r.ue()  # seq_parameter_set_id
+    if r.u(1):  # entropy_coding_mode_flag
+        raise NotImplementedError(
+            "CABAC slice data is outside the I_PCM subset (arithmetic "
+            "decoding is a native-codec job)"
+        )
+    bottom_field_poc = r.u(1)
+    return {"bottom_field_poc": bottom_field_poc}
+
+
+def h264_decode(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode an Annex B stream of I_PCM slices back to uint8 planes
+    ``(y, cb, cr)`` of shapes (n, H, W) / (n, H/2, W/2) / (n, H/2, W/2).
+
+    Raises NotImplementedError on entropy-coded macroblocks (any
+    mb_type other than I_PCM) — an honest subset boundary, never a
+    silent mis-decode."""
+    sps: dict | None = None
+    pps = {"bottom_field_poc": 0}
+    frames_y: list[np.ndarray] = []
+    frames_cb: list[np.ndarray] = []
+    frames_cr: list[np.ndarray] = []
+    for unit in _split_nals(buf):
+        nal_type = unit[0] & 0x1F
+        if (unit[0] & 0x80) != 0:
+            raise ValueError("forbidden_zero_bit set — corrupt NAL header")
+        rbsp = _ebsp_to_rbsp(unit[1:])
+        if nal_type == 7:
+            sps = _parse_sps(_BitReader(rbsp))
+        elif nal_type == 8:
+            pps = _parse_pps(_BitReader(rbsp))
+        elif nal_type in (1, 5):
+            if sps is None:
+                raise ValueError("slice before SPS")
+            r = _BitReader(rbsp)
+            first_mb = r.ue()
+            slice_type = r.ue()
+            if slice_type % 5 != 2:  # 2/7 are I slices
+                raise NotImplementedError(
+                    "only I slices decode (P/B need inter prediction)"
+                )
+            r.ue()  # pic_parameter_set_id
+            r.u(sps["log2_max_frame_num"])  # frame_num
+            if nal_type == 5:
+                r.ue()  # idr_pic_id
+            if sps["poc_type"] == 0:
+                r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+                if pps["bottom_field_poc"]:
+                    r.se()  # delta_pic_order_cnt_bottom
+            elif sps["poc_type"] == 1 and not sps["delta_poc_always_zero"]:
+                r.se()  # delta_pic_order_cnt[0]
+                if pps["bottom_field_poc"]:
+                    r.se()  # delta_pic_order_cnt[1]
+            r.se()  # slice_qp_delta
+            mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
+            if first_mb == 0:
+                # zero-filled, not empty: a slice may legally cover only
+                # part of the picture, and uncovered macroblocks must
+                # stay deterministic
+                frames_y.append(np.zeros((mbs_h * _MB, mbs_w * _MB), np.uint8))
+                frames_cb.append(np.zeros((mbs_h * 8, mbs_w * 8), np.uint8))
+                frames_cr.append(np.zeros((mbs_h * 8, mbs_w * 8), np.uint8))
+            if not frames_y:
+                raise ValueError("slice with first_mb_in_slice>0 before any picture")
+            yp, cbp, crp = frames_y[-1], frames_cb[-1], frames_cr[-1]
+            mb = first_mb
+            while r.more_rbsp_data():
+                if mb >= mbs_w * mbs_h:
+                    raise ValueError("slice data overruns the picture")
+                mb_type = r.ue()
+                if mb_type != 25:
+                    raise NotImplementedError(
+                        f"mb_type {mb_type} requires CAVLC residual decoding; "
+                        "this subset decodes I_PCM macroblocks only"
+                    )
+                r.align()
+                by, bx = divmod(mb, mbs_w)
+                yp[by * _MB : (by + 1) * _MB, bx * _MB : (bx + 1) * _MB] = (
+                    np.frombuffer(r.bytes_aligned(256), np.uint8).reshape(16, 16)
+                )
+                cbp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.frombuffer(
+                    r.bytes_aligned(64), np.uint8
+                ).reshape(8, 8)
+                crp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.frombuffer(
+                    r.bytes_aligned(64), np.uint8
+                ).reshape(8, 8)
+                mb += 1
+    if not frames_y:
+        raise ValueError("stream contains no coded pictures")
+    assert sps is not None
+    cl, crr, ct, cbm = sps["crop"]
+    y = np.stack(frames_y)
+    cb = np.stack(frames_cb)
+    cr = np.stack(frames_cr)
+    if any(sps["crop"]):
+        # 4:2:0 frame cropping units: 2 luma / 1 chroma sample per unit
+        y = y[:, 2 * ct : y.shape[1] - 2 * cbm, 2 * cl : y.shape[2] - 2 * crr]
+        cb = cb[:, ct : cb.shape[1] - cbm, cl : cb.shape[2] - crr]
+        cr = cr[:, ct : cr.shape[1] - cbm, cl : cr.shape[2] - crr]
+    return y, cb, cr

@@ -89,6 +89,8 @@ def global_row_number(
     id_col: str = "row_id",
     num_partitions: int | None = None,
     start: int = 1,
+    n_rows_hint: int | None = None,
+    small_below: int = 2_000_000,
 ) -> DataFrame:
     """Assign consecutive global row ids (``start``, ``start``+1, ...)
     following the total order of *order_by*. The caller guarantees the
@@ -97,7 +99,18 @@ def global_row_number(
     Output: input columns + ``id_col`` (bigint). The result is lazy,
     deterministic under recomputation, and pins no executor storage
     (nothing is persisted or checkpointed — the round-3 retention leak
-    is gone by construction)."""
+    is gone by construction).
+
+    ``n_rows_hint``: caller-known row count (e.g. from parquet footer
+    statistics — ``sources.tables.table_rowcount``). When provided and
+    ≤ ``small_below``, the single-partition window plan is used
+    instead: below ~2M narrow rows, one sort task beats the two-phase
+    formulation's three jobs (count/min-max agg, bucket counting, the
+    range shuffle) — measured 1.16s → ~0.4s at 600k rows on local[32].
+    The hint routes the PLAN only; results are identical (the key is a
+    total order). Above the tier — and whenever the caller has no
+    cheap count — the scalable two-phase path runs, so nothing at
+    100-TB scale ever touches the single-partition window."""
     import pandas as pd  # noqa: F401 — mapInPandas batch type
 
     from pyspark.sql.types import NumericType
@@ -105,6 +118,14 @@ def global_row_number(
     cols = list(order_by)
     if _BUCKET in df.columns:
         raise ValueError(f"column name {_BUCKET!r} is reserved")
+    if n_rows_hint is not None and n_rows_hint <= small_below:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(*cols)
+        return df.withColumn(
+            id_col,
+            (F.row_number().over(w) + F.lit(start - 1)).cast("long"),
+        )
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
 

@@ -33,6 +33,32 @@ def test_start_offset_and_contiguity(spark):
     assert by_k[0] == 10 and by_k[99] == 109
 
 
+def test_small_tier_matches_two_phase(spark):
+    """n_rows_hint below the tier routes to the one-task window plan;
+    ids must be identical to the scalable formulation's."""
+    df = spark.range(0, 3000).select(
+        (F.col("id") * 7 % 3001).alias("k"), F.col("id").alias("payload")
+    )
+    small = order.global_row_number(
+        df, ["k"], n_rows_hint=3000, small_below=10_000
+    )
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in plan  # the window tier really ran
+    big = order.global_row_number(
+        df, ["k"], num_partitions=8, n_rows_hint=3000, small_below=100
+    )
+    assert "SinglePartition" not in big._jdf.queryExecution().executedPlan().toString()
+    sp = small.toPandas().sort_values("k").reset_index(drop=True)
+    bp = big.toPandas().sort_values("k").reset_index(drop=True)
+    assert sp[["k", "payload", "row_id"]].equals(bp[["k", "payload", "row_id"]])
+    # nullability differs (row_number is non-null, mapInPandas nullable)
+    # — names and types must agree; the driver's schema check compares
+    # pandas dtypes, which both plans produce identically
+    assert [(f.name, f.dataType) for f in small.schema.fields] == [
+        (f.name, f.dataType) for f in big.schema.fields
+    ]
+
+
 def test_empty_input(spark):
     df = spark.range(0, 0).select(F.col("id").alias("k"))
     assert order.global_row_number(df, ["k"]).count() == 0
