@@ -1978,3 +1978,99 @@ def q72(spark, sf):
         F.col("height").cast("int").alias("height"),
         "y_min", "y_max", "y_sum",
     )
+
+
+@register(
+    "q73_dup_window_spans",
+    # exact duplicated-substring audit (the windowed train-data
+    # substring-dedup signal): flag every 8-token window whose hash
+    # repeats anywhere in the corpus, report per doc the unioned span
+    # coverage. Window hashes are the engine-portable md5-60 form, so
+    # the FLAGS reproduce bit-for-bit in DuckDB, not just the counts.
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ), win AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ), cw AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM win
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT p) AS covered
+      FROM cw, UNNEST(generate_series(pos, pos + 7)) AS g(p)
+      WHERE c > 1 GROUP BY doc_id
+    ), wagg AS (
+      SELECT doc_id, count(*) AS nw,
+             sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dw
+      FROM cw GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_split_to_array(lower(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+           CAST(coalesce(w.nw, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(w.dw, 0) AS BIGINT) AS dup_windows,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens
+    FROM documents d
+    LEFT JOIN wagg w USING (doc_id)
+    LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def q73(spark, sf):
+    """Corpus-wide exact duplicated-span audit
+    (operators/corpus.duplicate_window_spans): tokenize, hash every
+    8-token window, one analytic count over the hash partitioning (no
+    count-table join), union flagged spans per document. The
+    distributed analogue of suffix-array substring dedup's
+    mark-duplicate-spans pass, at O(total windows) with no all-pairs
+    stage."""
+    doc = load_table(spark, sf, "documents")
+    return corpus.duplicate_window_spans(doc, "doc_id", "text", window_n=8)
+
+
+@register(
+    "q74_dsir_scores",
+    # DSIR-style importance score: per-doc Σ ln p_target − ln p_source
+    # under add-one-smoothed unigram LMs (target slice = lang 'en');
+    # the importance-resampling signal for domain-weighted pretraining
+    # mixes. ln() double on both engines, q71's rounding discipline.
+    """
+    WITH tok AS (
+      SELECT doc_id, tgt, t AS term FROM (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+               UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ), vocab AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS cs,
+             CAST(sum(tgt) AS DOUBLE) AS ct
+      FROM tok GROUP BY 1
+    ), tots AS (
+      SELECT CAST(sum(cs) AS DOUBLE) AS ns, CAST(sum(ct) AS DOUBLE) AS nt,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM vocab
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(ln((ct + 1) / (nt + v)) - ln((cs + 1) / (ns + v))), 4)
+               AS dsir_score
+    FROM tok JOIN vocab USING (term) CROSS JOIN tots
+    GROUP BY doc_id
+    """,
+)
+def q74(spark, sf):
+    """Importance-resampling data selection
+    (operators/ranking.dsir_scores): one tokenize pass computes BOTH
+    unigram LMs (target = lang 'en' slice via a conditional sum in the
+    same vocabulary agg), one broadcastable term join, one per-doc
+    agg. Same plan family as q71; the score ranks documents by
+    affinity to the target domain."""
+    from .operators import ranking
+
+    doc = load_table(spark, sf, "documents")
+    return ranking.dsir_scores(
+        doc, "doc_id", "text", F.col("lang") == "en"
+    ).select(F.col("id").alias("doc_id"), "n_tokens", "dsir_score")

@@ -463,6 +463,100 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def duplicate_window_spans(
+    df: DataFrame, id_col: str, text_col: str, window_n: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring audit, the windowed formulation of
+    "train-data substring dedup": hash every ``window_n``-token window,
+    flag windows whose hash occurs more than once ANYWHERE in the
+    corpus (any position, any document — including twice in the same
+    document), and report per document how much text the union of
+    flagged spans covers.
+
+    Output: ``doc_id, n_tokens, n_windows, dup_windows,
+    covered_tokens`` (covered = distinct token positions under at
+    least one duplicated window — overlapping spans are unioned, not
+    summed). Documents shorter than ``window_n`` tokens report zero
+    windows.
+
+    Scale shape: one tokenize pass; the corpus-wide occurrence count
+    is a single analytic window partitioned by the 60-bit window hash
+    (uniform key — one shuffle, no join against a count table); span
+    union is a partition-local explode + distinct keyed by doc. No
+    all-pairs stage anywhere — cost is O(total windows), and every
+    hash is the engine-portable md5-60 form, so the flags themselves
+    (not just aggregate counts) reproduce in any engine (q73 oracle).
+    """
+    from pyspark.sql import Window as W
+
+    n = window_n
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("t"),
+    )
+    win = (
+        toks.filter(F.size("t") >= n)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - n + 1)).alias("pos"),
+            F.col("t"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("pos"), n))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    flagged = win.withColumn(
+        "c", F.count(F.lit(1)).over(W.partitionBy("h"))
+    )
+    wagg = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum((F.col("c") > 1).cast("long")).alias("dup_windows"),
+    )
+    cov = (
+        flagged.filter(F.col("c") > 1)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        base.join(wagg, "id", "left")
+        .join(cov, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+    )
+
+
 def pii_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Typed PII detection + redaction, entirely native Column regex
     (JVM-side, whole-stage codegen — a pure map, no UDF, no shuffle):

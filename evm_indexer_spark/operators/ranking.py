@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -141,5 +141,55 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.sum(F.log(F.col("c") / F.col("n"))), 4).alias(
                 "logprob"
             ),
+        )
+    )
+
+
+def dsir_scores(
+    df: DataFrame, id_col: str, text_col: str, target: Column
+) -> DataFrame:
+    """Data-selection importance score (the DSIR recipe): per-document
+    Σ over tokens of ln p_target(t) − ln p_source(t), where the target
+    LM is the MLE unigram model of the rows *target* selects (a
+    boolean Column over *df*) and the source LM is the whole corpus's,
+    both add-one smoothed over the shared vocabulary. Documents that
+    look like the target slice score high — the standard
+    importance-resampling signal for domain-weighted pretraining
+    mixes. Returns (id, n_tokens, dsir_score) with the score rounded
+    to 4 places.
+
+    Scale shape: ONE tokenize+explode and ONE vocabulary agg computes
+    both models (the target count is a conditional sum in the same
+    map-side-combined pass — no second corpus scan), one (term)-keyed
+    join the optimizer broadcasts when the vocabulary is small, one
+    1-row totals broadcast, one per-doc agg. No UDFs; Column math
+    end-to-end, with an exact ANSI-SQL twin (q74)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        target.cast("int").alias("tgt"),
+        F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = tok.groupBy("term").agg(
+        F.count("*").cast("double").alias("cs"),
+        F.sum("tgt").cast("double").alias("ct"),
+    )
+    totals = vocab.agg(
+        F.sum("cs").alias("ns"),
+        F.sum("ct").alias("nt"),
+        F.count("*").cast("double").alias("v"),
+    )
+    return (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+                    - F.log((F.col("cs") + 1) / (F.col("ns") + F.col("v")))
+                ),
+                4,
+            ).alias("dsir_score"),
         )
     )

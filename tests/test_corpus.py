@@ -233,3 +233,56 @@ def test_pii_profile_is_pure_map(spark):
     plan = corpus.pii_profile(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: scan-throughput compliance pass
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestDuplicateWindowSpans:
+    def _run(self, spark, rows, n=8):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in corpus.duplicate_window_spans(
+                df, "doc_id", "text", window_n=n
+            ).collect()
+        }
+
+    def test_cross_document_duplicate_span(self, spark):
+        shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+        got = self._run(
+            spark,
+            [
+                (0, shared + " tail0 tail1"),
+                (1, "head1 " + shared),
+                (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+                (3, "short doc"),
+            ],
+        )
+        # doc0: 10 tokens -> 3 windows; only the window at pos 1 repeats
+        # (doc1 pos 2); covered = tokens 1..8
+        assert got[0]["n_tokens"] == 10 and got[0]["n_windows"] == 3
+        assert got[0]["dup_windows"] == 1 and got[0]["covered_tokens"] == 8
+        assert got[1]["dup_windows"] == 1 and got[1]["covered_tokens"] == 8
+        # doc2 unique, doc3 too short for any window
+        assert got[2]["dup_windows"] == 0 and got[2]["covered_tokens"] == 0
+        assert got[3]["n_windows"] == 0 and got[3]["n_tokens"] == 2
+
+    def test_intra_document_repeat_unions_overlaps(self, spark):
+        text = "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8"
+        got = self._run(spark, [(0, text)])
+        # 16 tokens -> 9 windows; pos 1 and pos 9 are identical -> both
+        # flagged; union of [1..8] and [9..16] covers every token
+        assert got[0]["n_windows"] == 9
+        assert got[0]["dup_windows"] == 2
+        assert got[0]["covered_tokens"] == 16
+
+    def test_overlapping_spans_are_not_double_counted(self, spark):
+        # doc0 repeats doc1's window twice with one-token offset: spans
+        # [1..8] and [2..9] overlap; union is 9 tokens, not 16
+        got = self._run(
+            spark,
+            [
+                (0, "a a a a a a a a a"),
+                (1, "a a a a a a a a"),
+            ],
+        )
+        assert got[0]["n_windows"] == 2 and got[0]["dup_windows"] == 2
+        assert got[0]["covered_tokens"] == 9

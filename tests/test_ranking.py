@@ -138,3 +138,47 @@ def test_unigram_logprob_skips_empty_tokens(spark):
     assert rows[1]["n_tokens"] == 2
     assert rows[1]["logprob"] == pytest.approx(0.0)  # ln(2/2)*2
     assert 2 not in rows  # all-whitespace doc contributes no tokens
+
+
+def test_dsir_scores_hand_computed(spark):
+    rows = [
+        (0, "spark shuffles data fast", "en"),
+        (1, "data data data everywhere", "en"),
+        (2, "ducks fly south", "de"),
+        (3, "fast data pipelines move fast", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["id"]: r
+        for r in ranking.dsir_scores(
+            df, "doc_id", "text", F.col("lang") == "en"
+        ).collect()
+    }
+    toks = [(t, lang) for _, s, lang in rows for t in s.lower().split()]
+    cs = {t: sum(1 for x, _ in toks if x == t) for t, _ in toks}
+    ct = {t: sum(1 for x, g in toks if x == t and g == "en") for t, _ in toks}
+    ns, nt, v = len(toks), sum(1 for _, g in toks if g == "en"), len(cs)
+    for did, s, _ in rows:
+        expect = sum(
+            math.log((ct[t] + 1) / (nt + v)) - math.log((cs[t] + 1) / (ns + v))
+            for t in s.lower().split()
+        )
+        assert got[did]["n_tokens"] == len(s.split())
+        assert got[did]["dsir_score"] == pytest.approx(round(expect, 4))
+    # a document made of target-slice tokens must outrank one that
+    # shares nothing with the target slice (per-token affinity)
+    assert (
+        got[1]["dsir_score"] / got[1]["n_tokens"]
+        > got[2]["dsir_score"] / got[2]["n_tokens"]
+    )
+
+
+def test_dsir_scores_empty_target_slice(spark):
+    # no row matches the target: every token's target count is 0 and the
+    # score is finite (add-one smoothing), never NaN/-inf
+    df = spark.createDataFrame(
+        [(0, "a b", "x"), (1, "b c", "y")], "doc_id long, text string, lang string"
+    )
+    rows = ranking.dsir_scores(df, "doc_id", "text", F.col("lang") == "zz").collect()
+    assert len(rows) == 2
+    assert all(math.isfinite(r["dsir_score"]) for r in rows)
