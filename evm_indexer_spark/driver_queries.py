@@ -81,7 +81,14 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
     # transport-only so the pandas dtypes line up for the driver's value
     # hash (DuckDB's .df() renders DECIMAL as float64, Spark as Decimal —
     # equal values, different hashes).
-    li = load_table(spark, sf, "lineitem")
+    from .operators.partitioning import spread_small_scan
+
+    # the driver parquet is one row group per table, so the scan is one
+    # task and the decimal partial agg runs serial (same starvation as
+    # q70); spreading parallelizes the partials — measured 0.88/0.96/1.03
+    # unspread vs 0.70/0.71/1.02 spread warm at sf0.1 (4 runs each).
+    # At real scale (many row groups) spread_small_scan is a no-op.
+    li = spread_small_scan(load_table(spark, sf, "lineitem"))
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
@@ -2056,7 +2063,7 @@ def q73(spark, sf):
     )
     SELECT doc_id, count(*) AS n_tokens,
            round(sum(ln((ct + 1) / (nt + v)) - ln((cs + 1) / (ns + v))), 4)
-               AS dsir_score
+               + 0.0 AS dsir_score
     FROM tok JOIN vocab USING (term) CROSS JOIN tots
     GROUP BY doc_id
     """,
@@ -2074,3 +2081,92 @@ def q74(spark, sf):
     return ranking.dsir_scores(
         doc, "doc_id", "text", F.col("lang") == "en"
     ).select(F.col("id").alias("doc_id"), "n_tokens", "dsir_score")
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Chained-stage SQL twin of the FULL BPE loop: stage i recomputes
+    weighted pair counts over the vocab reps, picks the argmax under
+    the same (count desc, left, right) total order, and folds the
+    merge with the same boundary-safe marker replace — then the learned
+    chain is applied to every document. Iterative training, still an
+    exact hash-checkable oracle (see operators/tokenizer.py)."""
+    parts = [
+        """
+    WITH wc AS (
+      SELECT w AS word, count(*) AS freq FROM (
+        SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents)
+      WHERE w <> '' GROUP BY 1
+    ), s0 AS (
+      SELECT chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g')
+                 AS rep,
+             freq
+      FROM wc
+    )"""
+    ]
+    for i in range(k):
+        parts.append(f"""
+    , p{i} AS (
+      SELECT t[i] AS l, t[i+1] AS r, sum(freq) AS cnt
+      FROM (SELECT string_split(rep, chr(1)) AS t, freq FROM s{i}),
+           UNNEST(generate_series(2, len(t) - 2)) AS u(i)
+      GROUP BY 1, 2
+    ), b{i} AS (
+      SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+    ), s{i + 1} AS (
+      SELECT replace(rep, chr(1) || l || chr(1) || r || chr(1),
+                     chr(1) || l || r || chr(1)) AS rep, freq
+      FROM s{i} CROSS JOIN b{i}
+    )""")
+    parts.append("""
+    , d0 AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), docs0 AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS n_words,
+             chr(1) || regexp_replace(norm, '(.)', '\\1' || chr(1), 'g')
+                 AS rep
+      FROM d0
+    )""")
+    for i in range(k):
+        parts.append(f"""
+    , docs{i + 1} AS (
+      SELECT doc_id, n_words,
+             replace(rep, chr(1) || l || chr(1) || r || chr(1),
+                     chr(1) || l || r || chr(1)) AS rep
+      FROM docs{i} CROSS JOIN b{i}
+    )""")
+    parts.append(f"""
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(CASE WHEN n_words = 0 THEN 0
+                     ELSE len(string_split(rep, chr(1))) - 2 - (n_words - 1)
+                END AS BIGINT) AS n_bpe_tokens
+    FROM docs{k}""")
+    return "".join(parts)
+
+
+@register(
+    "q75_bpe_tokenize",
+    # BPE is ITERATIVE (each merge depends on the corpus state after
+    # the previous one) — normally un-oracle-able. The marker-replace
+    # formulation makes the WHOLE loop exact SQL: 8 chained
+    # argmax+replace stages re-learn the merges inside DuckDB, then
+    # apply them to every document; any divergence anywhere in the
+    # loop (tokenization, pair weighting, tie-break, merge semantics,
+    # application) breaks the per-doc token-count hash.
+    _bpe_oracle_sql(8),
+)
+def q75(spark, sf):
+    """BPE tokenizer: train 8 merges over the corpus word-frequency
+    table (operators/tokenizer.bpe_train — one corpus-scale agg, then
+    vocab-sized argmax jobs), apply them to every document as a chain
+    of literal JVM ``replace`` Columns (no UDF, no shuffle), report
+    per-doc word and BPE-token counts."""
+    from .operators import tokenizer
+
+    doc = load_table(spark, sf, "documents")
+    merges = tokenizer.bpe_train(doc, "text", num_merges=8)
+    return tokenizer.bpe_token_counts(doc, "doc_id", "text", merges)

@@ -184,12 +184,18 @@ def dsir_scores(
         .groupBy("id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                F.sum(
-                    F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
-                    - F.log((F.col("cs") + 1) / (F.col("ns") + F.col("v")))
-                ),
-                4,
+            (
+                F.round(
+                    F.sum(
+                        F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+                        - F.log((F.col("cs") + 1) / (F.col("ns") + F.col("v")))
+                    ),
+                    4,
+                )
+                # + 0.0 canonicalizes IEEE negative zero (a score that
+                # rounds to zero came out -0.0 in DuckDB and 0.0 here;
+                # exact identity for every other value)
+                + F.lit(0.0)
             ).alias("dsir_score"),
         )
     )

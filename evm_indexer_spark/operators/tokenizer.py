@@ -1,0 +1,216 @@
+"""Byte-pair-encoding tokenizer training and application, oracled.
+
+BPE (the Sennrich et al. subword scheme, the core of GPT/Llama-family
+tokenizers) is an ITERATIVE algorithm — each merge decision depends on
+the corpus state after the previous one — which usually exiles it to
+"trust me" territory. Here both halves stay engine-exact:
+
+- **Training** runs the merge loop over the *word-frequency table*,
+  never the corpus: one corpus-scale tokenize+agg produces
+  ``(word, freq)``, then each of the K merge steps is a small Spark
+  job over that vocab-sized table (pair-count agg → deterministic
+  argmax with a (count desc, left, right) total-order tie-break →
+  one literal ``replace``). This is how production BPE trainers work
+  (they train from word counts); at 100 TB the only corpus-scale cost
+  is the first agg, and ``min_freq`` prunes the vocab tail.
+- **Application** is a chain of K literal ``replace`` Columns over a
+  marker-delimited character representation — pure JVM string ops in
+  whole-stage codegen, no UDF, no shuffle: a scan-throughput map.
+
+The marker representation makes single-pass replace semantics EXACT:
+a word is ``\\x01 c \\x01 c ... \\x01`` and merging pair (a, b) is
+``replace(rep, '\\x01a\\x01b\\x01', '\\x01ab\\x01')`` — boundary-safe
+(symbols are fully delimited) and leftmost-non-overlapping, which is
+precisely the classic BPE merge-all-occurrences pass (``'aaa'`` with
+merge ``(a, a)`` becomes ``('aa', 'a')``). DuckDB's ``replace`` has
+identical semantics, so BOTH training (as chained argmax/replace SQL
+stages) and application are expressible as an exact SQL oracle — the
+q75/q76 gate entries hash-check the full loop, not just row counts.
+
+No end-of-word marker variant: merges act within words only (the
+document representation separates words with a space symbol that can
+never appear inside a learned pair, so cross-word matches are
+impossible by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MARK = "\x01"  # symbol delimiter; control char, absent from real text
+
+
+def _check_text_clean(text: Column) -> Column:
+    """Guard: the marker char must not occur in input text."""
+    return F.when(
+        text.contains(MARK),
+        F.raise_error(F.lit("text contains the \\x01 marker byte")),
+    ).otherwise(text)
+
+
+def _word_rep(word: Column) -> Column:
+    """word -> marker-delimited characters: ``\\x01c\\x01c...\\x01``."""
+    return F.concat(F.lit(MARK), F.regexp_replace(word, "(.)", "$1" + MARK))
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over lowercased whitespace tokens — the ONLY
+    corpus-scale pass BPE training makes."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.lower(_check_text_clean(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 8,
+    min_freq: int = 1,
+) -> list[tuple[str, str, int]]:
+    """Learn *num_merges* BPE merges; returns ``[(left, right, count),
+    ...]`` in merge order.
+
+    Each iteration: explode adjacent symbol pairs from the vocab reps
+    (weighted by word freq), aggregate, take the (count desc, left,
+    right) minimum — a total order, so the winner is deterministic
+    across engines and runs — then fold the merge into the reps with
+    one literal ``replace``. The driver collects exactly one row per
+    iteration; every job runs over the persisted vocab table, whose
+    size is bounded by distinct-word count (``min_freq`` prunes it),
+    never by corpus size."""
+    wc = word_counts(df, text_col)
+    if min_freq > 1:
+        wc = wc.filter(F.col("freq") >= min_freq)
+    cur = wc.select(_word_rep(F.col("word")).alias("rep"), "freq").persist()
+    cur.count()  # materialize once; iterations reuse the cached vocab
+    first = cur
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(num_merges):
+            s = F.split("rep", MARK)  # ['', sym1, ..., symN, '']
+            ex = (
+                cur.select("freq", s.alias("s"))
+                .filter(F.size("s") >= 4)  # at least two symbols
+                .select(
+                    "freq",
+                    F.explode(
+                        F.sequence(F.lit(1), F.size("s") - 3)
+                    ).alias("i"),
+                    "s",
+                )
+            )
+            best = (
+                ex.select(
+                    F.col("s")[F.col("i")].alias("l"),
+                    F.col("s")[F.col("i") + 1].alias("r"),
+                    "freq",
+                )
+                .groupBy("l", "r")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+            merges.append((left, right, cnt))
+            cur = cur.select(
+                F.replace(
+                    F.col("rep"),
+                    F.lit(MARK + left + MARK + right + MARK),
+                    F.lit(MARK + left + right + MARK),
+                ).alias("rep"),
+                "freq",
+            )
+    finally:
+        first.unpersist()
+    return merges
+
+
+def apply_merges(rep: Column, merges: list[tuple[str, str, int]]) -> Column:
+    """Fold learned merges into a marker representation: a chain of
+    literal JVM ``replace`` Columns — whole-stage codegen, no UDF."""
+    for left, right, _ in merges:
+        rep = F.replace(
+            rep,
+            F.lit(MARK + left + MARK + right + MARK),
+            F.lit(MARK + left + right + MARK),
+        )
+    return rep
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+) -> DataFrame:
+    """Per-document BPE token count under the learned *merges*:
+    ``(doc_id, n_words, n_bpe_tokens)``.
+
+    The whole document becomes ONE marker representation (words
+    separated by a literal space symbol, which no merge can touch —
+    learned pairs never contain a space), the merge chain is applied,
+    and the token count is read off the symbol count minus the word
+    separators. Pure Column math: a no-shuffle scan map at any scale.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(_check_text_clean(F.col(text_col))), r"\s+", " ")
+    )
+    rep = apply_merges(_word_rep(norm), merges)
+    n_words = F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+    n_sym = F.greatest(F.size(F.split(rep, MARK)) - 2, F.lit(0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        # symbols = BPE tokens + (n_words - 1) space separators
+        F.when(norm == "", F.lit(0))
+        .otherwise(n_sym - (n_words - 1))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def bpe_train_reference(
+    texts: list[str], num_merges: int = 8, min_freq: int = 1
+) -> list[tuple[str, str, int]]:
+    """Transparent pure-Python twin of ``bpe_train`` for tests: same
+    tokenization, same single-pass merge semantics, same tie-break."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.lower().split() if w != "")
+    reps: dict[str, int] = {
+        MARK + MARK.join(w) + MARK: c for w, c in wc.items() if c >= min_freq
+    }
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for rep, c in reps.items():
+            syms = rep.split(MARK)[1:-1]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, cnt))
+        src = MARK + left + MARK + right + MARK
+        dst = MARK + left + right + MARK
+        new: dict[str, int] = {}
+        for rep, c in reps.items():
+            nr = rep.replace(src, dst)
+            new[nr] = new.get(nr, 0) + c
+        reps = new
+    return merges
