@@ -74,6 +74,7 @@ def bpe_train(
     text_col: str,
     num_merges: int = 8,
     min_freq: int = 1,
+    driver_below: int = 100_000,
 ) -> list[tuple[str, str, int]]:
     """Learn *num_merges* BPE merges; returns ``[(left, right, count),
     ...]`` in merge order.
@@ -85,10 +86,25 @@ def bpe_train(
     one literal ``replace``. The driver collects exactly one row per
     iteration; every job runs over the persisted vocab table, whose
     size is bounded by distinct-word count (``min_freq`` prunes it),
-    never by corpus size."""
+    never by corpus size.
+
+    Tier routing (the driver-union-find pattern from dedup
+    clustering): a ``limit(driver_below + 1)`` probe collects the
+    word-frequency table when it fits — if the probe returns ≤
+    ``driver_below`` rows it IS the complete vocab, and the merge loop
+    runs driver-side (bit-identical semantics, pinned by
+    test_tokenizer) for one Spark job total instead of one per merge
+    (~0.15s scheduling floor each on local[32]). A 100-TB corpus blows
+    past the probe and takes the distributed loop; either way the
+    corpus itself is only ever touched by the one word-count agg."""
     wc = word_counts(df, text_col)
     if min_freq > 1:
         wc = wc.filter(F.col("freq") >= min_freq)
+    probe = wc.limit(driver_below + 1).collect()
+    if len(probe) <= driver_below:
+        return _train_from_counts(
+            {r["word"]: int(r["freq"]) for r in probe}, num_merges
+        )
     cur = wc.select(_word_rep(F.col("word")).alias("rep"), "freq").persist()
     cur.count()  # materialize once; iterations reuse the cached vocab
     first = cur
@@ -182,17 +198,20 @@ def bpe_token_counts(
     )
 
 
-def bpe_train_reference(
-    texts: list[str], num_merges: int = 8, min_freq: int = 1
+def _train_from_counts(
+    wc: dict[str, int], num_merges: int
 ) -> list[tuple[str, str, int]]:
-    """Transparent pure-Python twin of ``bpe_train`` for tests: same
-    tokenization, same single-pass merge semantics, same tie-break."""
+    """Driver-side merge loop over a word-frequency table — the exact
+    semantics of the distributed loop (single-pass leftmost-
+    non-overlapping merge via the same marker replace, same
+    (count desc, left, right) tie-break), pinned equal by
+    test_tokenizer."""
     from collections import Counter
 
-    wc = Counter(w for t in texts for w in t.lower().split() if w != "")
-    reps: dict[str, int] = {
-        MARK + MARK.join(w) + MARK: c for w, c in wc.items() if c >= min_freq
-    }
+    reps: dict[str, int] = {}
+    for w, c in wc.items():
+        rep = MARK + MARK.join(w) + MARK
+        reps[rep] = reps.get(rep, 0) + c
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         pairs: Counter = Counter()
@@ -214,3 +233,16 @@ def bpe_train_reference(
             new[nr] = new.get(nr, 0) + c
         reps = new
     return merges
+
+
+def bpe_train_reference(
+    texts: list[str], num_merges: int = 8, min_freq: int = 1
+) -> list[tuple[str, str, int]]:
+    """Transparent pure-Python twin of ``bpe_train`` for tests: same
+    tokenization, same single-pass merge semantics, same tie-break."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.lower().split() if w != "")
+    return _train_from_counts(
+        {w: c for w, c in wc.items() if c >= min_freq}, num_merges
+    )

@@ -31,16 +31,22 @@ def _ref_token_count(text: str, merges) -> tuple[int, int]:
     return n_words, n_sym - (n_words - 1)
 
 
-def test_train_matches_reference_on_fixture_corpus(spark):
+def test_both_tiers_match_reference_on_fixture_corpus(spark):
     doc = load_table(spark, SF_DIR, "documents").limit(120)
     texts = [r["text"] for r in doc.select("text").collect()]
-    got = tokenizer.bpe_train(doc, "text", num_merges=10)
     ref = tokenizer.bpe_train_reference(texts, num_merges=10)
-    assert got == ref
+    # driver tier (the default at this vocab size)
+    assert tokenizer.bpe_train(doc, "text", num_merges=10) == ref
+    # distributed tier, forced — must be bit-identical (same pair
+    # weighting, same tie-break, same single-pass merge semantics)
+    assert (
+        tokenizer.bpe_train(doc, "text", num_merges=10, driver_below=0)
+        == ref
+    )
     # merges must be real merges: counts positive, non-increasing is NOT
     # required (a merge can create a more frequent pair), but each
     # winner must be reachable from the corpus alphabet
-    assert all(c > 0 for _, _, c in got)
+    assert all(c > 0 for _, _, c in ref)
 
 
 def test_token_counts_match_reference(spark):
