@@ -2170,3 +2170,71 @@ def q75(spark, sf):
     doc = load_table(spark, sf, "documents")
     merges = tokenizer.bpe_train(doc, "text", num_merges=8)
     return tokenizer.bpe_token_counts(doc, "doc_id", "text", merges)
+
+
+@register(
+    "q76_incremental_dup_windows",
+    # arrival-time substring-dedup correctness: the statistics the
+    # incremental pass must report when the upper-id half of the corpus
+    # arrives against an index of the lower half = exactly the q73
+    # batch truth restricted to arriving ids (hist_occ + batch_occ > 1
+    # ⟺ hist ≥ 1 ∨ batch ≥ 2 — see incremental_dup_window_stats)
+    """
+    WITH split AS (
+      SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS s FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ), win AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ), cw AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM win
+    ), cov AS (
+      SELECT doc_id, count(DISTINCT p) AS covered
+      FROM cw, UNNEST(generate_series(pos, pos + 7)) AS g(p)
+      WHERE c > 1 GROUP BY doc_id
+    ), wagg AS (
+      SELECT doc_id, count(*) AS nw,
+             sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dw
+      FROM cw GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_split_to_array(lower(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+           CAST(coalesce(w.nw, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(w.dw, 0) AS BIGINT) AS dup_windows,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens
+    FROM documents d
+    LEFT JOIN wagg w USING (doc_id)
+    LEFT JOIN cov c USING (doc_id)
+    WHERE d.doc_id >= (SELECT s FROM split)
+    """,
+)
+def q76(spark, sf):
+    """Substring-dedup-on-arrival: the lower-id half of the corpus is
+    the indexed history (the slim (h, occ) counters
+    ``streaming/dupwin_stream.WindowHashIndex`` persists), the upper
+    half arrives, and ``incremental_dup_window_stats`` reports each
+    arriving doc's duplicated-span statistics — O(batch windows), the
+    history text never re-tokenized. Corpus shape reads from parquet
+    footer statistics (zero plan-build jobs); a one-row aggregate
+    covers footerless sources."""
+    from .operators.corpus import _window_hashes, incremental_dup_window_stats
+
+    doc = load_table(spark, sf, "documents")
+    rng = table_column_range(sf, "documents", "doc_id")
+    if rng is None:
+        row = doc.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+        rng = (row.lo, row.hi)
+    split = (int(rng[0]) + int(rng[1]) + 1) // 2
+    hist = (
+        _window_hashes(doc.filter(F.col("doc_id") < split), "doc_id", "text", 8)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    batch = doc.filter(F.col("doc_id") >= split)
+    return incremental_dup_window_stats(batch, hist, "doc_id", "text", 8)

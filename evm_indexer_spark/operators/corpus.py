@@ -463,38 +463,16 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
-def duplicate_window_spans(
-    df: DataFrame, id_col: str, text_col: str, window_n: int = 8
+def _window_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Exact duplicated-substring audit, the windowed formulation of
-    "train-data substring dedup": hash every ``window_n``-token window,
-    flag windows whose hash occurs more than once ANYWHERE in the
-    corpus (any position, any document — including twice in the same
-    document), and report per document how much text the union of
-    flagged spans covers.
-
-    Output: ``doc_id, n_tokens, n_windows, dup_windows,
-    covered_tokens`` (covered = distinct token positions under at
-    least one duplicated window — overlapping spans are unioned, not
-    summed). Documents shorter than ``window_n`` tokens report zero
-    windows.
-
-    Scale shape: one tokenize pass; the corpus-wide occurrence count
-    is a single analytic window partitioned by the 60-bit window hash
-    (uniform key — one shuffle, no join against a count table); span
-    union is a partition-local explode + distinct keyed by doc. No
-    all-pairs stage anywhere — cost is O(total windows), and every
-    hash is the engine-portable md5-60 form, so the flags themselves
-    (not just aggregate counts) reproduce in any engine (q73 oracle).
-    """
-    from pyspark.sql import Window as W
-
-    n = window_n
+    """(id, pos, h) for every *n*-token window; h is the
+    engine-portable md5-60 hash of the space-joined window."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.split(F.lower(F.col(text_col)), r"\s+").alias("t"),
     )
-    win = (
+    return (
         toks.filter(F.size("t") >= n)
         .select(
             "id",
@@ -517,15 +495,23 @@ def duplicate_window_spans(
             .alias("h"),
         )
     )
-    flagged = win.withColumn(
-        "c", F.count(F.lit(1)).over(W.partitionBy("h"))
-    )
+
+
+def _span_stats(
+    df: DataFrame, id_col: str, text_col: str, flagged: DataFrame, n: int
+) -> DataFrame:
+    """Fold per-window dup flags into per-doc span statistics.
+
+    *flagged*: (id, pos, dup boolean) — one row per window of the docs
+    in *df*. Output: doc_id, n_tokens, n_windows, dup_windows,
+    covered_tokens (distinct token positions under ≥1 flagged window —
+    overlapping spans union, never sum)."""
     wagg = flagged.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_windows"),
-        F.sum((F.col("c") > 1).cast("long")).alias("dup_windows"),
+        F.sum(F.col("dup").cast("long")).alias("dup_windows"),
     )
     cov = (
-        flagged.filter(F.col("c") > 1)
+        flagged.filter("dup")
         .select(
             "id",
             F.explode(
@@ -555,6 +541,81 @@ def duplicate_window_spans(
             .alias("covered_tokens"),
         )
     )
+
+
+def duplicate_window_spans(
+    df: DataFrame, id_col: str, text_col: str, window_n: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring audit, the windowed formulation of
+    "train-data substring dedup": hash every ``window_n``-token window,
+    flag windows whose hash occurs more than once ANYWHERE in the
+    corpus (any position, any document — including twice in the same
+    document), and report per document how much text the union of
+    flagged spans covers.
+
+    Output: ``doc_id, n_tokens, n_windows, dup_windows,
+    covered_tokens`` (covered = distinct token positions under at
+    least one duplicated window — overlapping spans are unioned, not
+    summed). Documents shorter than ``window_n`` tokens report zero
+    windows.
+
+    Scale shape: one tokenize pass; the corpus-wide occurrence count
+    is a single analytic window partitioned by the 60-bit window hash
+    (uniform key — one shuffle, no join against a count table); span
+    union is a partition-local explode + distinct keyed by doc. No
+    all-pairs stage anywhere — cost is O(total windows), and every
+    hash is the engine-portable md5-60 form, so the flags themselves
+    (not just aggregate counts) reproduce in any engine (q73 oracle).
+    """
+    from pyspark.sql import Window as W
+
+    win = _window_hashes(df, id_col, text_col, window_n)
+    flagged = win.select(
+        "id",
+        "pos",
+        (F.count(F.lit(1)).over(W.partitionBy("h")) > 1).alias("dup"),
+    )
+    return _span_stats(df, id_col, text_col, flagged, window_n)
+
+
+def incremental_dup_window_stats(
+    batch: DataFrame,
+    history_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_n: int = 8,
+) -> DataFrame:
+    """Duplicated-span statistics for ARRIVING documents only: a window
+    of a batch doc is flagged iff its hash already occurs in the
+    history index (``history_hashes``: (h, occ) rows, the
+    ``streaming/dupwin_stream.WindowHashIndex`` layout) or at least
+    twice within the batch itself — exactly the flags the batch
+    operator would assign after the arrival, restricted to the batch
+    (hist_occ + batch_occ > 1 ⟺ hist_occ ≥ 1 ∨ batch_occ ≥ 2, since
+    the window exists in the batch). The q76 oracle exploits that
+    identity: DuckDB recomputes the FULL-corpus batch truth and
+    restricts it to arriving ids.
+
+    Cost is O(batch windows): one window pass over the batch, one
+    analytic count, one hash equi-join against the slim (h, occ)
+    index — the history text is never re-tokenized. Same
+    O(batch)-not-O(corpus) shape as dedup/audit-on-arrival."""
+    from pyspark.sql import Window as W
+
+    win = _window_hashes(batch, id_col, text_col, window_n)
+    hist = history_hashes.groupBy("h").agg(F.sum("occ").alias("hist_occ"))
+    flagged = (
+        win.withColumn("bc", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .join(hist, "h", "left")
+        .select(
+            "id",
+            "pos",
+            (
+                F.coalesce(F.col("hist_occ"), F.lit(0)) + F.col("bc") > 1
+            ).alias("dup"),
+        )
+    )
+    return _span_stats(batch, id_col, text_col, flagged, window_n)
 
 
 def pii_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1,0 +1,151 @@
+"""Substring-dedup-on-arrival: arrival-time span statistics must equal
+the batch operator's verdict on the same corpus prefix, the id guard
+must stop cross-epoch re-arrival, and compaction must bound the store
+without changing its sums."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.operators.corpus import duplicate_window_spans
+from evm_indexer_spark.streaming.dupwin_stream import (
+    WindowHashIndex,
+    start_dupwin_stream,
+)
+
+N = 4  # short windows so the tiny fixture corpus has real duplicates
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta"),
+    (1, "prefix alpha beta gamma delta suffix"),
+    (2, "totally unrelated words in this one"),
+    (3, "alpha beta gamma delta epsilon zeta again"),
+    (4, "more totally unrelated words in this one"),
+]
+
+
+def _land(path, rows, name):
+    with open(os.path.join(path, name), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _batch_truth(spark, rows, only_ids):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_window_spans(df, "doc_id", "text", window_n=N)
+    return {
+        r["doc_id"]: tuple(r)
+        for r in out.collect()
+        if r["doc_id"] in only_ids
+    }
+
+
+def _run(spark, landing, index, ckpt, sink):
+    q = start_dupwin_stream(
+        spark, landing, index, ckpt,
+        on_stats=lambda rows, epoch: sink.append((rows, epoch)),
+    )
+    q.awaitTermination(120)
+
+
+def test_arrival_stats_equal_batch_truth_per_prefix(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    index = WindowHashIndex(spark, str(tmp_path / "idx"), window_n=N)
+    sink: list = []
+
+    legs = [DOCS[:2], DOCS[2:4], DOCS[4:]]
+    landed: list = []
+    for i, leg in enumerate(legs):
+        landed.extend(leg)
+        _land(str(landing), leg, f"b{i}.json")
+        sink.clear()
+        _run(spark, str(landing), index, ckpt, sink)
+        got = {
+            r["doc_id"]: (
+                r["doc_id"], r["n_tokens"], r["n_windows"],
+                r["dup_windows"], r["covered_tokens"],
+            )
+            for rows, _ in sink
+            for r in rows
+        }
+        # the arriving docs' stats must equal the BATCH operator run on
+        # the full corpus-so-far, restricted to the arrivals
+        want = _batch_truth(spark, landed, {d for d, _ in leg})
+        assert got == want, f"prefix {i} diverged"
+
+    # doc 1 shares the 4-gram span 'alpha beta gamma delta' with doc 0
+    # (landed in the same epoch): batch-internal duplication must count
+    assert _batch_truth(spark, DOCS[:2], {1})[1][3] > 0
+
+
+def test_cross_epoch_rearrival_is_ignored(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    index = WindowHashIndex(spark, str(tmp_path / "idx"), window_n=N)
+    sink: list = []
+    _land(str(landing), DOCS[:2], "b0.json")
+    _run(spark, str(landing), index, ckpt, sink)
+    before = {
+        r["h"]: r["occ"]
+        for r in index.hashes().groupBy("h").agg(F.sum("occ").alias("occ")).collect()
+    }
+    # the same ids re-arrive in a LATER file (mutated text): the guard
+    # must drop them — counters unchanged, no stats reported
+    sink.clear()
+    _land(str(landing), [(0, "mutated text entirely"), (1, "same here")], "b1.json")
+    _run(spark, str(landing), index, ckpt, sink)
+    assert sink == []
+    after = {
+        r["h"]: r["occ"]
+        for r in index.hashes().groupBy("h").agg(F.sum("occ").alias("occ")).collect()
+    }
+    assert after == before
+
+
+def test_compaction_bounds_dirs_and_preserves_sums(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    index = WindowHashIndex(spark, str(tmp_path / "idx"), window_n=N)
+    sink: list = []
+    for i, leg in enumerate([DOCS[:2], DOCS[2:4], DOCS[4:]]):
+        _land(str(landing), leg, f"b{i}.json")
+        _run(spark, str(landing), index, ckpt, sink)
+    before = sorted(
+        tuple(r)
+        for r in index.hashes().groupBy("h").agg(F.sum("occ").alias("occ")).collect()
+    )
+    assert index.compact() == 3
+    after = sorted(
+        tuple(r)
+        for r in index.hashes().groupBy("h").agg(F.sum("occ").alias("occ")).collect()
+    )
+    assert after == before
+    # a second compact has a single base dir left: nothing to fold
+    assert index.compact() == 0
+    # stats against the compacted index still match the batch truth
+    arrivals = [(9, "alpha beta gamma delta fresh arrival")]
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in index.stats_for(
+            spark.createDataFrame(arrivals, ["doc_id", "text"]),
+            "doc_id", "text",
+        ).collect()
+    }
+    want = _batch_truth(spark, DOCS + arrivals, {9})
+    assert got == want
+
+
+def test_window_n_marker_is_immutable(spark, tmp_path):
+    WindowHashIndex(spark, str(tmp_path / "idx"), window_n=4)
+    with pytest.raises(ValueError, match="parameters"):
+        WindowHashIndex(spark, str(tmp_path / "idx"), window_n=8)
+    with pytest.raises(ValueError, match="window_n"):
+        WindowHashIndex(spark, str(tmp_path / "idx2"), window_n=0)
