@@ -2238,3 +2238,121 @@ def q76(spark, sf):
     )
     batch = doc.filter(F.col("doc_id") >= split)
     return incremental_dup_window_stats(batch, hist, "doc_id", "text", 8)
+
+
+def _kmeans_oracle_sql(iters: int, dims: int, scale: int, tau: float) -> str:
+    """Chained-stage SQL twin of the FULL deterministic-Lloyd loop
+    (see similarity.kmeans_grid): stage i assigns every vector to the
+    nearest integer-grid centroid (exact integer distances, argmin
+    tie-broken on cluster index) and re-quantizes the centroids with
+    the same exact-integer half-away-from-zero mean — then SemDeDup's
+    within-cluster lower-id cosine rule marks drops. Iterative
+    clustering, still hash-checkable (the q75 BPE strategy)."""
+    head = f"""
+    WITH corpus AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_concat([CAST(embedding[1] AS DOUBLE) + 0.01],
+                         CAST(embedding AS DOUBLE[])[2:])
+      FROM embeddings
+    ), qv AS (
+      SELECT id, v,
+             list_transform(v, x -> CAST(round(x * {scale}) AS BIGINT)) AS q
+      FROM corpus
+    ), c0 AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+                 AS j,
+             q
+      FROM qv
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)
+                  <= (SELECT greatest(8, count(*) // 500) FROM qv)
+    )"""
+    parts = [head]
+    for i in range(iters + 1):
+        parts.append(f"""
+    , d{i} AS (
+      SELECT v.id, c.j,
+             (SELECT sum((v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))
+              FROM generate_series(1, {dims}) g(i)) AS dist
+      FROM qv v CROSS JOIN c{i} c
+    ), a{i} AS (
+      SELECT id, j AS cluster FROM (
+        SELECT id, j,
+               row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rn
+        FROM d{i})
+      WHERE rn = 1
+    )""")
+        if i == iters:
+            break
+        parts.append(f"""
+    , m{i} AS (
+      SELECT a.cluster, g.i AS d, sum(v.q[g.i]) AS s, count(*) AS n
+      FROM a{i} a JOIN qv v USING (id), generate_series(1, {dims}) g(i)
+      GROUP BY 1, 2
+    ), n{i} AS (
+      SELECT cluster AS j,
+             list(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                       ELSE -((2 * (-s) + n) // (2 * n)) END
+                  ORDER BY d) AS q
+      FROM m{i} GROUP BY 1
+    ), c{i + 1} AS (
+      SELECT c.j, coalesce(n.q, c.q) AS q
+      FROM c{i} c LEFT JOIN n{i} n USING (j)
+    )""")
+    parts.append(f"""
+    , drops AS (
+      SELECT DISTINCT a.id
+      FROM a{iters} a JOIN a{iters} b
+        ON a.cluster = b.cluster AND b.id < a.id
+      JOIN qv va ON va.id = a.id
+      JOIN qv vb ON vb.id = b.id
+      WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= {tau}
+    )
+    SELECT a.id, CAST(a.cluster AS INT) AS cluster,
+           (a.id IN (SELECT id FROM drops)) AS is_dropped
+    FROM a{iters} a""")
+    return "".join(parts)
+
+
+@register(
+    "q77_semantic_dedup",
+    # SemDeDup over a corpus with planted near-twins: deterministic
+    # integer-grid Lloyd k-means (every distance an exact integer,
+    # centroid updates exact-integer rounding, md5-ordered seeds) so
+    # the FULL iterative clustering reproduces in SQL, then the
+    # within-cluster lower-id cosine rule marks drops. Any divergence
+    # in seeding, assignment, tie-break, centroid math, or the dedup
+    # rule breaks the hash.
+    _kmeans_oracle_sql(iters=2, dims=64, scale=1000, tau=0.95),
+)
+def q77(spark, sf):
+    """Semantic dedup (the SemDeDup recipe): cluster the embedding
+    space with the oracle-exact grid k-means
+    (similarity.kmeans_grid), drop within each cluster every member
+    with a lower-id neighbor above cosine 0.95. The perturbed-twin
+    corpus construction is q35's — every vector gets a planted
+    ~0.9999-cosine twin, so the drop set is non-trivial and the
+    clustering must co-locate twins to find them."""
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = emb.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(
+            F.array(F.get(F.col("v"), 0) + F.lit(0.01)),
+            F.slice(F.col("v"), 2, 1000000),
+        ).alias("v"),
+    )
+    corpus = emb.unionByName(perturbed)
+    # k scales with the corpus (bounding the within-cluster quadratic
+    # term), computed identically in the oracle: greatest(8, n // 500).
+    # Footer row count -> zero plan-build jobs; agg fallback otherwise.
+    n = table_rowcount(sf, "embeddings")
+    if n is None:
+        n = emb.count()
+    k = max(8, (2 * n) // 500)
+    return similarity.semantic_dedup(
+        corpus, "id", "v", k=k, iters=2, scale=1000, threshold=0.95
+    )

@@ -472,3 +472,159 @@ def ivf_load(spark, path: str):
     with open(os.path.join(path, "centroids.json")) as f:
         centroids = json.load(f)
     return assigned, centroids
+
+
+# -- deterministic clustering + semantic dedup --------------------------------
+
+
+def _grid_assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Assign each (id, q) row to the nearest integer-grid centroid.
+
+    Distances are pure INTEGER sums of squared per-dim deltas — exact,
+    association-order-free, bit-identical in any engine — computed as
+    one int64 numpy broadcast per Arrow batch (the interpreted
+    ``aggregate``-fold form measured ~50× slower on the within-cluster
+    stage; same escape hatch as ``cosine_scores_batch``). ``argmin``
+    returns the FIRST minimum, which is exactly the (distance, index)
+    lexicographic tie-break the SQL twin uses."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(centroids, dtype=np.int64)  # k × dim
+
+    @pandas_udf("int")
+    def nearest(qs: pd.Series) -> pd.Series:
+        m = np.array(qs.tolist(), dtype=np.int64)  # batch × dim
+        # (batch × k): exact int64 squared distances
+        d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return df.withColumn("cluster", nearest(F.col("q")))
+
+
+def kmeans_grid(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Lloyd k-means on an integer grid, deterministic to the bit in
+    any engine: vectors quantize to ``round(x·scale)`` longs, the k
+    seeds are the rows with the smallest ``md5(id)`` (engine-portable
+    order), every distance is an exact integer, the argmin tie-breaks
+    on cluster index, and updated centroids re-quantize to the grid
+    via exact-integer half-away-from-zero rounding of sum/count (no
+    float ever enters the training loop; the SQL oracle uses the same
+    integer formula). A cluster that loses all members keeps its
+    previous centroid.
+
+    This is the ORACLE-EXACT clustering twin of ``ivf_build``'s
+    pyspark.ml KMeans (whose result is engine-private): same Lloyd
+    structure, every decision reproducible in SQL — the q77 gate
+    hash-checks the full iteration, like q75 does for BPE training.
+    Returns (id, cluster).
+
+    Scale shape: per iteration ONE corpus pass for assignment (plan-
+    literal centroids, no join) and one k×dim-bounded aggregate; the
+    driver only ever holds k×dim longs. ``iters`` is a fixed constant,
+    so the whole loop is O(iters · corpus)."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("id"), q.alias("q"))
+    seeds = (
+        base.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r["q"]) for r in seeds]
+    for _ in range(iters):
+        assigned = _grid_assign(base, cents)
+        rows = (
+            assigned.select("cluster", F.posexplode("q").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in rows:
+            s, n = int(r["s"]), int(r["n"])
+            # half-away-from-zero rounding of s/n in EXACT integer
+            # arithmetic — Python round() is banker's and float
+            # division risks a ulp flip; the SQL oracle uses the same
+            # integer formula, so training never touches a float
+            mag = (2 * abs(s) + n) // (2 * n)
+            by_cluster.setdefault(r["cluster"], {})[r["d"]] = (
+                mag if s >= 0 else -mag
+            )
+        cents = [
+            [by_cluster[j][d] for d in sorted(by_cluster[j])]
+            if j in by_cluster
+            else cents[j]  # empty cluster keeps its centroid
+            for j in range(len(cents))
+        ]
+    return _grid_assign(base, cents).select("id", "cluster")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    threshold: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup: cluster the embedding space, then drop within each
+    cluster every member that has a LOWER-id neighbor above the cosine
+    *threshold* — the cluster bounds the quadratic term, so the
+    pairwise pass is per-cluster, never corpus-wide. Returns
+    ``(id, cluster, is_dropped)`` for every input row.
+
+    Cosine runs in double over the ORIGINAL vectors in dimension order
+    (``zip_with``+``aggregate``, the q33-proven engine-exact form) and
+    is rounded before the threshold compare, so the keep/drop decision
+    is reproducible in SQL (q77)."""
+    from pyspark.sql import Window as W
+
+    assigned = kmeans_grid(df, id_col, vec_col, k, iters, scale)
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    members = assigned.join(vecs, "id")
+
+    # Per-cluster blocked matmul inside ONE applyInPandas task per
+    # cluster: an explicit pair join materialized |cluster|²/2 rows of
+    # paired 64-dim arrays through Arrow (~1 GB at sf0.1, 8s); here
+    # only (id, cluster, vec) rows cross, the cosine matrix never
+    # leaves numpy, and row-blocking bounds the working set. The drop
+    # rule is order-free (any lower-id neighbor ≥ threshold), so
+    # within-task evaluation is exact.
+    def _drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        nm = m / norms[:, None]
+        dropped = np.zeros(len(pdf), dtype=bool)
+        block = 1024
+        for lo in range(1, len(pdf), block):
+            hi = min(lo + block, len(pdf))
+            s = np.round(nm[lo:hi] @ nm[:hi].T, round_digits)
+            for r in range(lo, hi):
+                dropped[r] = bool((s[r - lo, :r] >= threshold).any())
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster": pdf["cluster"],
+                "is_dropped": dropped,
+            }
+        )
+
+    return members.groupBy("cluster").applyInPandas(
+        _drops, schema="id long, cluster int, is_dropped boolean"
+    )

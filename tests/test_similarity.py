@@ -125,3 +125,106 @@ def test_embedding_near_dup_no_natural_pairs(emb):
         emb, "vec_id", "embedding", min_cosine=0.8
     )
     assert out.count() == 0
+
+
+# -- deterministic grid k-means + SemDeDup -----------------------------------
+
+
+def _kmeans_reference(vecs: dict[int, list[float]], k, iters, scale=1000):
+    """Pure-Python twin of similarity.kmeans_grid (same quantization,
+    md5 seed order, integer distances, first-min tie-break, exact
+    integer centroid rounding, empty-cluster carry-over)."""
+    import hashlib
+
+    def q(v):
+        # numpy round is banker's at .5; the engines round half away —
+        # mirror the engine rule exactly
+        out = []
+        for x in v:
+            m = float(x) * scale
+            import math
+            out.append(int(math.floor(m + 0.5)) if m >= 0 else -int(math.floor(-m + 0.5)))
+        return out
+
+    qv = {i: q(v) for i, v in vecs.items()}
+    order = sorted(qv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [list(qv[i]) for i in order[:k]]
+
+    def assign():
+        a = {}
+        for i, v in qv.items():
+            best = min(
+                (sum((x - c[d]) ** 2 for d, x in enumerate(v)), j)
+                for j, c in enumerate(cents)
+            )
+            a[i] = best[1]
+        return a
+
+    for _ in range(iters):
+        a = assign()
+        for j in range(len(cents)):
+            members = [qv[i] for i in a if a[i] == j]
+            if not members:
+                continue
+            n = len(members)
+            new = []
+            for d in range(len(cents[j])):
+                s = sum(m[d] for m in members)
+                mag = (2 * abs(s) + n) // (2 * n)
+                new.append(mag if s >= 0 else -mag)
+            cents[j] = new
+    return assign()
+
+
+def test_kmeans_grid_matches_reference(spark, emb):
+    sample = emb.limit(120)
+    got = {
+        r["id"]: r["cluster"]
+        for r in similarity.kmeans_grid(
+            sample, "vec_id", "embedding", k=5, iters=2
+        ).collect()
+    }
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in sample.collect()}
+    assert got == _kmeans_reference(vecs, k=5, iters=2)
+
+
+def test_kmeans_grid_deterministic_across_runs(spark, emb):
+    a = similarity.kmeans_grid(emb, "vec_id", "embedding", k=8, iters=2)
+    b = similarity.kmeans_grid(emb, "vec_id", "embedding", k=8, iters=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_more_clusters_than_rows(spark):
+    rows = [(i, [float(i), 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kmeans_grid(df, "vec_id", "embedding", k=8, iters=2)
+    assert out.count() == 3  # empty seeds keep their centroids; no crash
+
+
+def test_semantic_dedup_drops_planted_twins(spark, emb):
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = base.select(
+        (F.col("id") + 10_000).alias("id"),
+        F.concat(
+            F.array(F.get("v", 0) + F.lit(0.01)), F.slice("v", 2, 10_000)
+        ).alias("v"),
+    )
+    out = similarity.semantic_dedup(
+        base.unionByName(twins), "id", "v", k=8, iters=2, threshold=0.95
+    ).collect()
+    n = base.count()
+    by_id = {r["id"]: r for r in out}
+    assert len(out) == 2 * n
+    # no original is ever dropped (its twin has the HIGHER id)
+    assert not any(by_id[i]["is_dropped"] for i in by_id if i < 10_000)
+    dropped_twins = sum(1 for i in by_id if i >= 10_000 and by_id[i]["is_dropped"])
+    # a twin survives only by straddling a cluster boundary — rare
+    assert dropped_twins >= 0.95 * n
+    # every dropped twin sits in its original's cluster (the rule is
+    # within-cluster only)
+    for i in by_id:
+        if i >= 10_000 and by_id[i]["is_dropped"]:
+            assert by_id[i]["cluster"] == by_id[i - 10_000]["cluster"]
