@@ -2256,10 +2256,18 @@ def _kmeans_oracle_sql(iters: int, dims: int, scale: int, tau: float) -> str:
              list_concat([CAST(embedding[1] AS DOUBLE) + 0.01],
                          CAST(embedding AS DOUBLE[])[2:])
       FROM embeddings
-    ), qv AS (
+    ), qv0 AS (
       SELECT id, v,
              list_transform(v, x -> CAST(round(x * {scale}) AS BIGINT)) AS q
       FROM corpus
+    ), qv AS (
+      -- |q|^2 precomputed: dist = |q|^2 - 2 q.c + |c|^2 keeps every
+      -- stage a vectorized list_inner_product (exact: all integer
+      -- values stay far below 2^53, so the double sums are exact) --
+      -- the correlated per-dim subquery form blew past 100 GB at sf1
+      SELECT id, v, q,
+             CAST(list_inner_product(q, q) AS BIGINT) AS qq
+      FROM qv0
     ), c0 AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
                  AS j,
@@ -2273,8 +2281,8 @@ def _kmeans_oracle_sql(iters: int, dims: int, scale: int, tau: float) -> str:
         parts.append(f"""
     , d{i} AS (
       SELECT v.id, c.j,
-             (SELECT sum((v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))
-              FROM generate_series(1, {dims}) g(i)) AS dist
+             CAST(v.qq - 2 * list_inner_product(v.q, c.q)
+                  + list_inner_product(c.q, c.q) AS BIGINT) AS dist
       FROM qv v CROSS JOIN c{i} c
     ), a{i} AS (
       SELECT id, j AS cluster FROM (

@@ -494,9 +494,16 @@ def _grid_assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     @pandas_udf("int")
     def nearest(qs: pd.Series) -> pd.Series:
         m = np.array(qs.tolist(), dtype=np.int64)  # batch × dim
-        # (batch × k): exact int64 squared distances
-        d = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+        out = np.empty(len(m), dtype=np.int32)
+        # row-block the (rows × k × dim) broadcast: a 10k-row Arrow
+        # batch against k=160 centroids would allocate ~800 MB of int64
+        # temporaries per task — 512 rows bounds it to ~25 MB
+        block = 512
+        for lo in range(0, len(m), block):
+            hi = min(lo + block, len(m))
+            d = ((m[lo:hi, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            out[lo:hi] = d.argmin(axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return df.withColumn("cluster", nearest(F.col("q")))
 
