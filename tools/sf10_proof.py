@@ -442,7 +442,7 @@ def main() -> None:
             "incremental_equals_batch_restricted": diff == 0,
             "index_build_secs": round(index_secs, 2),
             "incremental_secs": round(inc_secs, 2),
-            "note": "incremental pass hashes ONLY the 1%% arrival and "
+            "note": "incremental pass hashes ONLY the 1% arrival and "
             "joins slim (h,occ) counters; batch truth recomputed for "
             "the equality check only",
         }
