@@ -1769,7 +1769,9 @@ def q68(spark, sf):
 
     # codec work is CPU-bound Arrow map work; a single-row-group scan
     # would serialize it (same starvation fix as q27/q28/q65)
-    doc = spread_small_scan(load_table(spark, sf, "documents"))
+    # only doc_id feeds the synthesizer: project BEFORE the spread so
+    # the repartition ships 8-byte ids, not full document text
+    doc = spread_small_scan(load_table(spark, sf, "documents").select("doc_id"))
     media = multimodal.synthesize_jpeg(doc, width=32, height=24, quality=100)
     return multimodal.image_pixel_extremes(media).select(
         "doc_id",
@@ -1810,7 +1812,7 @@ def q69(spark, sf):
     Beyond-reference multimodal family."""
     from .operators.partitioning import spread_small_scan
 
-    doc = spread_small_scan(load_table(spark, sf, "documents"))
+    doc = spread_small_scan(load_table(spark, sf, "documents").select("doc_id"))
     media = multimodal.synthesize_flac(doc, n_samples=2048, sample_rate=16_000)
     return multimodal.flac_features(media).select(
         "doc_id",
@@ -1976,7 +1978,7 @@ def q72(spark, sf):
     stub; motion-compensated profiles remain a native-codec job)."""
     from .operators.partitioning import spread_small_scan
 
-    doc = spread_small_scan(load_table(spark, sf, "documents"))
+    doc = spread_small_scan(load_table(spark, sf, "documents").select("doc_id"))
     media = multimodal.synthesize_h264(doc, width=32, height=16, n_frames=2)
     return multimodal.h264_frame_features(media).select(
         "doc_id",

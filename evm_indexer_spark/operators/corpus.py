@@ -505,22 +505,27 @@ def _span_stats(
     *flagged*: (id, pos, dup boolean) — one row per window of the docs
     in *df*. Output: doc_id, n_tokens, n_windows, dup_windows,
     covered_tokens (distinct token positions under ≥1 flagged window —
-    overlapping spans union, never sum)."""
+    overlapping spans union, never sum).
+
+    The union length is computed by interval merging over the sorted
+    span starts — every span has length *n* and starts are unique per
+    doc, so ``Σ min(n, next_pos − pos) + n(last)`` equals the distinct
+    covered-position count. One id-partitioned window replaces the
+    earlier explode(n positions)+distinct, shrinking the covered-span
+    shuffle by n× (8× here; at sf10 that explode carried 190M rows)."""
+    from pyspark.sql import Window as W
+
     wagg = flagged.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.col("dup").cast("long")).alias("dup_windows"),
     )
+    nxt = F.lead("pos").over(W.partitionBy("id").orderBy("pos"))
     cov = (
         flagged.filter("dup")
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("p"),
-        )
-        .distinct()
+        .select("id", "pos")
+        .withColumn("seg", F.coalesce(F.least(F.lit(n), nxt - F.col("pos")), F.lit(n)))
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+        .agg(F.sum("seg").cast("long").alias("covered_tokens"))
     )
     base = df.select(
         F.col(id_col).alias("id"),
