@@ -2366,3 +2366,40 @@ def q77(spark, sf):
     return similarity.semantic_dedup(
         corpus, "id", "v", k=k, iters=2, scale=1000, threshold=0.95
     )
+
+
+@register(
+    "q78_token_budget_mix",
+    # token-budget-exact mixing: per language, select documents in
+    # md5 order while the cumulative token count fits half the
+    # domain's tokens — budgets in TOKENS (how pretraining mixes are
+    # specified), selection reproducible in any engine
+    """
+    WITH base AS (
+      SELECT doc_id, lang AS domain,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, domain, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS cum
+      FROM base
+    ), tot AS (
+      SELECT domain, CAST(floor(sum(n_tokens) * 0.5) AS BIGINT) AS budget
+      FROM base GROUP BY 1
+    )
+    SELECT c.doc_id, c.domain, c.n_tokens,
+           (c.cum <= t.budget) AS selected
+    FROM cum c JOIN tot t USING (domain)
+    """,
+)
+def q78(spark, sf):
+    """Token-budget data mixing (corpus.token_budget_sample): per-lang
+    hash-order walk selecting documents until half the domain's token
+    mass is reached. One tokenize pass, one per-domain window cumsum,
+    one broadcast totals join — no collect, no iteration."""
+    doc = load_table(spark, sf, "documents")
+    return corpus.token_budget_sample(doc, "doc_id", "text", "lang", frac=0.5)

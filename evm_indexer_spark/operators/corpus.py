@@ -642,3 +642,57 @@ def pii_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         red = F.regexp_replace(red, pat, repl)
     cols.append(red.alias("redacted"))
     return df.select(*cols)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    frac: float = 0.5,
+) -> DataFrame:
+    """Token-budget-exact data mixing: within each domain, walk the
+    documents in engine-portable hash order (md5(id), id) and select
+    while the running token count stays within ``frac`` of the
+    domain's total tokens — the mixing primitive that targets TOKEN
+    budgets, which is what pretraining mixes are actually specified
+    in, rather than document-count percentages (``stratified_sample``).
+
+    Output: (doc_id, domain, n_tokens, selected) for every input row.
+    Deterministic in any engine: the order key is md5, the budget is
+    ``floor(frac · Σ tokens)`` per domain, and a document is selected
+    iff its cumulative sum (inclusive) fits the budget — the q78
+    oracle recomputes the same walk in SQL window functions.
+
+    Scale shape: one tokenize-count pass, one per-domain window
+    cumsum (domains partition the shuffle; skewed domains are bounded
+    by the same per-domain ordering any budgeted mix needs), one
+    broadcastable per-domain totals join. No collect, no iteration.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    order = W.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    totals = base.groupBy("domain").agg(
+        F.floor(F.sum("n_tokens") * F.lit(frac)).alias("budget")
+    )
+    return (
+        base.withColumn(
+            "cum", F.sum("n_tokens").over(order)
+        )
+        .join(F.broadcast(totals), "domain")
+        .select(
+            "doc_id",
+            "domain",
+            "n_tokens",
+            (F.col("cum") <= F.col("budget")).alias("selected"),
+        )
+    )

@@ -286,3 +286,39 @@ class TestDuplicateWindowSpans:
         )
         assert got[0]["n_windows"] == 2 and got[0]["dup_windows"] == 2
         assert got[0]["covered_tokens"] == 9
+
+
+def test_token_budget_sample_matches_reference(spark):
+    import hashlib
+    import re
+
+    rows = [
+        (0, "a b c d", "en"),
+        (1, "e f", "en"),
+        (2, "g h i j k l", "en"),
+        (3, "m n o", "de"),
+        (4, "p q r s", "de"),
+        (5, "t", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in corpus.token_budget_sample(
+            df, "doc_id", "text", "lang", frac=0.5
+        ).collect()
+    }
+    # reference walk: per domain, md5 order, cumulative <= floor(0.5*total)
+    by_dom: dict = {}
+    for did, text, dom in rows:
+        by_dom.setdefault(dom, []).append(
+            (hashlib.md5(str(did).encode()).hexdigest(), did,
+             len(re.split(r"\s+", text.lower())))
+        )
+    for dom, docs in by_dom.items():
+        budget = sum(t for _, _, t in docs) // 2
+        cum = 0
+        for h, did, t in sorted(docs):
+            cum += t
+            assert got[did]["selected"] == (cum <= budget), (dom, did)
+            assert got[did]["n_tokens"] == t
+    assert len(got) == len(rows)  # every doc reported, selected or not

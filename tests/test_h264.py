@@ -297,3 +297,27 @@ def test_h264_frame_features_matches_formula(spark, docs):
         assert r["y_min"] == int(exp.min())
         assert r["y_max"] == int(exp.max())
         assert r["y_sum"] == int(exp.sum())
+
+
+def test_hypothesis_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 3),
+        mw=st.integers(1, 3),
+        mh=st.integers(1, 2),
+        data=st.data(),
+    )
+    def prop(n, mw, mh, data):
+        shape_y = (n, mh * 16, mw * 16)
+        shape_c = (n, mh * 8, mw * 8)
+        y = data.draw(arrays(np.uint8, shape_y))
+        cb = data.draw(arrays(np.uint8, shape_c))
+        cr = data.draw(arrays(np.uint8, shape_c))
+        dy, dcb, dcr = h264_decode(h264_encode(y, cb, cr))
+        assert (dy == y).all() and (dcb == cb).all() and (dcr == cr).all()
+
+    prop()
