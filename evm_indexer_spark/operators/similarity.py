@@ -508,6 +508,42 @@ def _grid_assign(df: DataFrame, centroids: list[list[int]]) -> DataFrame:
     return df.withColumn("cluster", nearest(F.col("q")))
 
 
+def _np_grid_assign(qm: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Blocked exact-int64 nearest-centroid (first-min tie-break) —
+    the in-memory twin of ``_grid_assign``'s Arrow kernel."""
+    out = np.empty(len(qm), dtype=np.int32)
+    block = 512
+    for lo in range(0, len(qm), block):
+        hi = min(lo + block, len(qm))
+        d = ((qm[lo:hi, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        out[lo:hi] = d.argmin(axis=1).astype(np.int32)
+    return out
+
+
+def _np_lloyd(ids: list, qm: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """In-driver Lloyd loop on pre-quantized vectors — bit-identical to
+    the distributed tier (same md5 seed order, integer kernels, and
+    exact-integer centroid rounding); pinned by forced-tier tests."""
+    import hashlib
+
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    cents = qm[order[:k]].copy()
+    for _ in range(iters):
+        a = _np_grid_assign(qm, cents)
+        for j in range(len(cents)):
+            members = qm[a == j]
+            if len(members) == 0:
+                continue  # empty cluster keeps its centroid
+            s = members.sum(axis=0)
+            n = len(members)
+            mag = (2 * np.abs(s) + n) // (2 * n)
+            cents[j] = np.where(s >= 0, mag, -mag)
+    return _np_grid_assign(qm, cents)
+
+
 def kmeans_grid(
     df: DataFrame,
     id_col: str,
@@ -515,6 +551,7 @@ def kmeans_grid(
     k: int = 8,
     iters: int = 2,
     scale: int = 1000,
+    driver_below: int = 50_000,
 ) -> DataFrame:
     """Lloyd k-means on an integer grid, deterministic to the bit in
     any engine: vectors quantize to ``round(x·scale)`` longs, the k
@@ -535,12 +572,29 @@ def kmeans_grid(
     Scale shape: per iteration ONE corpus pass for assignment (plan-
     literal centroids, no join) and one k×dim-bounded aggregate; the
     driver only ever holds k×dim longs. ``iters`` is a fixed constant,
-    so the whole loop is O(iters · corpus)."""
+    so the whole loop is O(iters · corpus).
+
+    Tier routing (the dedup-clustering / BPE pattern): a
+    ``limit(driver_below + 1)`` probe collects the quantized vectors
+    when they fit — the whole loop then runs as in-driver numpy
+    (bit-identical: same integer kernels, pinned by a forced-tier
+    test) for ONE Spark job instead of ~2 per iteration. 50k × 64
+    longs is ~25 MB; a real corpus blows past the probe and takes the
+    distributed loop."""
     q = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * scale).cast("long"),
     )
     base = df.select(F.col(id_col).alias("id"), q.alias("q"))
+    probe = base.limit(driver_below + 1).collect()
+    if len(probe) <= driver_below:
+        ids = [r["id"] for r in probe]
+        qm = np.array([r["q"] for r in probe], dtype=np.int64)
+        a = _np_lloyd(ids, qm, k, iters)
+        return df.sparkSession.createDataFrame(
+            [(int(i), int(c)) for i, c in zip(ids, a)],
+            "id long, cluster int",
+        )
     seeds = (
         base.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(k)
@@ -584,6 +638,7 @@ def semantic_dedup(
     scale: int = 1000,
     threshold: float = 0.95,
     round_digits: int = 6,
+    driver_below: int = 50_000,
 ) -> DataFrame:
     """SemDeDup: cluster the embedding space, then drop within each
     cluster every member that has a LOWER-id neighbor above the cosine
@@ -594,10 +649,60 @@ def semantic_dedup(
     Cosine runs in double over the ORIGINAL vectors in dimension order
     (``zip_with``+``aggregate``, the q33-proven engine-exact form) and
     is rounded before the threshold compare, so the keep/drop decision
-    is reproducible in SQL (q77)."""
-    from pyspark.sql import Window as W
+    is reproducible in SQL (q77).
 
-    assigned = kmeans_grid(df, id_col, vec_col, k, iters, scale)
+    Below ``driver_below`` corpus rows the WHOLE pipeline runs off one
+    limit-probed collect (quantization stays Spark-side so the grid is
+    identical; clustering and the drop matmuls use the same numpy
+    kernels the distributed tiers run) — one Spark job instead of
+    ~2·iters + 3. 50k rows × 64 doubles is ~25 MB driver-side; real
+    corpora take the distributed path."""
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    probe = (
+        df.select(
+            F.col(id_col).alias("id"),
+            quant.alias("q"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .limit(driver_below + 1)
+        .collect()
+    )
+    if len(probe) <= driver_below:
+        ids = np.array([r["id"] for r in probe], dtype=np.int64)
+        qm = np.array([r["q"] for r in probe], dtype=np.int64)
+        vm = np.array([r["v"] for r in probe], dtype=np.float64)
+        a = _np_lloyd(list(ids), qm, k, iters)
+        dropped = np.zeros(len(ids), dtype=bool)
+        for j in np.unique(a):
+            sel = np.flatnonzero(a == j)
+            sel = sel[np.argsort(ids[sel])]
+            m = vm[sel]
+            norms = np.sqrt((m * m).sum(axis=1))
+            norms[norms == 0] = 1.0
+            nm = m / norms[:, None]
+            block = 1024
+            for lo in range(1, len(sel), block):
+                hi = min(lo + block, len(sel))
+                s = np.round(nm[lo:hi] @ nm[:hi].T, round_digits)
+                for r in range(lo, hi):
+                    if (s[r - lo, :r] >= threshold).any():
+                        dropped[sel[r]] = True
+        return df.sparkSession.createDataFrame(
+            [
+                (int(i), int(c), bool(d))
+                for i, c, d in zip(ids, a, dropped)
+            ],
+            "id long, cluster int, is_dropped boolean",
+        )
+
+    from pyspark.sql import Window as W  # noqa: F401 — parity with prior form
+
+    assigned = kmeans_grid(
+        df, id_col, vec_col, k, iters, scale, driver_below=driver_below
+    )
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

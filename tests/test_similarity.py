@@ -186,6 +186,15 @@ def test_kmeans_grid_matches_reference(spark, emb):
     }
     vecs = {r["vec_id"]: list(r["embedding"]) for r in sample.collect()}
     assert got == _kmeans_reference(vecs, k=5, iters=2)
+    # distributed tier, forced — must be bit-identical to the driver
+    # tier (same integer kernels on both paths)
+    dist = {
+        r["id"]: r["cluster"]
+        for r in similarity.kmeans_grid(
+            sample, "vec_id", "embedding", k=5, iters=2, driver_below=0
+        ).collect()
+    }
+    assert dist == got
 
 
 def test_kmeans_grid_deterministic_across_runs(spark, emb):
@@ -212,9 +221,15 @@ def test_semantic_dedup_drops_planted_twins(spark, emb):
             F.array(F.get("v", 0) + F.lit(0.01)), F.slice("v", 2, 10_000)
         ).alias("v"),
     )
+    corpus = base.unionByName(twins)
     out = similarity.semantic_dedup(
-        base.unionByName(twins), "id", "v", k=8, iters=2, threshold=0.95
+        corpus, "id", "v", k=8, iters=2, threshold=0.95
     ).collect()
+    # distributed tier, forced — identical verdicts row for row
+    dist = similarity.semantic_dedup(
+        corpus, "id", "v", k=8, iters=2, threshold=0.95, driver_below=0
+    ).collect()
+    assert sorted(map(tuple, dist)) == sorted(map(tuple, out))
     n = base.count()
     by_id = {r["id"]: r for r in out}
     assert len(out) == 2 * n
