@@ -97,7 +97,22 @@ def bpe_train(
     (~0.15s scheduling floor each on local[32]). A 100-TB corpus blows
     past the probe and takes the distributed loop; either way the
     corpus itself is only ever touched by the one word-count agg."""
-    wc = word_counts(df, text_col)
+    return bpe_train_from_counts(
+        word_counts(df, text_col), num_merges, min_freq, driver_below
+    )
+
+
+def bpe_train_from_counts(
+    wc: DataFrame,
+    num_merges: int = 8,
+    min_freq: int = 1,
+    driver_below: int = 100_000,
+) -> list[tuple[str, str, int]]:
+    """The merge loop over an existing (word, freq) table — the entry
+    point arrival-time retraining uses (``streaming/vocab_stream``
+    maintains the running counts; re-deriving the tokenizer then costs
+    the vocab loop, never a corpus re-scan). Same tiers and semantics
+    as ``bpe_train``."""
     if min_freq > 1:
         wc = wc.filter(F.col("freq") >= min_freq)
     probe = wc.limit(driver_below + 1).collect()

@@ -1,0 +1,92 @@
+"""Vocab-on-arrival: the merge list reported at each epoch must equal
+batch BPE training over every prefix of landed documents; epoch
+re-delivery must converge; compaction must bound the store without
+changing summed counts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from evm_indexer_spark.operators.tokenizer import bpe_train
+from evm_indexer_spark.streaming.vocab_stream import (
+    WordCountStore,
+    start_vocab_stream,
+)
+
+DOCS = [
+    (0, "the quick brown fox"),
+    (1, "the quick red fox"),
+    (2, "lazy dogs sleep all day"),
+    (3, "the brown dogs run"),
+    (4, "zebras graze the plain"),
+]
+
+
+def _land(path, rows, name):
+    with open(os.path.join(path, name), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _batch_merges(spark, rows, k=6):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return bpe_train(df, "text", num_merges=k)
+
+
+def _run(spark, landing, store, ckpt, sink, k=6):
+    q = start_vocab_stream(
+        spark, landing, store, ckpt,
+        on_merges=lambda m, e: sink.append((m, e)), num_merges=k,
+    )
+    q.awaitTermination(120)
+
+
+def test_merges_equal_batch_training_per_prefix(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = WordCountStore(spark, str(tmp_path / "vocab"))
+    sink: list = []
+
+    legs = [DOCS[:2], DOCS[2:4], DOCS[4:]]
+    landed: list = []
+    for i, leg in enumerate(legs):
+        landed.extend(leg)
+        _land(str(landing), leg, f"b{i}.json")
+        sink.clear()
+        _run(spark, str(landing), store, ckpt, sink)
+        assert len(sink) == 1
+        assert sink[0][0] == _batch_merges(spark, landed), f"prefix {i}"
+
+    # restart with no new files: silent
+    sink.clear()
+    _run(spark, str(landing), store, ckpt, sink)
+    assert sink == []
+
+
+def test_compaction_preserves_counts_and_training(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = WordCountStore(spark, str(tmp_path / "vocab"))
+    sink: list = []
+    for i, leg in enumerate([DOCS[:2], DOCS[2:4], DOCS[4:]]):
+        _land(str(landing), leg, f"b{i}.json")
+        _run(spark, str(landing), store, ckpt, sink)
+    before = sorted(map(tuple, store.counts().collect()))
+    assert store.compact() == 3
+    assert sorted(map(tuple, store.counts().collect())) == before
+    assert store.compact() == 0
+    assert store.train(6) == _batch_merges(spark, DOCS)
+
+
+def test_word_counts_match_plain_tokenization(spark, tmp_path):
+    store = WordCountStore(spark, str(tmp_path / "vocab"))
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    store.append(df, "text", batch_id=0)
+    got = {r["word"]: r["freq"] for r in store.counts().collect()}
+    toks = [t for _, s in DOCS for t in s.lower().split()]
+    assert got == {t: toks.count(t) for t in set(toks)}
