@@ -698,8 +698,6 @@ def semantic_dedup(
             "id long, cluster int, is_dropped boolean",
         )
 
-    from pyspark.sql import Window as W  # noqa: F401 — parity with prior form
-
     assigned = kmeans_grid(
         df, id_col, vec_col, k, iters, scale, driver_below=driver_below
     )
