@@ -297,19 +297,25 @@ def test_resp_depth_reorg_broker_restart_at_least_once(spark, tmp_path):
 
 
 def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
-    """Round-7 capstone: ONE landing flow drives all three arrival
-    pipelines — block ingest (publish-once store + RESP), text
-    dedup-on-arrival (MinHashBucketIndex), and audit-on-arrival
-    (NgramStatsStore) — with a broker restart and a depth-3 reorg
+    """Capstone: ONE landing flow drives all five arrival pipelines —
+    block ingest (publish-once store + RESP), text dedup-on-arrival
+    (MinHashBucketIndex), audit-on-arrival (NgramStatsStore),
+    substring-dedup-on-arrival (WindowHashIndex), and vocab-on-arrival
+    (WordCountStore) — with a broker restart and a depth-3 reorg
     mid-stream. A consumer loop turns published blocks into document
     arrivals (at-least-once: the reorged number re-arrives with new
     content), the dedup stream's anti-join guard reduces that to the
-    at-most-once flow the audit needs (the documented composition),
-    and after recovery every store is exactly-once and the incremental
-    results equal their batch twins."""
+    at-most-once flow the other pipelines need (the documented
+    composition), and after recovery every store is exactly-once and
+    the incremental results equal their batch twins."""
     import json
 
     from evm_indexer_spark.operators import corpus, dedup
+    from evm_indexer_spark.operators.corpus import (
+        _window_hashes,
+        duplicate_window_spans,
+    )
+    from evm_indexer_spark.operators.tokenizer import bpe_train
     from evm_indexer_spark.streaming.corpus_stream import (
         NgramStatsStore,
         start_ngram_stream,
@@ -317,6 +323,14 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
     from evm_indexer_spark.streaming.dedup_stream import (
         MinHashBucketIndex,
         start_dedup_stream,
+    )
+    from evm_indexer_spark.streaming.dupwin_stream import (
+        WindowHashIndex,
+        start_dupwin_stream,
+    )
+    from evm_indexer_spark.streaming.vocab_stream import (
+        WordCountStore,
+        start_vocab_stream,
     )
     from evm_indexer_spark.streaming.ingest import start_ingest_stream
     from evm_indexer_spark.streaming.resp import (
@@ -352,10 +366,14 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
         spark, str(tmp_path / "ix"), num_hashes=64, bands=64
     )
     stats = NgramStatsStore(spark, str(tmp_path / "stats"))
+    dw_index = WindowHashIndex(spark, str(tmp_path / "dw"), window_n=4)
+    vstore = WordCountStore(spark, str(tmp_path / "vocab"))
     publish = make_resp_publisher(host, port)
 
     pairs_seen: list[dict] = []
     tops: list[list] = []
+    dw_rows: list[dict] = []  # (leg-tagged) arrival span stats
+    merges_seen: list[list] = []
     audited: set[int] = set()  # ids already handed to the audit
     stored_text: dict[int, str] = {}  # expected text-store content
 
@@ -391,6 +409,19 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
             spark, str(audit_landing), stats, str(tmp_path / "ckpt_audit"),
             on_top=lambda rows, epoch: tops.append(rows),
             min_count=1,
+        )
+        q.awaitTermination(180)
+        # substring-dedup and vocab retraining consume the SAME deduped
+        # flow (pipelines 4 and 5 of the composition)
+        q = start_dupwin_stream(
+            spark, str(audit_landing), dw_index, str(tmp_path / "ckpt_dw"),
+            on_stats=lambda rows, epoch: dw_rows.extend(rows),
+        )
+        q.awaitTermination(180)
+        q = start_vocab_stream(
+            spark, str(audit_landing), vstore, str(tmp_path / "ckpt_vocab"),
+            on_merges=lambda m, epoch: merges_seen.append(m),
+            num_merges=4,
         )
         q.awaitTermination(180)
 
@@ -493,5 +524,47 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
             for r in stats.top(100, 1).collect()
         }
         assert got == want
+
+        # 5. substring-dedup: final counters equal batch window counts
+        #    over the deduped corpus; every doc got arrival span stats,
+        #    and leg-2 arrivals ({5, 6} — the re-arrived 2 was dropped)
+        #    match the batch truth at the final corpus state
+        import pyspark.sql.functions as F
+
+        want_counters = sorted(
+            map(
+                tuple,
+                _window_hashes(docs_df, "doc_id", "text", 4)
+                .groupBy("h")
+                .agg(F.count(F.lit(1)).alias("occ"))
+                .collect(),
+            )
+        )
+        got_counters = sorted(
+            map(
+                tuple,
+                dw_index.hashes()
+                .groupBy("h")
+                .agg(F.sum("occ").alias("occ"))
+                .collect(),
+            )
+        )
+        assert got_counters == want_counters
+        assert {r["doc_id"] for r in dw_rows} == set(range(7))
+        batch_spans = {
+            r["doc_id"]: tuple(r)
+            for r in duplicate_window_spans(
+                docs_df, "doc_id", "text", window_n=4
+            ).collect()
+        }
+        for r in dw_rows:
+            if r["doc_id"] in (5, 6):  # final-state arrivals
+                assert tuple(r.values()) == batch_spans[r["doc_id"]]
+
+        # 6. vocab retraining: the last reported merge list equals batch
+        #    BPE training over the deduped corpus
+        assert merges_seen and merges_seen[-1] == bpe_train(
+            docs_df, "text", num_merges=4
+        )
     finally:
         broker.stop()
