@@ -1989,15 +1989,21 @@ def q72(spark, sf):
     )
 
 
-@register(
-    "q73_dup_window_spans",
-    # exact duplicated-substring audit (the windowed train-data
-    # substring-dedup signal): flag every 8-token window whose hash
-    # repeats anywhere in the corpus, report per doc the unioned span
-    # coverage. Window hashes are the engine-portable md5-60 form, so
-    # the FLAGS reproduce bit-for-bit in DuckDB, not just the counts.
-    """
-    WITH toks AS (
+def _dupwin_oracle_sql(restrict_to_arrivals: bool) -> str:
+    """Shared SQL twin of the duplicated-window-span audit — q73 uses
+    the full-corpus form, q76 restricts the identical truth to the
+    arriving (upper-id) half, so the two entries can never disagree
+    about the operator's semantics."""
+    where = (
+        """
+    WHERE d.doc_id >= (SELECT s FROM split)"""
+        if restrict_to_arrivals
+        else ""
+    )
+    return f"""
+    WITH split AS (
+      SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS s FROM documents
+    ), toks AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
       FROM documents
     ), win AS (
@@ -2025,8 +2031,18 @@ def q72(spark, sf):
            CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens
     FROM documents d
     LEFT JOIN wagg w USING (doc_id)
-    LEFT JOIN cov c USING (doc_id)
-    """,
+    LEFT JOIN cov c USING (doc_id){where}
+    """
+
+
+@register(
+    "q73_dup_window_spans",
+    # exact duplicated-substring audit (the windowed train-data
+    # substring-dedup signal): flag every 8-token window whose hash
+    # repeats anywhere in the corpus, report per doc the unioned span
+    # coverage. Window hashes are the engine-portable md5-60 form, so
+    # the FLAGS reproduce bit-for-bit in DuckDB, not just the counts.
+    _dupwin_oracle_sql(restrict_to_arrivals=False),
 )
 def q73(spark, sf):
     """Corpus-wide exact duplicated-span audit
@@ -2180,41 +2196,8 @@ def q75(spark, sf):
     # incremental pass must report when the upper-id half of the corpus
     # arrives against an index of the lower half = exactly the q73
     # batch truth restricted to arriving ids (hist_occ + batch_occ > 1
-    # ⟺ hist ≥ 1 ∨ batch ≥ 2 — see incremental_dup_window_stats)
-    """
-    WITH split AS (
-      SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS s FROM documents
-    ), toks AS (
-      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
-      FROM documents
-    ), win AS (
-      SELECT doc_id, i AS pos,
-             CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))
-                  AS BIGINT) AS h
-      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
-      WHERE len(t) >= 8
-    ), cw AS (
-      SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM win
-    ), cov AS (
-      SELECT doc_id, count(DISTINCT p) AS covered
-      FROM cw, UNNEST(generate_series(pos, pos + 7)) AS g(p)
-      WHERE c > 1 GROUP BY doc_id
-    ), wagg AS (
-      SELECT doc_id, count(*) AS nw,
-             sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dw
-      FROM cw GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           CAST(len(regexp_split_to_array(lower(d.text), '\\s+')) AS BIGINT)
-               AS n_tokens,
-           CAST(coalesce(w.nw, 0) AS BIGINT) AS n_windows,
-           CAST(coalesce(w.dw, 0) AS BIGINT) AS dup_windows,
-           CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens
-    FROM documents d
-    LEFT JOIN wagg w USING (doc_id)
-    LEFT JOIN cov c USING (doc_id)
-    WHERE d.doc_id >= (SELECT s FROM split)
-    """,
+    # iff hist >= 1 or batch >= 2 - see incremental_dup_window_stats)
+    _dupwin_oracle_sql(restrict_to_arrivals=True),
 )
 def q76(spark, sf):
     """Substring-dedup-on-arrival: the lower-id half of the corpus is

@@ -293,6 +293,13 @@ def h264_encode(
         w.ue(0)  # pic_parameter_set_id
         w.u(0, 4)  # frame_num (log2_max_frame_num = 4); 0 for every IDR
         w.ue(f % 2)  # idr_pic_id: consecutive IDR pictures must differ
+        # dec_ref_pic_marking (spec 7.3.3.3 — MANDATORY when
+        # nal_ref_idc != 0; IdrPicFlag form): no_output_of_prior_pics
+        # + long_term_reference_flag. Omitting these two bits was a
+        # mutually-cancelling encoder/decoder bug the round-8 review
+        # caught — round-trip tests cannot see it, a real decoder can.
+        w.u(0, 1)  # no_output_of_prior_pics_flag
+        w.u(0, 1)  # long_term_reference_flag
         w.se(0)  # slice_qp_delta
         for by in range(mbs_h):
             for bx in range(mbs_w):
@@ -411,7 +418,26 @@ def _parse_pps(r: _BitReader) -> dict:
             "decoding is a native-codec job)"
         )
     bottom_field_poc = r.u(1)
-    return {"bottom_field_poc": bottom_field_poc}
+    if r.ue() != 0:  # num_slice_groups_minus1
+        raise NotImplementedError(
+            "slice groups (FMO) change macroblock-to-address mapping, "
+            "outside the I_PCM subset"
+        )
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.u(1)  # weighted_pred_flag
+    r.u(2)  # weighted_bipred_idc
+    r.se()  # pic_init_qp_minus26
+    r.se()  # pic_init_qs_minus26
+    r.se()  # chroma_qp_index_offset
+    deblocking_present = r.u(1)  # deblocking_filter_control_present_flag
+    r.u(1)  # constrained_intra_pred_flag
+    redundant_present = r.u(1)  # redundant_pic_cnt_present_flag
+    return {
+        "bottom_field_poc": bottom_field_poc,
+        "deblocking_present": deblocking_present,
+        "redundant_present": redundant_present,
+    }
 
 
 def h264_decode(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -422,7 +448,11 @@ def h264_decode(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     mb_type other than I_PCM) — an honest subset boundary, never a
     silent mis-decode."""
     sps: dict | None = None
-    pps = {"bottom_field_poc": 0}
+    pps = {
+        "bottom_field_poc": 0,
+        "deblocking_present": 0,
+        "redundant_present": 0,
+    }
     frames_y: list[np.ndarray] = []
     frames_cb: list[np.ndarray] = []
     frames_cr: list[np.ndarray] = []
@@ -457,7 +487,27 @@ def h264_decode(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                 r.se()  # delta_pic_order_cnt[0]
                 if pps["bottom_field_poc"]:
                     r.se()  # delta_pic_order_cnt[1]
+            if pps["redundant_present"]:
+                if r.ue() != 0:  # redundant_pic_cnt
+                    raise NotImplementedError(
+                        "redundant coded pictures are outside the subset"
+                    )
+            # dec_ref_pic_marking (spec 7.3.3.3) — present whenever
+            # nal_ref_idc != 0; every conforming encoder emits it
+            if (unit[0] >> 5) & 0x3:
+                if nal_type == 5:
+                    r.u(1)  # no_output_of_prior_pics_flag
+                    r.u(1)  # long_term_reference_flag
+                elif r.u(1):  # adaptive_ref_pic_marking_mode_flag
+                    raise NotImplementedError(
+                        "adaptive reference marking (MMCO) belongs to "
+                        "inter prediction, outside the I_PCM subset"
+                    )
             r.se()  # slice_qp_delta
+            if pps["deblocking_present"]:
+                if r.ue() != 1:  # disable_deblocking_filter_idc
+                    r.se()  # slice_alpha_c0_offset_div2
+                    r.se()  # slice_beta_offset_div2
             mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
             if first_mb == 0:
                 # zero-filled, not empty: a slice may legally cover only

@@ -581,13 +581,23 @@ def kmeans_grid(
     test) for ONE Spark job instead of ~2 per iteration. 50k × 64
     longs is ~25 MB; a real corpus blows past the probe and takes the
     distributed loop."""
+    from pyspark.sql.types import IntegralType
+
     q = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * scale).cast("long"),
     )
     base = df.select(F.col(id_col).alias("id"), q.alias("q"))
-    probe = base.limit(driver_below + 1).collect()
-    if len(probe) <= driver_below:
+    # the driver tier materializes ids as int64 and orders them by
+    # md5(str(id)), which only reproduces Spark's string cast for
+    # integral ids — other id types always take the distributed path
+    integral_id = isinstance(df.schema[id_col].dataType, IntegralType)
+    probe = (
+        base.limit(driver_below + 1).collect()
+        if integral_id and driver_below > 0
+        else []
+    )
+    if integral_id and len(probe) <= driver_below and probe:
         ids = [r["id"] for r in probe]
         qm = np.array([r["q"] for r in probe], dtype=np.int64)
         a = _np_lloyd(ids, qm, k, iters)
@@ -646,10 +656,15 @@ def semantic_dedup(
     pairwise pass is per-cluster, never corpus-wide. Returns
     ``(id, cluster, is_dropped)`` for every input row.
 
-    Cosine runs in double over the ORIGINAL vectors in dimension order
-    (``zip_with``+``aggregate``, the q33-proven engine-exact form) and
-    is rounded before the threshold compare, so the keep/drop decision
-    is reproducible in SQL (q77).
+    Cosine runs as float64 numpy (normalize + blocked matmul) and is
+    rounded to ``round_digits`` before the threshold compare — the
+    same absorbed-ulp contract as q35's ``pair_cosine_batch`` vs
+    DuckDB's ``list_cosine_similarity`` (summation ORDER differs
+    between numpy and a sequential SQL fold; rounding absorbs the
+    final-ulp divergence, proven through the q35 sf10 replicas). A
+    pair whose unrounded cosine sits within ~1e-15 of the rounded
+    threshold boundary could in principle flip engines — unlike the
+    clustering itself, which is integer-exact.
 
     Below ``driver_below`` corpus rows the WHOLE pipeline runs off one
     limit-probed collect (quantization stays Spark-side so the grid is
@@ -657,10 +672,13 @@ def semantic_dedup(
     kernels the distributed tiers run) — one Spark job instead of
     ~2·iters + 3. 50k rows × 64 doubles is ~25 MB driver-side; real
     corpora take the distributed path."""
+    from pyspark.sql.types import IntegralType
+
     quant = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * scale).cast("long"),
     )
+    integral_id = isinstance(df.schema[id_col].dataType, IntegralType)
     probe = (
         df.select(
             F.col(id_col).alias("id"),
@@ -669,8 +687,10 @@ def semantic_dedup(
         )
         .limit(driver_below + 1)
         .collect()
+        if integral_id and driver_below > 0
+        else []
     )
-    if len(probe) <= driver_below:
+    if integral_id and len(probe) <= driver_below and probe:
         ids = np.array([r["id"] for r in probe], dtype=np.int64)
         qm = np.array([r["q"] for r in probe], dtype=np.int64)
         vm = np.array([r["v"] for r in probe], dtype=np.float64)
@@ -698,8 +718,10 @@ def semantic_dedup(
             "id long, cluster int, is_dropped boolean",
         )
 
+    # the probe above already proved the corpus exceeds the tier —
+    # force the distributed loop instead of paying a second probe
     assigned = kmeans_grid(
-        df, id_col, vec_col, k, iters, scale, driver_below=driver_below
+        df, id_col, vec_col, k, iters, scale, driver_below=0
     )
     vecs = df.select(
         F.col(id_col).alias("id"),

@@ -39,7 +39,12 @@ from pyspark.sql.types import (
 )
 
 from ..operators.corpus import _ngram_counts_pandas
-from .dedup_stream import _fold_batch_dirs, _hadoop, _list_batch_dirs
+from .dedup_stream import (
+    _fold_batch_dirs,
+    _foldable_dirs,
+    _hadoop,
+    _list_batch_dirs,
+)
 
 STATS_SCHEMA = StructType(
     [
@@ -105,7 +110,11 @@ class NgramStatsStore:
         assumed — the streaming ``foreachBatch`` contract, same as
         ``MinHashBucketIndex.compact``. Run from the maintenance
         cadence, never concurrently with ``append``."""
-        old = _list_batch_dirs(self.spark, self.path)
+        # newest epoch dir never folds: a crashed-then-redelivered
+        # epoch must still find and overwrite its own first-attempt
+        # partial (folding it into the base would double the counts
+        # forever — see dedup_stream._foldable_dirs)
+        old = _foldable_dirs(_list_batch_dirs(self.spark, self.path))
         if len(old) <= 1:
             return 0
         merged = (

@@ -76,6 +76,31 @@ def _list_batch_dirs(spark: SparkSession, root: str) -> list[str]:
     return out
 
 
+def _foldable_dirs(dirs: list[str]) -> list[str]:
+    """*dirs* minus the HIGHEST-epoch non-base batch dir.
+
+    For stores whose partials are SUMMED on read, folding the latest
+    epoch is unsafe even sequentially: under the in-order foreachBatch
+    contract the latest append is the only one that can belong to a
+    not-yet-checkpointed epoch, and if compaction folds it into the
+    base before the stream redelivers that epoch, the redelivered
+    batch is scored against its own first-attempt rows (the
+    ``exclude_epoch`` read can no longer see them inside the base) and
+    the store keeps both copies forever. Keeping one un-folded dir
+    costs one extra file listing entry and closes the window."""
+    newest, key = None, -1
+    for d in dirs:
+        name = posixpath.basename(d)
+        if name.startswith("batch=") and not name.startswith("batch=base"):
+            try:
+                epoch = int(name[len("batch="):])
+            except ValueError:
+                continue
+            if epoch > key:
+                newest, key = d, epoch
+    return [d for d in dirs if d != newest]
+
+
 def _fold_batch_dirs(
     spark: SparkSession,
     root: str,

@@ -42,6 +42,7 @@ from ..operators.corpus import _window_hashes, incremental_dup_window_stats
 from .dedup_stream import (
     _claim_stamp,
     _fold_batch_dirs,
+    _foldable_dirs,
     _hadoop,
     _list_batch_dirs,
 )
@@ -118,7 +119,11 @@ class WindowHashIndex:
         is neither double-counted nor lost. Single concurrent writer
         assumed; run from the maintenance cadence, never concurrently
         with ``append``. Returns the number of directories folded."""
-        old = _list_batch_dirs(self.spark, self.path)
+        # the newest epoch dir is never folded: a crashed-then-
+        # redelivered epoch must still find (and overwrite) its own
+        # first-attempt rows — folding them into the base would both
+        # defeat the exclude_epoch read and double the counts forever
+        old = _foldable_dirs(_list_batch_dirs(self.spark, self.path))
         if len(old) <= 1:
             return 0
         merged = (

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.tokenizer import bpe_train_from_counts, word_counts
-from .dedup_stream import _fold_batch_dirs, _hadoop, _list_batch_dirs
+from .dedup_stream import (
+    _fold_batch_dirs,
+    _foldable_dirs,
+    _hadoop,
+    _list_batch_dirs,
+)
 
 VOCAB_SCHEMA = StructType(
     [
@@ -75,7 +80,8 @@ class WordCountStore:
         the ``old`` snapshot (summed counts; a mid-compaction epoch is
         neither double-counted nor lost); single concurrent writer
         assumed. Returns the number of directories folded."""
-        old = _list_batch_dirs(self.spark, self.path)
+        # newest epoch dir never folds (see dupwin_stream.compact)
+        old = _foldable_dirs(_list_batch_dirs(self.spark, self.path))
         if len(old) <= 1:
             return 0
         merged = (

@@ -111,10 +111,12 @@ def test_compaction_merges_and_bounds_files(spark, tmp_path):
     raw_rows_before = store.partials().count()
     nfiles_before = sum(len(fs) for _, _, fs in os.walk(tmp_path / "stats"))
 
-    assert store.compact() == 3
-    assert [
+    # the newest epoch dir (batch=2) is never folded: a crashed-then-
+    # redelivered epoch must still find its own first-attempt partial
+    assert store.compact() == 2
+    assert sorted(
         d for d in os.listdir(tmp_path / "stats") if d.startswith("batch=")
-    ] == ["batch=base0"]
+    ) == ["batch=2", "batch=base0"]
     assert sum(len(fs) for _, _, fs in os.walk(tmp_path / "stats")) < nfiles_before
     # merge-compaction also collapses rows to the distinct-ngram count
     assert store.partials().count() <= raw_rows_before
@@ -139,6 +141,7 @@ def test_compaction_merges_only_snapshot_dirs(spark, tmp_path):
     )
     store.append(partial, batch_id=0)
     store.append(partial, batch_id=1)
+    store.append(partial, batch_id=2)
 
     import evm_indexer_spark.streaming.corpus_stream as cs
 
@@ -149,7 +152,7 @@ def test_compaction_merges_only_snapshot_dirs(spark, tmp_path):
         dirs = real_list(spark_, root)
         if not landed["done"]:
             landed["done"] = True
-            store.append(partial, batch_id=2)  # lands mid-compaction
+            store.append(partial, batch_id=3)  # lands mid-compaction
         return dirs
 
     try:
@@ -158,8 +161,10 @@ def test_compaction_merges_only_snapshot_dirs(spark, tmp_path):
     finally:
         cs._list_batch_dirs = real_list
 
-    # 3 epochs of the same doc → every count is exactly 3× the single
-    # partial; a double-fold of epoch 2 would read 4×
+    # 4 epochs of the same doc → every count is exactly 4× the single
+    # partial; a double-fold of the mid-compaction epoch would read 5×
+    # (epoch 2, the newest at listing time, is withheld from the fold;
+    # epoch 3 landed after the snapshot — neither may double)
     totals = {r["ngram"]: r["n_occurrences"] for r in store.totals().collect()}
     single = {r["ngram"]: r["occ"] for r in partial.collect()}
-    assert totals == {k: 3 * v for k, v in single.items()}
+    assert totals == {k: 4 * v for k, v in single.items()}

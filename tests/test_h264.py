@@ -147,6 +147,10 @@ def _slice_rbsp(first_mb, n_mbs, mbs_w, fill, poc_type=2, idr=True) -> bytes:
         w.ue(0)  # idr_pic_id
     if poc_type == 0:
         w.u(0, 4)  # pic_order_cnt_lsb
+    if idr:
+        # dec_ref_pic_marking, IDR form (nal_ref_idc != 0)
+        w.u(0, 1)  # no_output_of_prior_pics_flag
+        w.u(0, 1)  # long_term_reference_flag
     w.se(0)  # slice_qp_delta
     for mb in range(first_mb, first_mb + n_mbs):
         w.ue(25)
@@ -196,6 +200,77 @@ def test_frame_cropping_applies_in_420_units():
     assert cb.shape == (1, 7, 5) and cr.shape == (1, 7, 5)
 
 
+def _pps_custom(deblocking=0, redundant=0) -> bytes:
+    w = _BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)  # CAVLC
+    w.u(0, 1)  # bottom_field_poc
+    w.ue(0)  # one slice group
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 2)
+    w.se(0)
+    w.se(0)
+    w.se(0)
+    w.u(deblocking, 1)
+    w.u(0, 1)
+    w.u(redundant, 1)
+    w.trailing_bits()
+    return w.getvalue()
+
+
+def test_pps_gated_slice_header_fields_decode():
+    # a conforming encoder commonly sets deblocking_filter_control_
+    # present_flag (adding 3 slice-header fields) and may set
+    # redundant_pic_cnt_present_flag — both must parse, or every real
+    # stream bit-misaligns at the first macroblock
+    w = _BitWriter()
+    w.ue(0)  # first_mb
+    w.ue(7)  # I
+    w.ue(0)  # pps id
+    w.u(0, 4)  # frame_num
+    w.ue(0)  # idr_pic_id
+    w.ue(0)  # redundant_pic_cnt (flag set in PPS)
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    w.se(0)  # slice_qp_delta
+    w.ue(0)  # disable_deblocking_filter_idc = 0 -> offsets follow
+    w.se(1)  # slice_alpha_c0_offset_div2
+    w.se(-1)  # slice_beta_offset_div2
+    w.ue(25)
+    w.align()
+    w.bytes_aligned(bytes([7]) * 256)
+    w.bytes_aligned(bytes([8]) * 64)
+    w.bytes_aligned(bytes([9]) * 64)
+    w.trailing_bits()
+    buf = (
+        _nal(7, 3, _sps_custom(1, 1))
+        + _nal(8, 3, _pps_custom(deblocking=1, redundant=1))
+        + _nal(5, 3, w.getvalue())
+    )
+    y, cb, cr = h264_decode(buf)
+    # (deblocking never alters all-I_PCM output: qP is 0 for PCM
+    # macroblocks and the alpha/beta thresholds vanish at qP 0)
+    assert (y == 7).all() and (cb == 8).all() and (cr == 9).all()
+
+
+def test_adaptive_ref_marking_raises():
+    w = _BitWriter()
+    w.ue(0)
+    w.ue(7)
+    w.ue(0)
+    w.u(1, 4)  # frame_num 1 (non-IDR)
+    w.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
+    w.trailing_bits()
+    buf = _nal(7, 3, _sps_custom(1, 1)) + _nal(8, 3, _pps_rbsp()) + _nal(
+        1, 3, w.getvalue()
+    )
+    with pytest.raises(NotImplementedError, match="MMCO"):
+        h264_decode(buf)
+
+
 # -- honest guardrails ------------------------------------------------------
 
 
@@ -239,6 +314,8 @@ def test_entropy_coded_macroblock_raises_not_implemented():
     w.ue(0)
     w.u(0, 4)
     w.ue(0)
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
     w.se(0)
     w.ue(0)  # mb_type 0 = I_4x4: needs CAVLC residuals
     w.trailing_bits()
