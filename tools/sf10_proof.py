@@ -82,13 +82,13 @@ def main() -> None:
         "--families",
         nargs="*",
         default=None,
-        choices=["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin"],
+        choices=["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup"],
         help="subset to (re)run; merges into an existing --out report",
     )
     args = ap.parse_args()
     fam = set(
         args.families
-        or ["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin"]
+        or ["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup"]
     )
 
     # 100x-scale shuffles (24-band candidate stream ≈ 600M slim rows
@@ -447,6 +447,55 @@ def main() -> None:
             "the equality check only",
         }
         print("dupwin:", report["dup_window_spans"], flush=True)
+
+    # ---- 7. Semantic dedup (q77 family) -------------------------------
+    if "semdedup" in fam:
+        from evm_indexer_spark.operators.similarity import semantic_dedup
+
+        # the sf10 embeddings ARE a planted SemDeDup workload: 100
+        # copies of each of 2000 base vectors (dim 0 nudged 1e-3 per
+        # copy -> intra-base cosine ~0.99999, cross-base max ~0.55), so
+        # the EXACT expected verdict for every row is computable from
+        # the assignments: dropped iff a lower-id same-base member
+        # shares the cluster (cross-base drops are impossible below
+        # the 0.95 threshold).
+        k_clusters = max(8, (2 * emb_stride * FACTOR) // 1000)
+        t0 = time.perf_counter()
+        out = semantic_dedup(
+            emb, "vec_id", "embedding", k=k_clusters, iters=2,
+            threshold=0.95,
+        )
+        got = out.select("id", "cluster", "is_dropped")
+        got.persist().count()
+        sd_secs = time.perf_counter() - t0
+        from pyspark.sql.window import Window as W
+
+        base = F.col("id") % emb_stride
+        w_min = F.min("id").over(W.partitionBy(F.col("cluster"), base))
+        expect = got.withColumn("exp_drop", F.col("id") > w_min)
+        mismatches = expect.filter(
+            F.col("is_dropped") != F.col("exp_drop")
+        ).count()
+        n_drop = got.filter("is_dropped").count()
+        n_rows = got.count()
+        got.unpersist()
+        # co-clustering rate: ideal dedup keeps exactly one row per
+        # (base, cluster) group; perfect co-clustering keeps 2000
+        kept = n_rows - n_drop
+        report["semantic_dedup"] = {
+            "vectors": n_rows,
+            "clusters": k_clusters,
+            "dropped": n_drop,
+            "kept": kept,
+            "ideal_kept": emb_stride,
+            "verdict_mismatches_vs_exact_truth": mismatches,
+            "full_run_secs": round(sd_secs, 2),
+            "note": "every verdict checked against the closed-form "
+            "truth (lower-id same-base member in-cluster); kept > "
+            "ideal_kept measures copies split across cluster "
+            "boundaries, the documented SemDeDup failure mode",
+        }
+        print("semdedup:", report["semantic_dedup"], flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
