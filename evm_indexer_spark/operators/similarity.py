@@ -520,10 +520,13 @@ def _np_grid_assign(qm: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return out
 
 
-def _np_lloyd(ids: list, qm: np.ndarray, k: int, iters: int) -> np.ndarray:
+def _np_lloyd(
+    ids: list, qm: np.ndarray, k: int, iters: int
+) -> tuple[np.ndarray, np.ndarray]:
     """In-driver Lloyd loop on pre-quantized vectors — bit-identical to
     the distributed tier (same md5 seed order, integer kernels, and
-    exact-integer centroid rounding); pinned by forced-tier tests."""
+    exact-integer centroid rounding); pinned by forced-tier tests.
+    Returns (assignments, centroids)."""
     import hashlib
 
     order = sorted(
@@ -541,7 +544,7 @@ def _np_lloyd(ids: list, qm: np.ndarray, k: int, iters: int) -> np.ndarray:
             n = len(members)
             mag = (2 * np.abs(s) + n) // (2 * n)
             cents[j] = np.where(s >= 0, mag, -mag)
-    return _np_grid_assign(qm, cents)
+    return _np_grid_assign(qm, cents), cents
 
 
 def kmeans_grid(
@@ -600,7 +603,7 @@ def kmeans_grid(
     if integral_id and len(probe) <= driver_below and probe:
         ids = [r["id"] for r in probe]
         qm = np.array([r["q"] for r in probe], dtype=np.int64)
-        a = _np_lloyd(ids, qm, k, iters)
+        a, _ = _np_lloyd(ids, qm, k, iters)
         return df.sparkSession.createDataFrame(
             [(int(i), int(c)) for i, c in zip(ids, a)],
             "id long, cluster int",
@@ -694,7 +697,7 @@ def semantic_dedup(
         ids = np.array([r["id"] for r in probe], dtype=np.int64)
         qm = np.array([r["q"] for r in probe], dtype=np.int64)
         vm = np.array([r["v"] for r in probe], dtype=np.float64)
-        a = _np_lloyd(list(ids), qm, k, iters)
+        a, _ = _np_lloyd(list(ids), qm, k, iters)
         dropped = np.zeros(len(ids), dtype=bool)
         for j in np.unique(a):
             sel = np.flatnonzero(a == j)
@@ -759,4 +762,132 @@ def semantic_dedup(
 
     return members.groupBy("cluster").applyInPandas(
         _drops, schema="id long, cluster int, is_dropped boolean"
+    )
+
+
+# -- product quantization (the compressed-vector ANN tier) --------------------
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    iters: int = 3,
+    scale: int = 1000,
+    sample_rows: int = 50_000,
+) -> np.ndarray:
+    """Train product-quantization codebooks: split each vector into
+    ``n_subspaces`` contiguous sub-vectors and run the deterministic
+    integer-grid Lloyd loop (``_np_lloyd`` — md5-ordered seeds, exact
+    integer kernels) independently per subspace. Returns an
+    (n_subspaces, n_centroids, sub_dim) int64 codebook array,
+    reproducible across runs and engines.
+
+    The quantizer trains on a DETERMINISTIC bounded sample — the first
+    ``sample_rows`` rows in (md5(id), id) order — which is how coarse
+    quantizers are fit at scale (``ivf_build`` documents the same);
+    encoding, the corpus-scale pass, is ``pq_encode``."""
+    from pyspark.sql.types import IntegralType
+
+    if not isinstance(df.schema[id_col].dataType, IntegralType):
+        raise ValueError("pq_train requires an integral id column")
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    rows = (
+        df.select(F.col(id_col).alias("id"), q.alias("q"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train a quantizer on an empty corpus")
+    ids = [r["id"] for r in rows]
+    qm = np.array([r["q"] for r in rows], dtype=np.int64)
+    dim = qm.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(
+            f"dim {dim} is not divisible by n_subspaces {n_subspaces}"
+        )
+    d = dim // n_subspaces
+    books = np.zeros((n_subspaces, n_centroids, d), dtype=np.int64)
+    for s in range(n_subspaces):
+        _, cents = _np_lloyd(ids, qm[:, s * d : (s + 1) * d], n_centroids, iters)
+        books[s, : len(cents)] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode every vector to its per-subspace nearest-centroid codes:
+    (id, codes array<int>) — dim floats compress to n_subspaces small
+    ints (64 × 4 bytes → 8 codes here, a 32× memory cut). One Arrow
+    map over the corpus, exact int64 distances, first-min tie-break —
+    codes are deterministic, so an index built from them is
+    reproducible."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.int64)
+    n_sub, _, d = books.shape
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        m = np.rint(
+            np.array(vecs.tolist(), dtype=np.float64) * scale
+        ).astype(np.int64)
+        out = np.empty((len(m), n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            sub = m[:, s * d : (s + 1) * d]
+            dist = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = dist.argmin(axis=1).astype(np.int32)
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col).alias("id"), codes(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
+    one (n_subspaces × n_centroids) integer lookup table of squared
+    distances to every centroid, and each row's approximate distance
+    is n_subspaces table lookups — no vector math per row, the reason
+    PQ scans survive corpora whose raw vectors don't fit anywhere.
+    Returns (id, adc_dist) ordered (dist asc, id), LIMIT k —
+    TakeOrdered, no global sort."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(codebooks, dtype=np.int64)
+    n_sub, _, d = books.shape
+    qv = np.rint(np.array(query, dtype=np.float64) * scale).astype(np.int64)
+    table = np.stack(
+        [
+            ((books[s] - qv[s * d : (s + 1) * d][None, :]) ** 2).sum(axis=1)
+            for s in range(n_sub)
+        ]
+    )  # (n_sub, n_centroids) exact int64
+
+    @pandas_udf("long")
+    def adc(codes: pd.Series) -> pd.Series:
+        c = np.array(codes.tolist(), dtype=np.int64)  # (batch, n_sub)
+        return pd.Series(table[np.arange(n_sub)[None, :], c].sum(axis=1))
+
+    return (
+        encoded.select("id", adc(F.col("codes")).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("id"))
+        .limit(k)
     )

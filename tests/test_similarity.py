@@ -243,3 +243,90 @@ def test_semantic_dedup_drops_planted_twins(spark, emb):
     for i in by_id:
         if i >= 10_000 and by_id[i]["is_dropped"]:
             assert by_id[i]["cluster"] == by_id[i - 10_000]["cluster"]
+
+
+# -- product quantization ------------------------------------------------------
+
+
+def test_pq_codes_deterministic_and_identical_for_duplicates(spark, emb):
+    books = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
+    books2 = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
+    assert (books == books2).all()
+    enc = similarity.pq_encode(emb, "vec_id", "embedding", books)
+    a = {r["id"]: list(r["codes"]) for r in enc.collect()}
+    b = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, "vec_id", "embedding", books).collect()
+    }
+    assert a == b
+    # an exact duplicate vector must get the exact same codes
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    dcodes = similarity.pq_encode(dup, "vec_id", "embedding", books).collect()
+    src_id = emb.limit(1).collect()[0]["vec_id"]
+    assert list(dcodes[0]["codes"]) == a[src_id]
+
+
+def test_pq_adc_finds_planted_twin(spark, emb):
+    # plant a near-identical twin for vec 0; PQ top-k from vec 0's own
+    # embedding must surface both vec 0 (dist 0-ish) and the twin
+    base = emb.limit(50)
+    twin = base.limit(1).select(
+        (F.col("vec_id") + 77_000).alias("vec_id"),
+        F.concat(
+            F.array(F.get(F.transform("embedding", lambda x: x.cast("double")), 0) + F.lit(0.0001)),
+            F.slice(F.transform("embedding", lambda x: x.cast("double")), 2, 10_000),
+        ).alias("embedding"),
+    )
+    corpus = base.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(twin)
+    books = similarity.pq_train(corpus, "vec_id", "embedding", n_subspaces=8)
+    enc = similarity.pq_encode(corpus, "vec_id", "embedding", books)
+    query = [
+        float(x) for x in base.limit(1).collect()[0]["embedding"]
+    ]
+    top = similarity.pq_topk(enc, books, query, k=5).collect()
+    ids = [r["id"] for r in top]
+    q_id = base.limit(1).collect()[0]["vec_id"]
+    assert ids[0] == q_id  # the query vector itself is nearest
+    assert top[0]["adc_dist"] == 0 or top[0]["adc_dist"] < top[-1]["adc_dist"]
+    assert q_id + 77_000 in ids  # the twin shares codes -> same cell
+
+
+def test_pq_adc_self_distance_equals_reconstruction(spark, emb):
+    # ADC(query=x, codes(x)) must equal the squared quantization error
+    # of x under the codebooks — the defining PQ identity
+    books = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
+    row = emb.limit(1).collect()[0]
+    import numpy as np
+
+    x = np.rint(np.array(row["embedding"], dtype=np.float64) * 1000).astype(
+        np.int64
+    )
+    d = x.size // 8
+    recon = np.concatenate(
+        [
+            books[s][
+                ((x[s * d : (s + 1) * d] - books[s]) ** 2).sum(axis=1).argmin()
+            ]
+            for s in range(8)
+        ]
+    )
+    expect = int(((x - recon) ** 2).sum())
+    enc = similarity.pq_encode(
+        emb.filter(F.col("vec_id") == row["vec_id"]), "vec_id", "embedding", books
+    )
+    got = similarity.pq_topk(
+        enc, books, [float(v) for v in row["embedding"]], k=1
+    ).collect()[0]
+    assert got["adc_dist"] == expect
+
+
+def test_pq_guardrails(spark, emb):
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=7)
+    df = spark.createDataFrame([("a", [0.1, 0.2])], "vec_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="integral"):
+        similarity.pq_train(df, "vec_id", "embedding", n_subspaces=2)
