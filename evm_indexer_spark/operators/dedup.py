@@ -169,11 +169,23 @@ def banding_for_corpus(n_docs: int) -> tuple[int, int]:
     return 48, 24
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, impl: str = "arrow"
+) -> DataFrame:
     """Exact dedup by canonical fingerprint: one row per distinct content
-    with the minimum id as the keeper and the duplicate count."""
+    with the minimum id as the keeper and the duplicate count.
+
+    ``impl`` forwards to ``fingerprint`` — "arrow" (default) wins on
+    corpus-scale text (Python ``re`` strips char classes ~2.4× faster
+    per core than Java's engine); "jvm" keeps the whole plan inside
+    WholeStageCodegen, which wins when the corpus is small enough that
+    the Arrow worker round-trip is the cost (identical output either
+    way — q26 routes on parquet-footer row counts)."""
     return (
-        df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        df.select(
+            F.col(id_col).alias("id"),
+            fingerprint(text_col, impl=impl).alias("fp"),
+        )
         .groupBy("fp")
         .agg(
             F.min("id").alias("keeper_id"),
