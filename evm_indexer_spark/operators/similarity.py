@@ -768,6 +768,17 @@ def semantic_dedup(
 # -- product quantization (the compressed-vector ANN tier) --------------------
 
 
+def _quantize_half_away(m: np.ndarray, scale: int) -> np.ndarray:
+    """float → int64 grid quantization with the SAME rounding rule as
+    Spark's ``F.round`` (HALF_UP: ties away from zero). ``np.rint``
+    rounds half-to-even, so a component landing exactly on .5 after
+    scaling would take a different grid point at encode time than
+    ``pq_train``'s Spark-side quantization took at train time —
+    breaking the same-grid discipline the k-means family preserves."""
+    s = m * scale
+    return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+
+
 def pq_train(
     df: DataFrame,
     id_col: str,
@@ -813,9 +824,14 @@ def pq_train(
             f"dim {dim} is not divisible by n_subspaces {n_subspaces}"
         )
     d = dim // n_subspaces
-    books = np.zeros((n_subspaces, n_centroids, d), dtype=np.int64)
+    # a sample smaller than n_centroids trains fewer rows (Lloyd seeds
+    # one centroid per sample row) — the codebook is TRUNCATED to the
+    # trained rows, never padded: zero-padding would plant phantom
+    # all-zero "centroids" that near-origin vectors encode to
+    n_trained = min(n_centroids, len(rows))
+    books = np.zeros((n_subspaces, n_trained, d), dtype=np.int64)
     for s in range(n_subspaces):
-        _, cents = _np_lloyd(ids, qm[:, s * d : (s + 1) * d], n_centroids, iters)
+        _, cents = _np_lloyd(ids, qm[:, s * d : (s + 1) * d], n_trained, iters)
         books[s, : len(cents)] = cents
     return books
 
@@ -840,9 +856,9 @@ def pq_encode(
 
     @pandas_udf("array<int>")
     def codes(vecs: pd.Series) -> pd.Series:
-        m = np.rint(
-            np.array(vecs.tolist(), dtype=np.float64) * scale
-        ).astype(np.int64)
+        m = _quantize_half_away(
+            np.array(vecs.tolist(), dtype=np.float64), scale
+        )
         out = np.empty((len(m), n_sub), dtype=np.int32)
         for s in range(n_sub):
             sub = m[:, s * d : (s + 1) * d]
@@ -873,7 +889,7 @@ def pq_topk(
 
     books = np.asarray(codebooks, dtype=np.int64)
     n_sub, _, d = books.shape
-    qv = np.rint(np.array(query, dtype=np.float64) * scale).astype(np.int64)
+    qv = _quantize_half_away(np.array(query, dtype=np.float64), scale)
     table = np.stack(
         [
             ((books[s] - qv[s * d : (s + 1) * d][None, :]) ** 2).sum(axis=1)
@@ -891,3 +907,43 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc("id"))
         .limit(k)
     )
+
+
+def pq_refine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    n_candidates: int | None = None,
+    scale: int = 1000,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """PQ retrieve + exact re-rank — the standard two-stage ADC serving
+    shape: the compressed-code scan (``pq_topk``) shortlists
+    ``n_candidates`` ids (default 4·k), and only the shortlist's RAW
+    vectors are read back for an exact cosine top-k. At scale the raw
+    corpus is touched for O(n_candidates) rows; the per-row work is the
+    n_subspaces table lookups of the ADC pass.
+
+    Output columns/order match ``cosine_topk`` exactly: (id, score)
+    by (score desc, id). Setting ``n_candidates`` ≥ the corpus size
+    makes the shortlist provably total, degenerating the result to the
+    exact cosine top-k — the q34 gate-degeneration strategy, used by
+    q79 to hash-check this pipeline against q33's oracle; the
+    selective regime's recall is pinned in tests/test_similarity.py."""
+    if n_candidates is None:
+        n_candidates = 4 * k
+    if n_candidates < k:
+        raise ValueError(f"n_candidates ({n_candidates}) must be >= k ({k})")
+    encoded = pq_encode(df, id_col, vec_col, codebooks, scale)
+    shortlist = pq_topk(encoded, codebooks, query, k=n_candidates, scale=scale)
+    # the shortlist is k-bounded and tiny relative to the corpus —
+    # broadcast it so the re-rank never shuffles the raw vectors
+    kept = df.join(
+        F.broadcast(shortlist.select(F.col("id").alias(id_col))),
+        id_col,
+        "left_semi",
+    )
+    return cosine_topk(kept, id_col, vec_col, query, k, round_digits=round_digits)

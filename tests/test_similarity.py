@@ -302,8 +302,8 @@ def test_pq_adc_self_distance_equals_reconstruction(spark, emb):
     row = emb.limit(1).collect()[0]
     import numpy as np
 
-    x = np.rint(np.array(row["embedding"], dtype=np.float64) * 1000).astype(
-        np.int64
+    x = similarity._quantize_half_away(
+        np.array(row["embedding"], dtype=np.float64), 1000
     )
     d = x.size // 8
     recon = np.concatenate(
@@ -330,3 +330,94 @@ def test_pq_guardrails(spark, emb):
     df = spark.createDataFrame([("a", [0.1, 0.2])], "vec_id string, embedding array<double>")
     with pytest.raises(ValueError, match="integral"):
         similarity.pq_train(df, "vec_id", "embedding", n_subspaces=2)
+
+
+def test_pq_quantization_matches_spark_round(spark):
+    # encode-time quantization must follow F.round's HALF_UP (ties away
+    # from zero), not numpy's half-to-even — exact-.5 components are the
+    # discriminating inputs (m/1000.0 * 1000.0 == m exactly for these)
+    import numpy as np
+
+    vals = [24.5, -24.5, 3.5, -7.5, 0.5, -0.5, 101.5, 24.4999, -3.49]
+    assert all((m / 1000.0) * 1000.0 == m for m in vals if m == int(m) + 0.5)
+    xs = [m / 1000.0 for m in vals]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    spark_side = [
+        r["q"]
+        for r in df.select(
+            F.round(F.col("x") * 1000).cast("long").alias("q")
+        ).collect()
+    ]
+    np_side = similarity._quantize_half_away(
+        np.array(xs, dtype=np.float64), 1000
+    ).tolist()
+    assert np_side == spark_side
+
+
+def test_pq_train_truncates_short_sample(spark):
+    # a sample smaller than n_centroids must yield a TRUNCATED codebook,
+    # not zero-padded phantom centroids near the origin
+    import numpy as np
+
+    rows = [
+        (i, [float(i + 1)] * 4 + [0.0] * 4) for i in range(5)
+    ]  # 5 vectors, all far from the origin in subspace 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_train(
+        df, "vec_id", "embedding", n_subspaces=2, n_centroids=16
+    )
+    assert books.shape == (2, 5, 4)
+    # near-origin query: with phantom zero rows it would take code >= 5
+    enc = similarity.pq_encode(df, "vec_id", "embedding", books)
+    assert all(
+        max(r["codes"]) < 5 for r in enc.collect()
+    )
+    near_zero = spark.createDataFrame(
+        [(99, [0.001] * 8)], "vec_id long, embedding array<double>"
+    )
+    codes = similarity.pq_encode(near_zero, "vec_id", "embedding", books).collect()
+    assert max(codes[0]["codes"]) < 5
+
+
+def test_pq_refine_exhaustive_equals_exact(emb, query, exact10):
+    # n_candidates >= corpus size -> provably-total shortlist -> output
+    # equals exact cosine top-k (the q79 gate regime)
+    n = emb.count()
+    books = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
+    got = similarity.pq_refine_topk(
+        emb, "vec_id", "embedding", books, query, k=10, n_candidates=n
+    ).collect()
+    assert [r["vec_id"] for r in got] == exact10
+    exact = similarity.cosine_topk(
+        emb, "vec_id", "embedding", query, k=10
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_pq_refine_selective_recall(emb, query, exact10):
+    # the honest serving regime: 4k-wide ADC shortlist, exact re-rank —
+    # recall against exact top-10 must stay high and the self-match first
+    books = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
+    # measured on the 500-vector sf0.001 corpus (natural neighbors all
+    # sit near cosine 0.5, the hard regime for a 16-centroid quantizer):
+    # recall@10 = 4/6/8/8 at shortlist widths 20/40/60/80 — monotone in
+    # width, exactly the ADC contract
+    recall = {}
+    for nc in (40, 60):
+        got = [
+            r["vec_id"]
+            for r in similarity.pq_refine_topk(
+                emb, "vec_id", "embedding", books, query, k=10, n_candidates=nc
+            ).collect()
+        ]
+        assert got[0] == 0
+        recall[nc] = len(set(got) & set(exact10))
+    assert recall[40] >= 5
+    assert recall[60] >= 7
+    assert recall[60] >= recall[40]
+    with pytest.raises(ValueError, match="n_candidates"):
+        similarity.pq_refine_topk(
+            emb, "vec_id", "embedding", books, query, k=10, n_candidates=3
+        )
