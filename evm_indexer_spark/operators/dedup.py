@@ -1391,29 +1391,196 @@ def winnow_fingerprints(
     )
 
 
+def _editdist_bucket_candidates(base: DataFrame, max_dist: int) -> DataFrame:
+    """Candidate (ia, ib, ta, tb) pairs from adjacent-length-bucket
+    blocking over *base* (id, t, len, bkt) — exact but content-blind:
+    within a bucket every pair is a candidate.
+
+    The neighbor match stays an equi-join: the left side carries keys
+    {bucket, bucket+1}; a same-bucket pair matches once under
+    ``ia < ib`` and a cross-bucket pair matches once with the shorter
+    doc on the left, so no dedup pass is needed. The |Δlen| ≤ max_dist
+    refinement inside matched buckets is exact
+    (|len(a) − len(b)| > max_dist ⇒ dist > max_dist)."""
+    a = base.select(
+        F.col("id").alias("ia"),
+        F.col("t").alias("ta"),
+        F.col("len").alias("la"),
+        F.col("bkt").alias("ba"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("key"),
+    )
+    b = base.select(
+        F.col("id").alias("ib"),
+        F.col("t").alias("tb"),
+        F.col("len").alias("lb"),
+        F.col("bkt").alias("key"),
+    )
+    return (
+        a.join(b, "key")
+        .filter(
+            (
+                ((F.col("ba") == F.col("key")) & (F.col("ia") < F.col("ib")))
+                | (F.col("ba") < F.col("key"))
+            )
+            & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        )
+        .select("ia", "ib", "ta", "tb")
+    )
+
+
+def editdist_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 40,
+    qgram: int = 4,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for an edit-distance ≤ *max_dist*
+    self-join, bounded by CONTENT, not just length — the q-gram
+    count-filter + prefix-filter composition (Gravano et al.,
+    "Approximate String Joins in a Database", VLDB 2001; prefix filter
+    per Bayardo et al. / PPJoin, the q40 machinery).
+
+    Losslessness: one edit operation destroys at most ``qgram`` of a
+    string's positional q-grams, so ``ed(a,b) ≤ d`` implies the q-gram
+    BAGS share ≥ max(s_a, s_b) − d·q elements (s = len − q + 1).
+    Occurrence-indexing each gram ((gram, k) for its k-th occurrence)
+    turns bag overlap into set overlap, and the prefix-filter lemma
+    then says: order all elements by one global (frequency, value)
+    total order; any pair with overlap ≥ t must share an element inside
+    each side's first (s − t + 1) elements. With the per-pair threshold
+    t = max(s_a, s_b) − d·q ≥ s_x − d·q, a prefix of
+    min(s_x, d·q + 1) elements per doc is always sufficient.
+
+    The threshold is vacuous when BOTH sides are short
+    (s ≤ d·q ⇔ len ≤ d·q + q − 1): two sub-threshold strings can be
+    within distance d while sharing nothing, so no content filter can
+    prune them — short-short pairs fall back to adjacent-length-bucket
+    blocking, a region bounded by construction (len < (d+1)·q chars,
+    cheap thresholded levenshteins). Every pair with at least one long
+    side is found through the prefix join, whose key is a doc's RAREST
+    grams — bucket cardinality scales with content diversity, not
+    corpus length concentration.
+
+    ``qgram`` trades the short-region width against selectivity.
+    Measured on a 195-doc corpus of 200-char docs sharing ONE length
+    bucket (5 planted near-dups; content-blind blocking = 18,915
+    candidate pairs): q=4 → 6 candidates, q=3 → 9,219, q=2 → 18,915
+    (character bigrams are too common to refute anything). Default 4.
+    Honest boundary: on a corpus whose documents are drawn from one
+    shared small vocabulary, near-length pairs genuinely share most
+    grams at d=40 and the count bound cannot refute them (sf0.1
+    documents table: 1.96M candidates vs 2.5M length-blocked — the
+    filter's work scales with content overlap, which for that corpus
+    is real, not a blocking artifact; every candidate still pays only
+    a threshold-early-exit levenshtein).
+
+    Returns distinct (ia, ib, ta, tb) with ia < ib, superset of all
+    pairs within max_dist; callers verify with thresholded levenshtein.
+    """
+    from pyspark.sql import Window as W
+
+    dq = max_dist * qgram
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).alias("len"),
+    )
+    # grams with occurrence index; s = len − q + 1 rows per doc (docs
+    # shorter than q yield none and are short by definition). The
+    # occurrence index k makes repeated grams distinct set elements:
+    # |{(g,k)}_a ∩ {(g,k)}_b| = Σ_g min(count_a, count_b) = bag overlap
+    grams = (
+        base.filter(F.col("len") >= qgram)
+        .select(
+            "id",
+            "len",
+            F.posexplode(
+                F.sequence(F.lit(1), F.col("len") - qgram + 1)
+            ).alias("_i", "pos"),
+            F.col("t"),
+        )
+        .select(
+            "id",
+            "len",
+            F.substring("t", F.col("pos"), F.lit(qgram)).alias("g"),
+            "pos",
+        )
+        .withColumn(
+            "e",
+            F.concat_ws(
+                "|",
+                "g",
+                F.row_number()
+                .over(W.partitionBy("id", "g").orderBy("pos"))
+                .cast("string"),
+            ),
+        )
+    )
+    ranked = (
+        grams.withColumn("freq", F.count(F.lit(1)).over(W.partitionBy("e")))
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("id")))
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("id").orderBy("freq", "e"))
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.least(F.col("sz"), F.lit(dq + 1))
+    ).select("id", "len", "e", (F.col("sz") > dq).alias("long"))
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.e") == F.col("b.e"))
+            & (F.col("a.id") < F.col("b.id"))
+            # short-short pairs have a vacuous count bound — they come
+            # from the bucket fallback, never from here
+            & (F.col("a.long") | F.col("b.long"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .dropDuplicates(["ia", "ib"])
+    )
+    texts = base.select("id", "t")
+    prefix_pairs = cand.join(
+        texts.select(F.col("id").alias("ia"), F.col("t").alias("ta")), "ia"
+    ).join(texts.select(F.col("id").alias("ib"), F.col("t").alias("tb")), "ib")
+    shorts = base.filter(F.col("len") <= dq + qgram - 1).withColumn(
+        "bkt", F.floor(F.col("len") / (max_dist + 1))
+    )
+    short_pairs = _editdist_bucket_candidates(shorts, max_dist)
+    return prefix_pairs.select("ia", "ib", "ta", "tb").unionByName(short_pairs)
+
+
 def editdist_near_duplicates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_dist: int = 40,
     bucket_width: int = 50,
+    strategy: str = "auto",
+    qgram: int = 4,
+    brute_below: int = 2000,
 ) -> DataFrame:
-    """Edit-distance near-dup pairs with length-bucket blocking.
+    """Edit-distance near-dup pairs, candidate-bounded by content.
 
-    ``|len(a) − len(b)| > max_dist ⇒ dist > max_dist``, so with
-    ``bucket_width > max_dist`` any qualifying pair sits in the same or
-    in *adjacent* length buckets — same-bucket-only blocking silently
-    drops pairs straddling a boundary (len 49 vs 51 with width 50).
-    The neighbor match stays an equi-join: the left side carries keys
-    {bucket, bucket+1}; a same-bucket pair matches once under
-    ``id_a < id_b`` and a cross-bucket pair matches once with the
-    shorter doc on the left, so no dedup pass is needed.
+    ``strategy``: ``"prefix"`` (the scale path) generates candidates
+    with the exact q-gram count/prefix filter (``editdist_candidates``)
+    so candidate volume tracks content similarity — a corpus whose
+    documents all share one length lands each doc's rarest grams in
+    near-unique buckets instead of one quadratic blob. ``"bucket"``
+    keeps plain adjacent-length-bucket blocking: exact and cheapest
+    when the corpus is small enough that the prefix plan's extra
+    window/shuffle stages cost more than the quadratic they avoid.
+    ``"auto"`` (default) probes with a short-circuiting limit-count and
+    picks bucket below *brute_below* docs — the q40 cost routing.
+    Output is identical under every strategy (both candidate
+    generators are provably lossless; verification is exact).
 
     ``levenshtein``'s 3-arg threshold form (returns −1 above the bound)
     lets the JVM matrix loop early-exit per row band instead of
     computing the full O(|a|·|b|) table for pairs that are nowhere
-    near — the dominant cost, since blocking survivors are mostly
-    negatives.
+    near — the dominant cost, since candidates are mostly negatives.
 
     Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist.
     """
@@ -1422,26 +1589,22 @@ def editdist_near_duplicates(
             f"bucket_width ({bucket_width}) must exceed max_dist "
             f"({max_dist}) for adjacent-bucket blocking to be exact"
         )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("t"),
-        F.floor(F.length(text_col) / bucket_width).alias("bkt"),
-    )
-    a = base.select(
-        F.col("id").alias("ia"),
-        F.col("t").alias("ta"),
-        F.col("bkt").alias("ba"),
-        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("key"),
-    )
-    b = base.select(
-        F.col("id").alias("ib"),
-        F.col("t").alias("tb"),
-        F.col("bkt").alias("key"),
-    )
-    matched = a.join(b, "key").filter(
-        ((F.col("ba") == F.col("key")) & (F.col("ia") < F.col("ib")))
-        | (F.col("ba") < F.col("key"))
-    )
+    if strategy == "auto":
+        strategy = (
+            "bucket" if df.limit(brute_below).count() < brute_below else "prefix"
+        )
+    if strategy == "prefix":
+        matched = editdist_candidates(df, id_col, text_col, max_dist, qgram)
+    elif strategy == "bucket":
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("t"),
+            F.length(text_col).alias("len"),
+            F.floor(F.length(text_col) / bucket_width).alias("bkt"),
+        )
+        matched = _editdist_bucket_candidates(base, max_dist)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     dist = F.levenshtein("ta", "tb", max_dist)
     return (
         matched.withColumn("dist", dist.cast("bigint"))
