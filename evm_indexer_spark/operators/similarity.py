@@ -474,6 +474,196 @@ def ivf_load(spark, path: str):
     return assigned, centroids
 
 
+class IvfServingIndex:
+    """Build-once / query-many IVF index — the serving shape at 100 TB,
+    where an index you rebuild per query is not an index.
+
+    Mirrors the ``MinHashBucketIndex`` layout discipline: vectors live
+    under ``path/vectors/batch=<id>/list_id=*/`` (epoch-keyed overwrite
+    — a re-delivered batch replaces, never duplicates), the coarse
+    quantizer's centroids and the exact row schema live in small JSON
+    sidecars, and a ``_params`` stamp pins (n_lists, seed, dim) for the
+    index lifetime (atomic create-if-absent; reopening with different
+    parameters raises — probes against foreign centroids would silently
+    return garbage).
+
+    Query path: ``load`` is pure driver-side file reads and ``topk``
+    builds its plan from the stored schema — ZERO Spark jobs before the
+    probe scan itself, which prunes to the ``nprobe`` closest cells via
+    partition-directory pruning (pinned by
+    tests/test_similarity.py::test_ivf_serving_index_zero_build_jobs).
+    ``append`` assigns new vectors to their nearest EXISTING centroid
+    (one Arrow pass over the batch — the quantizer is never retrained,
+    matching how IVF indexes absorb arrivals everywhere) and lands them
+    under their own batch dir."""
+
+    _MARKER = "_params"
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        centroids: list[list[float]],
+        n_lists: int,
+        seed: int,
+        dim: int,
+        schema_json: str,
+    ) -> None:
+        import posixpath
+
+        from ..streaming.dedup_stream import _claim_stamp
+
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+        self.n_lists = n_lists
+        self.seed = seed
+        self.dim = dim
+        self._schema_json = schema_json
+        self._vectors_dir = posixpath.join(path, "vectors")
+        _claim_stamp(spark, path, self._MARKER, f"{n_lists},{seed},{dim}")
+
+    # -- construction ----------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        path: str,
+        n_lists: int = 16,
+        seed: int = 42,
+        max_iter: int = 5,
+    ) -> "IvfServingIndex":
+        """Fit the coarse quantizer, write the corpus partitioned by
+        cell as ``batch=0``, persist centroids + schema + params."""
+        import json
+        import os
+        import posixpath
+
+        spark = df.sparkSession
+        assigned, centroids = ivf_build(
+            df, id_col, vec_col, n_lists, seed, max_iter
+        )
+        dim = len(centroids[0])
+        row_schema = assigned.select("id", "v", "list_id").schema
+        idx = cls(
+            spark, path, centroids, n_lists, seed, dim, row_schema.json()
+        )
+        assigned.select("id", "v", "list_id").write.partitionBy(
+            "list_id"
+        ).mode("overwrite").parquet(
+            posixpath.join(idx._vectors_dir, "batch=0")
+        )
+        os.makedirs(path, exist_ok=True)
+        with open(posixpath.join(path, "centroids.json"), "w") as f:
+            json.dump(centroids, f)
+        with open(posixpath.join(path, "schema.json"), "w") as f:
+            f.write(row_schema.json())
+        return idx
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfServingIndex":
+        """Reopen a built index — driver-side JSON reads only, no Spark
+        jobs (the stored schema means even the probe scan skips footer
+        inference)."""
+        import json
+        import posixpath
+
+        with open(posixpath.join(path, "centroids.json")) as f:
+            centroids = json.load(f)
+        with open(posixpath.join(path, "schema.json")) as f:
+            schema_json = f.read()
+        n_lists, seed, dim = _read_stamp_params(spark, path, cls._MARKER)
+        return cls(spark, path, centroids, n_lists, seed, dim, schema_json)
+
+    # -- query -----------------------------------------------------------
+
+    def vectors(self) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(__import__("json").loads(self._schema_json))
+        # batch/list_id are directory-derived partition columns; the
+        # stored schema covers the data columns, so no footer job runs
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in ("list_id",)]
+        )
+        return (
+            self.spark.read.schema(data_schema)
+            .option("basePath", self._vectors_dir)
+            .parquet(self._vectors_dir)
+        )
+
+    def topk(
+        self,
+        query: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """Exact cosine top-k inside the *nprobe* closest cells. Cell
+        ranking is driver-side math over the loaded centroids; the scan
+        prunes ``list_id`` partition directories — zero jobs until the
+        probe scan executes."""
+        probe = ivf_probe_lists(query, self.centroids, nprobe)
+        cell = self.vectors().filter(F.col("list_id").isin(probe))
+        return cosine_topk(cell, "id", "v", query, k, round_digits=round_digits)
+
+    # -- arrival ---------------------------------------------------------
+
+    def append(
+        self, docs: DataFrame, id_col: str, vec_col: str, batch_id: int
+    ) -> None:
+        """Assign *docs* to their nearest existing centroid (squared
+        euclidean, first-min tie-break — the KMeans.transform rule) and
+        land them under ``batch=<batch_id>`` (overwrite: re-delivered
+        epochs converge). O(batch) work; the quantizer is fixed."""
+        import posixpath
+
+        from pyspark.sql.functions import pandas_udf
+
+        cents = np.array(self.centroids, dtype=np.float64)
+
+        @pandas_udf("int")
+        def nearest(vecs: pd.Series) -> pd.Series:
+            m = np.array(vecs.tolist(), dtype=np.float64)
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        stored = StructType.fromJson(_json.loads(self._schema_json))
+        v_type = stored["v"].dataType
+        # arrivals must land in the index's EXACT physical type — a
+        # double batch in a float index fails every subsequent scan
+        # (parquet readers don't coerce across files)
+        rows = docs.select(
+            F.col(id_col).cast(stored["id"].dataType).alias("id"),
+            F.col(vec_col).cast(v_type).alias("v"),
+            nearest(F.col(vec_col)).alias("list_id"),
+        )
+        rows.write.partitionBy("list_id").mode("overwrite").parquet(
+            posixpath.join(self._vectors_dir, f"batch={batch_id}")
+        )
+
+
+def _read_stamp_params(spark, path: str, marker: str) -> tuple[int, int, int]:
+    import posixpath
+
+    from ..streaming.dedup_stream import _hadoop, _read_marker
+
+    fs, _ = _hadoop(spark, path)
+    jmarker = spark._jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(path, marker)
+    )
+    stamp = _read_marker(fs, jmarker)
+    n_lists, seed, dim = (int(x) for x in stamp.split(","))
+    return n_lists, seed, dim
+
+
 # -- deterministic clustering + semantic dedup --------------------------------
 
 

@@ -332,6 +332,64 @@ def test_pq_guardrails(spark, emb):
         similarity.pq_train(df, "vec_id", "embedding", n_subspaces=2)
 
 
+def _next_job_id(spark) -> int:
+    return int(str(spark._jsc.sc().dagScheduler().nextJobId()))
+
+
+def test_ivf_serving_index_zero_build_jobs(spark, emb, query, exact10, tmp_path):
+    """The round-8 directive: an index you rebuild per query is not an
+    index. After one build, loading + planning a query must launch ZERO
+    Spark jobs (driver-side JSON reads, stored schema, centroid math on
+    the loaded list), and results must be identical call to call."""
+    path = str(tmp_path / "ivf")
+    similarity.IvfServingIndex.build(emb, "vec_id", "embedding", path, n_lists=8)
+
+    idx = similarity.IvfServingIndex.load(spark, path)
+    before = _next_job_id(spark)
+    df = idx.topk(query, k=10, nprobe=8)
+    assert _next_job_id(spark) == before  # zero jobs at plan build
+    got = [(r["id"], r["score"]) for r in df.collect()]
+    assert [i for i, _ in got] == exact10  # full probe == exact top-k
+
+    # second query call: still zero build jobs, identical results
+    before = _next_job_id(spark)
+    df2 = idx.topk(query, k=10, nprobe=8)
+    assert _next_job_id(spark) == before
+    assert [(r["id"], r["score"]) for r in df2.collect()] == got
+
+    # the probe scan prunes list_id partition DIRECTORIES
+    plan = idx.topk(query, k=10, nprobe=2)._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_ivf_serving_index_append_and_guard(spark, emb, query, tmp_path):
+    path = str(tmp_path / "ivf")
+    idx = similarity.IvfServingIndex.build(
+        emb, "vec_id", "embedding", path, n_lists=8
+    )
+    base_n = idx.vectors().count()
+    twin = emb.limit(1).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # arrivals are assigned to existing cells; epoch re-delivery
+    # overwrites its own batch dir (converges, never doubles), and the
+    # write coerces to the index's physical vector type
+    idx.append(twin, "vec_id", "embedding", batch_id=1)
+    assert idx.vectors().count() == base_n + 1
+    idx.append(twin, "vec_id", "embedding", batch_id=1)
+    assert idx.vectors().count() == base_n + 1
+    found = [r["id"] for r in idx.topk(query, k=3, nprobe=8).collect()]
+    assert 50_000 in found  # the twin of vec 0 lands in the top-3
+
+    # parameter stamp pins the quantizer for the index lifetime
+    with pytest.raises(ValueError, match="parameters"):
+        similarity.IvfServingIndex(
+            spark, path, idx.centroids, idx.n_lists + 8, idx.seed, idx.dim,
+            idx._schema_json,
+        )
+
+
 def test_pq_quantization_matches_spark_round(spark):
     # encode-time quantization must follow F.round's HALF_UP (ties away
     # from zero), not numpy's half-to-even — exact-.5 components are the
