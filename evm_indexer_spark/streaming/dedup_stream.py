@@ -347,18 +347,29 @@ def start_dedup_stream(
     landing_dir: str,
     index: MinHashBucketIndex,
     checkpoint_dir: str,
-    on_pairs: Callable[[list, int], None],
+    on_pairs: Callable[[list, int], None] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     seen_text_dir: str | None = None,
     assume_new_ids: bool = False,
+    pairs_dir: str | None = None,
 ):
     """Stream newline-JSON ``{<id_col>, <text_col>}`` docs from
-    *landing_dir*; per micro-batch: report near-dup pairs
-    (new-vs-corpus + new-vs-new) through *on_pairs(pairs, epoch_id)*,
-    then append the batch to the index and to the text store future
-    verifications read from.
+    *landing_dir*; per micro-batch: write near-dup pairs
+    (new-vs-corpus + new-vs-new) to ``<pairs_dir>/batch=<epoch_id>``
+    (default ``<index>/_pairs``), then append the batch to the index
+    and to the text store future verifications read from.
+
+    Pair volume is O(batch near-dups) — normally tiny, but UNBOUNDED
+    when a batch is mostly duplicates (a crawler replay, a mirror
+    dump), so the default verdict path is an executor-side parquet
+    sink, never a driver collect. ``on_pairs(pairs, epoch_id)`` is the
+    opt-in for bounded batches: when given, the epoch's WRITTEN pairs
+    are read back and collected (one computation, the sink stays the
+    source of truth; epoch re-delivery overwrites its own batch dir,
+    so the sink converges — callback side effects are the caller's to
+    idempotize, as before).
 
     An id that re-arrives in a LATER file (not an epoch re-delivery)
     would violate the index precondition — its buckets and text would
@@ -376,6 +387,7 @@ def start_dedup_stream(
     checkpoint dir resumes across restarts (classic incremental fill).
     """
     text_dir = seen_text_dir or posixpath.join(index.path, "_text")
+    out_dir = pairs_dir or posixpath.join(index.path, "_pairs")
     doc_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -404,8 +416,13 @@ def start_dedup_stream(
         corpus = prior.unionByName(batch.select(id_col, text_col))
         pairs = index.pairs_for(
             batch, corpus, id_col, text_col, jaccard_threshold
-        ).collect()
-        on_pairs([r.asDict() for r in pairs], epoch_id)
+        )
+        epoch_dir = posixpath.join(out_dir, f"batch={epoch_id}")
+        pair_schema = pairs.schema
+        pairs.write.mode("overwrite").parquet(epoch_dir)
+        if on_pairs is not None:
+            rows = spark.read.schema(pair_schema).parquet(epoch_dir).collect()
+            on_pairs([r.asDict() for r in rows], epoch_id)
         index.append(batch, id_col, text_col, batch_id=epoch_id)
         batch.select(id_col, text_col).write.mode("overwrite").parquet(
             posixpath.join(text_dir, f"batch={epoch_id}")

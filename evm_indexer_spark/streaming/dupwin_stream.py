@@ -157,17 +157,22 @@ def start_dupwin_stream(
     landing_dir: str,
     index: WindowHashIndex,
     checkpoint_dir: str,
-    on_stats: Callable[[list, int], None],
+    on_stats: Callable[[list, int], None] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     assume_new_ids: bool = False,
+    stats_dir: str | None = None,
 ):
     """Stream newline-JSON ``{<id_col>, <text_col>}`` docs from
-    *landing_dir*; per micro-batch: report each arriving doc's
-    duplicated-span statistics vs the corpus indexed so far through
-    ``on_stats(rows, epoch_id)`` (rows are dicts with doc_id /
-    n_tokens / n_windows / dup_windows / covered_tokens), then append
-    the batch's window counters to *index*.
+    *landing_dir*; per micro-batch: write each arriving doc's
+    duplicated-span statistics vs the corpus indexed so far (rows with
+    doc_id / n_tokens / n_windows / dup_windows / covered_tokens) to
+    ``<stats_dir>/batch=<epoch_id>`` (default ``<index>/_stats``), then
+    append the batch's window counters to *index*. Stats volume is
+    O(batch docs) — bounded, unlike pair verdicts — but the default
+    stays the executor-side sink for uniformity with the dedup
+    streams; ``on_stats(rows, epoch_id)`` opts in to a driver
+    read-back of the written epoch.
 
     Cross-epoch id re-arrival would double the re-arrived doc's window
     counters; the stream anti-joins each batch against the ids already
@@ -176,6 +181,7 @@ def start_dupwin_stream(
     full). ``availableNow`` + the same checkpoint dir resumes across
     restarts."""
     ids_dir = posixpath.join(index.path, "_ids")
+    out_dir = stats_dir or posixpath.join(index.path, "_stats")
     doc_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -200,10 +206,13 @@ def start_dupwin_stream(
             batch = batch.join(_seen_ids(epoch_id), id_col, "left_anti")
         if not batch.take(1):
             return
-        rows = index.stats_for(
-            batch, id_col, text_col, exclude_epoch=epoch_id
-        ).collect()
-        on_stats([r.asDict() for r in rows], epoch_id)
+        stats = index.stats_for(batch, id_col, text_col, exclude_epoch=epoch_id)
+        epoch_dir = posixpath.join(out_dir, f"batch={epoch_id}")
+        stat_schema = stats.schema
+        stats.write.mode("overwrite").parquet(epoch_dir)
+        if on_stats is not None:
+            rows = spark.read.schema(stat_schema).parquet(epoch_dir).collect()
+            on_stats([r.asDict() for r in rows], epoch_id)
         index.append(batch, id_col, text_col, batch_id=epoch_id)
         batch.select(id_col).write.mode("overwrite").parquet(
             posixpath.join(ids_dir, f"batch={epoch_id}")

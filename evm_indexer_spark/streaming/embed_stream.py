@@ -151,18 +151,19 @@ def start_embedding_dedup_stream(
     landing_dir: str,
     index: EmbeddingBucketIndex,
     checkpoint_dir: str,
-    on_pairs: Callable[[list, int], None],
+    on_pairs: Callable[[list, int], None] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "vec",
     min_cosine: float = 0.95,
     seen_vec_dir: str | None = None,
     assume_new_ids: bool = False,
+    pairs_dir: str | None = None,
 ):
     """Stream newline-JSON ``{<id_col>, <vec_col>}`` vectors from
-    *landing_dir*; per micro-batch: report near-dup pairs
-    (new-vs-corpus + new-vs-new) through *on_pairs(pairs, epoch_id)*,
-    then append the batch to the index and to the vector store future
-    verifications read from.
+    *landing_dir*; per micro-batch: write near-dup pairs
+    (new-vs-corpus + new-vs-new) to ``<pairs_dir>/batch=<epoch_id>``
+    (default ``<index>/_pairs``), then append the batch to the index
+    and to the vector store future verifications read from.
 
     Same delivery contract as ``start_dedup_stream``: cross-epoch id
     re-arrival is dropped by an anti-join against the vector store
@@ -170,8 +171,12 @@ def start_embedding_dedup_stream(
     current epoch's own directory, so a crashed epoch reprocesses in
     full); sources that guarantee at-most-once ids skip the guard with
     ``assume_new_ids=True``. ``availableNow`` + the same checkpoint dir
-    resumes across restarts."""
+    resumes across restarts. The verdict path is the same
+    executor-side parquet sink as ``start_dedup_stream`` (pair volume
+    is unbounded under an all-duplicates batch); ``on_pairs`` opts in
+    to a driver read-back of the written epoch for bounded batches."""
     vec_dir = seen_vec_dir or posixpath.join(index.path, "_vecs")
+    out_dir = pairs_dir or posixpath.join(index.path, "_pairs")
     doc_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -200,8 +205,13 @@ def start_embedding_dedup_stream(
         corpus = prior.unionByName(batch.select(id_col, vec_col))
         pairs = index.pairs_for(
             batch, corpus, id_col, vec_col, min_cosine
-        ).collect()
-        on_pairs([r.asDict() for r in pairs], epoch_id)
+        )
+        epoch_dir = posixpath.join(out_dir, f"batch={epoch_id}")
+        pair_schema = pairs.schema
+        pairs.write.mode("overwrite").parquet(epoch_dir)
+        if on_pairs is not None:
+            rows = spark.read.schema(pair_schema).parquet(epoch_dir).collect()
+            on_pairs([r.asDict() for r in rows], epoch_id)
         index.append(batch, id_col, vec_col, batch_id=epoch_id)
         batch.select(id_col, vec_col).write.mode("overwrite").parquet(
             posixpath.join(vec_dir, f"batch={epoch_id}")

@@ -243,6 +243,54 @@ def test_stream_custom_column_names(spark, tmp_path):
     assert (0, 1) in flat
 
 
+def test_stream_unbounded_pairs_go_to_sink_not_driver(spark, tmp_path):
+    """Adversarial all-duplicates batch (a mirror dump / crawler
+    replay): one epoch emits ≥100k near-dup pairs. The DEFAULT verdict
+    path is the epoch-keyed parquet sink — no ``on_pairs`` callback, no
+    driver collect anywhere in the path — so pair volume lands on
+    executors/disk and the epoch stays idempotent (re-delivery
+    overwrites its own batch dir)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    n = 500  # C(500,2) = 124,750 pairs from one epoch
+    _land(str(landing), [(i, BASE + " exact copy") for i in range(n)], "b1.json")
+    q = start_dedup_stream(spark, str(landing), ix, ckpt, jaccard_threshold=0.5)
+    q.awaitTermination(600)
+    pairs = spark.read.parquet(str(tmp_path / "ix" / "_pairs"))
+    assert pairs.count() == n * (n - 1) // 2
+    assert pairs.filter(F.col("jaccard") < 1.0).count() == 0
+    # identical docs: every unordered pair exactly once, ids ordered
+    assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_stream_callback_reads_back_written_epoch(spark, tmp_path):
+    # opt-in on_pairs must see exactly the rows the sink recorded
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    seen: list[dict] = []
+    _land(str(landing), [(0, BASE + " variant 0"), (1, BASE + " variant 1")],
+          "b1.json")
+    q = start_dedup_stream(
+        spark, str(landing), ix, ckpt,
+        on_pairs=lambda pairs, epoch: seen.extend(pairs),
+        jaccard_threshold=0.4,
+    )
+    q.awaitTermination(120)
+    sink = [
+        r.asDict()
+        for r in spark.read.parquet(str(tmp_path / "ix" / "_pairs"))
+        .drop("batch")  # epoch partition column, sink-read only
+        .collect()
+    ]
+    key = lambda d: (d["id_a"], d["id_b"])  # noqa: E731
+    assert sorted(seen, key=key) == sorted(sink, key=key)
+    assert any((d["id_a"], d["id_b"]) == (0, 1) for d in seen)
+
+
 def test_index_rejects_unknown_strategy(spark, tmp_path):
     # a typo'd strategy must fail loudly, not silently stamp "expr"
     # into the index marker for its lifetime

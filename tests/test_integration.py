@@ -297,18 +297,21 @@ def test_resp_depth_reorg_broker_restart_at_least_once(spark, tmp_path):
 
 
 def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
-    """Capstone: ONE landing flow drives all five arrival pipelines —
+    """Capstone: ONE landing flow drives all six arrival pipelines —
     block ingest (publish-once store + RESP), text dedup-on-arrival
     (MinHashBucketIndex), audit-on-arrival (NgramStatsStore),
-    substring-dedup-on-arrival (WindowHashIndex), and vocab-on-arrival
-    (WordCountStore) — with a broker restart and a depth-3 reorg
-    mid-stream. A consumer loop turns published blocks into document
-    arrivals (at-least-once: the reorged number re-arrives with new
-    content), the dedup stream's anti-join guard reduces that to the
-    at-most-once flow the other pipelines need (the documented
-    composition), and after recovery every store is exactly-once and
-    the incremental results equal their batch twins."""
+    substring-dedup-on-arrival (WindowHashIndex), vocab-on-arrival
+    (WordCountStore), and embedding dedup-on-arrival
+    (EmbeddingBucketIndex, consuming the DEFAULT parquet pair sink) —
+    with a broker restart and a depth-3 reorg mid-stream. A consumer
+    loop turns published blocks into document/vector arrivals
+    (at-least-once: the reorged number re-arrives with new content),
+    each guarded stream's anti-join reduces that to the at-most-once
+    flow the downstream pipelines need (the documented composition),
+    and after recovery every store is exactly-once and the incremental
+    results equal their batch twins."""
     import json
+    import math
 
     from evm_indexer_spark.operators import corpus, dedup
     from evm_indexer_spark.operators.corpus import (
@@ -327,6 +330,11 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
     from evm_indexer_spark.streaming.dupwin_stream import (
         WindowHashIndex,
         start_dupwin_stream,
+    )
+    from evm_indexer_spark.operators import similarity
+    from evm_indexer_spark.streaming.embed_stream import (
+        EmbeddingBucketIndex,
+        start_embedding_dedup_stream,
     )
     from evm_indexer_spark.streaming.vocab_stream import (
         WordCountStore,
@@ -352,6 +360,17 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
         # re-arrives as the same doc_id with DIFFERENT text
         return f"{BASE} block {payload['number']} tag {payload['hash'][:10]}"
 
+    def doc_vec(payload: dict) -> list[float]:
+        # vector twin of doc_text: derived from number AND hash, so the
+        # reorged number re-arrives as the same vec_id with a DIFFERENT
+        # vector; perturbations are small enough that all first-arrival
+        # pairs stay above the 0.99 cosine gate
+        v = [math.sin(3.3 + k * 1.7) for k in range(8)]
+        v[0] += 0.002 * payload["number"]
+        v[1] += 0.0005 * (sum(ord(c) for c in payload["hash"]) % 16)
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
     broker = RespBroker().start()
     host, port = broker.host, broker.port
     block_landing = tmp_path / "blocks"
@@ -360,6 +379,8 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
     doc_landing.mkdir()
     audit_landing = tmp_path / "audit"
     audit_landing.mkdir()
+    vec_landing = tmp_path / "vecs"
+    vec_landing.mkdir()
     store = BlockStore(spark, str(tmp_path / "store"))
     ingest_ckpt = str(tmp_path / "ckpt_ingest")
     index = MinHashBucketIndex(
@@ -368,6 +389,7 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
     stats = NgramStatsStore(spark, str(tmp_path / "stats"))
     dw_index = WindowHashIndex(spark, str(tmp_path / "dw"), window_n=4)
     vstore = WordCountStore(spark, str(tmp_path / "vocab"))
+    e_index = EmbeddingBucketIndex(spark, str(tmp_path / "eix"), dim=8)
     publish = make_resp_publisher(host, port)
 
     pairs_seen: list[dict] = []
@@ -376,6 +398,7 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
     merges_seen: list[list] = []
     audited: set[int] = set()  # ids already handed to the audit
     stored_text: dict[int, str] = {}  # expected text-store content
+    stored_vec: dict[int, list[float]] = {}  # expected vector store
 
     def drain_blocks(client) -> list[dict]:
         out = []
@@ -424,6 +447,14 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
             num_merges=4,
         )
         q.awaitTermination(180)
+        # embedding dedup-on-arrival over the vector landing (guard
+        # enabled; verdicts flow through the DEFAULT parquet pair sink —
+        # no callback, no driver collect)
+        q = start_embedding_dedup_stream(
+            spark, str(vec_landing), e_index, str(tmp_path / "ckpt_embed"),
+            min_cosine=0.99,
+        )
+        q.awaitTermination(180)
 
     try:
         # ---- leg 1: blocks 0..4 ----------------------------------------
@@ -444,6 +475,13 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
                     + "\n"
                 )
                 stored_text[p["number"]] = doc_text(p)
+        with open(vec_landing / "leg1.json", "w") as fh:
+            for p in payloads:
+                fh.write(
+                    json.dumps({"vec_id": p["number"], "vec": doc_vec(p)})
+                    + "\n"
+                )
+                stored_vec[p["number"]] = doc_vec(p)
         run_doc_pipelines("leg1")
         sub.close()
 
@@ -471,6 +509,13 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
                 )
                 # first arrival wins: the re-arrived 2 must NOT replace
                 stored_text.setdefault(p["number"], doc_text(p))
+        with open(vec_landing / "leg2.json", "w") as fh:
+            for p in payloads2:
+                fh.write(
+                    json.dumps({"vec_id": p["number"], "vec": doc_vec(p)})
+                    + "\n"
+                )
+                stored_vec.setdefault(p["number"], doc_vec(p))
         run_doc_pipelines("leg2")
         sub2.close()
 
@@ -566,5 +611,30 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
         assert merges_seen and merges_seen[-1] == bpe_train(
             docs_df, "text", num_merges=4
         )
+
+        # 7. embedding arrival: index exactly-once through the reorg
+        #    re-arrival (guard dropped the mutated vector for id 2),
+        #    and the DEFAULT parquet pair sink equals the batch twin
+        #    over the first-arrival vectors
+        assert e_index.buckets().count() == 7 * e_index.n_tables
+        vec_store = spark.read.parquet(str(tmp_path / "eix" / "_vecs"))
+        got_vecs = {r["vec_id"]: list(r["vec"]) for r in vec_store.collect()}
+        assert got_vecs == stored_vec
+        vec_df = spark.createDataFrame(
+            list(stored_vec.items()), "vec_id long, vec array<double>"
+        )
+        batch_vec_pairs = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in similarity.embedding_near_duplicates(
+                vec_df, "vec_id", "vec",
+                min_cosine=0.99, n_tables=e_index.n_tables, dim=8,
+            ).collect()
+        }
+        sink = spark.read.parquet(str(tmp_path / "eix" / "_pairs")).drop("batch")
+        sink_rows = sink.collect()
+        inc_vec = {(r["id_a"], r["id_b"], r["cosine"]) for r in sink_rows}
+        assert len(sink_rows) == len(inc_vec)  # each pair exactly once
+        assert inc_vec == batch_vec_pairs
+        assert len(inc_vec) == 21  # C(7,2): every first-arrival pair
     finally:
         broker.stop()
