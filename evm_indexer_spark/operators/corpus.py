@@ -632,6 +632,17 @@ def pii_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     compliance pass of a pretraining pipeline — at 100 TB this is scan
     throughput, which is exactly why it must not leave the JVM.
 
+    Counting contract: each category counts MATCHES OF ITS PATTERN ON
+    THE ORIGINAL TEXT, independently — one span can contribute to two
+    categories (a digits-only email domain also matches ipv4) even
+    though redaction is sequential and consumes the span exactly once.
+    The per-category counts therefore bound, not partition, the number
+    of distinct PII spans; the q70 oracle states the same independent
+    counts, so the gate checks this contract, not a distinct-span one.
+    Callers needing distinct-span counts should re-count each pattern
+    on the progressively redacted text, mirroring the replacement
+    order, on both engines.
+
     Returns (id, n_email, n_ssn, n_phone, n_ipv4, redacted)."""
     text = F.col(text_col)
     cols = [F.col(id_col).alias("id")]

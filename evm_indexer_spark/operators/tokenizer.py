@@ -50,8 +50,18 @@ def _check_text_clean(text: Column) -> Column:
 
 
 def _word_rep(word: Column) -> Column:
-    """word -> marker-delimited characters: ``\\x01c\\x01c...\\x01``."""
-    return F.concat(F.lit(MARK), F.regexp_replace(word, "(.)", "$1" + MARK))
+    """word -> marker-delimited characters: ``\\x01c\\x01c...\\x01``.
+
+    DOTALL is load-bearing: Java's ``\\s+`` split does not consume
+    U+0085/U+2028/U+2029, so a "word" can carry a line terminator that
+    a bare ``(.)`` would skip — producing a malformed rep on the
+    distributed tier while the driver tier's ``MARK.join`` delimits
+    every character. ``(?s)`` makes both tiers delimit identically.
+    (The DuckDB oracle's RE2 ``.`` already matches all of these except
+    ``\\n``, which ``\\s+`` does consume — so oracle parity holds.)"""
+    return F.concat(
+        F.lit(MARK), F.regexp_replace(word, "(?s)(.)", "$1" + MARK)
+    )
 
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:

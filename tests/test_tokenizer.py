@@ -67,6 +67,32 @@ def test_token_counts_match_reference(spark):
         assert n_words <= n_bpe <= len(re.sub(r"\s+", "", r["text"]))
 
 
+def test_exotic_line_separators_tier_identical(spark):
+    """U+0085/U+2028/U+2029 survive Java's \\s+ split (unlike \\n), so a
+    "word" can carry them; a non-DOTALL ``(.)`` skipped them in the
+    distributed rep while the driver tier delimited every char —
+    tier-dependent merges. Both tiers must now be bit-identical, with
+    the separator treated as an ordinary in-word symbol."""
+    weird = "ab ab abab ab ab cd cd cd"
+    df = spark.createDataFrame(
+        [(0, weird), (1, "ab ab cd cd")], "doc_id long, text string"
+    )
+    driver = tokenizer.bpe_train(df, "text", num_merges=4)
+    distributed = tokenizer.bpe_train(
+        df, "text", num_merges=4, driver_below=0
+    )
+    assert driver == distributed
+    # the separator-bearing words are the most frequent, so their
+    # symbols must appear inside learned merges - proving the rep
+    # delimited every char. (bpe_train_reference is NOT the yardstick
+    # here: Python's str.split treats these code points as whitespace,
+    # a tokenization difference by design; both Spark tiers share
+    # word_counts' Java \s+ tokenization.)
+    seps = {"\u2028", "\u0085", "\u2029"}
+    merged_syms = {s for left, right, _ in driver for s in (left, right)}
+    assert any(any(c in sym for c in seps) for sym in merged_syms)
+
+
 def test_overlapping_merge_is_single_pass_leftmost(spark):
     # 'aaa' + merge (a,a) -> ('aa','a'), the classic BPE edge the
     # marker-replace formulation must preserve
