@@ -28,10 +28,14 @@ Subset limits (validated, not silently mis-decoded):
   emulation-prevention removal, trailing-zero tolerance), SPS parsing
   across profiles (including the High-profile chroma_format_idc
   branch, all three pic_order_cnt_types, frame cropping, VUI skip),
-  PPS, IDR/non-IDR slice headers, and slice data whose macroblocks
-  are I_PCM. Entropy-coded residual macroblocks (CAVLC/CABAC) raise
-  NotImplementedError with the honest reason — decoding those is a
-  native-codec job, the same boundary the FLAC module documents.
+  PPS, IDR/non-IDR slice headers (including adaptive
+  dec_ref_pic_marking: the full MMCO op loop of table 7-9 parses
+  conformantly — in an intra-only stream the ops' DPB effects are
+  vacuous, so parsing is the complete decode), and slice data whose
+  macroblocks are I_PCM. Entropy-coded residual macroblocks
+  (CAVLC/CABAC) raise NotImplementedError with the honest reason —
+  decoding those is a native-codec job, the same boundary the FLAC
+  module documents.
 
 The hot paths are byte-bulk: I_PCM sample planes are sliced with
 numpy (no per-pixel Python), and emulation prevention runs a
@@ -499,10 +503,31 @@ def h264_decode(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                     r.u(1)  # no_output_of_prior_pics_flag
                     r.u(1)  # long_term_reference_flag
                 elif r.u(1):  # adaptive_ref_pic_marking_mode_flag
-                    raise NotImplementedError(
-                        "adaptive reference marking (MMCO) belongs to "
-                        "inter prediction, outside the I_PCM subset"
-                    )
+                    # memory_management_control_operation loop
+                    # (7.3.3.3, table 7-9). In an intra-only stream the
+                    # ops' DPB effects are vacuous — no later picture
+                    # ever references a marked one — so CONFORMANT
+                    # PARSING (exact payload shape per op, so the bit
+                    # position reaches slice_qp_delta correctly) is the
+                    # complete decode; an op outside 0..6 is corrupt
+                    # data, never silently skipped.
+                    while True:
+                        op = r.ue()
+                        if op == 0:
+                            break
+                        if op > 6:
+                            raise ValueError(
+                                f"invalid memory_management_control_"
+                                f"operation {op} (spec allows 0..6)"
+                            )
+                        if op in (1, 3):
+                            r.ue()  # difference_of_pic_nums_minus1
+                        if op == 2:
+                            r.ue()  # long_term_pic_num
+                        if op in (3, 6):
+                            r.ue()  # long_term_frame_idx
+                        if op == 4:
+                            r.ue()  # max_long_term_frame_idx_plus1
             r.se()  # slice_qp_delta
             if pps["deblocking_present"]:
                 if r.ue() != 1:  # disable_deblocking_filter_idc

@@ -256,18 +256,67 @@ def test_pps_gated_slice_header_fields_decode():
     assert (y == 7).all() and (cb == 8).all() and (cr == 9).all()
 
 
-def test_adaptive_ref_marking_raises():
+def _non_idr_mmco_slice(ops, fill=33) -> bytes:
+    """Hand-built non-IDR I slice with an adaptive dec_ref_pic_marking
+    (MMCO) sequence followed by one I_PCM macroblock. *ops* is a list
+    of (op, args...) tuples WITHOUT the terminating op 0."""
     w = _BitWriter()
-    w.ue(0)
-    w.ue(7)
-    w.ue(0)
+    w.ue(0)  # first_mb
+    w.ue(7)  # I slice, all-I picture
+    w.ue(0)  # pps id
     w.u(1, 4)  # frame_num 1 (non-IDR)
     w.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
+    for op, *args in ops:
+        w.ue(op)
+        for a in args:
+            w.ue(a)
+    w.ue(0)  # MMCO terminator
+    w.se(0)  # slice_qp_delta
+    w.ue(25)  # I_PCM
+    w.align()
+    w.bytes_aligned(bytes([fill]) * 256)
+    w.bytes_aligned(bytes([fill + 1]) * 64)
+    w.bytes_aligned(bytes([fill + 2]) * 64)
     w.trailing_bits()
-    buf = _nal(7, 3, _sps_custom(1, 1)) + _nal(8, 3, _pps_rbsp()) + _nal(
-        1, 3, w.getvalue()
+    return w.getvalue()
+
+
+def test_non_idr_mmco_parses_and_decodes():
+    """Conformance: every MMCO op shape from table 7-9 — sliding-window
+    marks (1), long-term ops (2/3/4/6), and the reset op (5, no
+    payload) — must parse so the bit position reaches the macroblock
+    data exactly; in an intra-only stream the ops' DPB effects are
+    vacuous, so the decoded planes must equal the IDR picture's."""
+    ops = [
+        (1, 0),   # mark short-term unused: difference_of_pic_nums_minus1
+        (2, 3),   # mark long-term pic unused: long_term_pic_num
+        (3, 1, 0),  # short->long: diff_minus1 + long_term_frame_idx
+        (4, 2),   # max_long_term_frame_idx_plus1
+        (5,),     # reset: no payload
+        (6, 1),   # current->long: long_term_frame_idx
+    ]
+    buf = (
+        _nal(7, 3, _sps_custom(1, 1))
+        + _nal(8, 3, _pps_rbsp())
+        + _nal(5, 3, _slice_rbsp(0, 1, 1, fill=33))
+        + _nal(1, 3, _non_idr_mmco_slice(ops, fill=33))
     )
-    with pytest.raises(NotImplementedError, match="MMCO"):
+    y, cb, cr = h264_decode(buf)
+    assert y.shape == (2, 16, 16)
+    assert (y[0] == y[1]).all() and (y == 33).all()
+    # the MMCO slice's own payload decodes bit-exactly (chroma fills
+    # differ per helper: _slice_rbsp writes 64/65, this slice 34/35)
+    assert (cb[1] == 34).all() and (cr[1] == 35).all()
+    assert (cb[0] == 64).all() and (cr[0] == 65).all()
+
+
+def test_non_idr_mmco_invalid_op_is_corrupt_not_skipped():
+    buf = (
+        _nal(7, 3, _sps_custom(1, 1))
+        + _nal(8, 3, _pps_rbsp())
+        + _nal(1, 3, _non_idr_mmco_slice([(7,)]))
+    )
+    with pytest.raises(ValueError, match="memory_management_control"):
         h264_decode(buf)
 
 
