@@ -1517,16 +1517,18 @@ def editdist_candidates(
             ),
         )
     )
-    ranked = (
-        grams.withColumn("freq", F.count(F.lit(1)).over(W.partitionBy("e")))
-        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("id")))
-        .withColumn(
-            "rk", F.row_number().over(W.partitionBy("id").orderBy("freq", "e"))
-        )
+    # sz is exactly len − q + 1 (grams emits one row per position, no
+    # dedup), so no per-id count window is needed — one less Window
+    # execution over the largest intermediate of the candidate path
+    sz = F.col("len") - qgram + 1
+    ranked = grams.withColumn(
+        "freq", F.count(F.lit(1)).over(W.partitionBy("e"))
+    ).withColumn(
+        "rk", F.row_number().over(W.partitionBy("id").orderBy("freq", "e"))
     )
     prefix = ranked.filter(
-        F.col("rk") <= F.least(F.col("sz"), F.lit(dq + 1))
-    ).select("id", "len", "e", (F.col("sz") > dq).alias("long"))
+        F.col("rk") <= F.least(sz, F.lit(dq + 1))
+    ).select("id", "len", "e", (sz > dq).alias("long"))
     cand = (
         prefix.alias("a")
         .join(
@@ -1584,11 +1586,6 @@ def editdist_near_duplicates(
 
     Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist.
     """
-    if bucket_width <= max_dist:
-        raise ValueError(
-            f"bucket_width ({bucket_width}) must exceed max_dist "
-            f"({max_dist}) for adjacent-bucket blocking to be exact"
-        )
     if strategy == "auto":
         strategy = (
             "bucket" if df.limit(brute_below).count() < brute_below else "prefix"
@@ -1596,6 +1593,13 @@ def editdist_near_duplicates(
     if strategy == "prefix":
         matched = editdist_candidates(df, id_col, text_col, max_dist, qgram)
     elif strategy == "bucket":
+        # only the bucket plan uses bucket_width (the prefix path's
+        # short fallback derives its own exact width of max_dist + 1)
+        if bucket_width <= max_dist:
+            raise ValueError(
+                f"bucket_width ({bucket_width}) must exceed max_dist "
+                f"({max_dist}) for adjacent-bucket blocking to be exact"
+            )
         base = df.select(
             F.col(id_col).alias("id"),
             F.col(text_col).alias("t"),

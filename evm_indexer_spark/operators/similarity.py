@@ -537,12 +537,29 @@ class IvfServingIndex:
         max_iter: int = 5,
     ) -> "IvfServingIndex":
         """Fit the coarse quantizer, write the corpus partitioned by
-        cell as ``batch=0``, persist centroids + schema + params."""
+        cell as ``batch=0``, persist centroids + schema + params.
+
+        Refuses a path that already holds appended batch dirs: their
+        rows were assigned under the OLD quantizer, and replacing
+        batch=0 + centroids around them would file those vectors in
+        wrong cells — a silently-wrong index, exactly what the
+        parameter stamp exists to prevent (it pins only
+        (n_lists, seed, dim), not the fitted centroids)."""
         import json
-        import os
         import posixpath
 
+        from ..streaming.dedup_stream import _list_batch_dirs
+
         spark = df.sparkSession
+        vectors_dir = posixpath.join(path, "vectors")
+        prior = _list_batch_dirs(spark, vectors_dir)
+        if [d for d in prior if posixpath.basename(d) != "batch=0"]:
+            raise ValueError(
+                f"index at {path} already holds appended batches "
+                f"({len(prior)} dirs) assigned under its existing "
+                "centroids — rebuilding in place would file them in "
+                "wrong cells; build into a fresh path instead"
+            )
         assigned, centroids = ivf_build(
             df, id_col, vec_col, n_lists, seed, max_iter
         )
@@ -556,25 +573,29 @@ class IvfServingIndex:
         ).mode("overwrite").parquet(
             posixpath.join(idx._vectors_dir, "batch=0")
         )
-        os.makedirs(path, exist_ok=True)
-        with open(posixpath.join(path, "centroids.json"), "w") as f:
-            json.dump(centroids, f)
-        with open(posixpath.join(path, "schema.json"), "w") as f:
-            f.write(row_schema.json())
+        # sidecars go through the Hadoop FS like the stamp and the
+        # vectors — local open() would break every non-local index path
+        _write_sidecar(
+            spark, posixpath.join(path, "centroids.json"),
+            json.dumps(centroids),
+        )
+        _write_sidecar(
+            spark, posixpath.join(path, "schema.json"), row_schema.json()
+        )
         return idx
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfServingIndex":
-        """Reopen a built index — driver-side JSON reads only, no Spark
-        jobs (the stored schema means even the probe scan skips footer
-        inference)."""
+        """Reopen a built index — driver-side small-file reads only, no
+        Spark jobs (the stored schema means even the probe scan skips
+        footer inference)."""
         import json
         import posixpath
 
-        with open(posixpath.join(path, "centroids.json")) as f:
-            centroids = json.load(f)
-        with open(posixpath.join(path, "schema.json")) as f:
-            schema_json = f.read()
+        centroids = json.loads(
+            _read_sidecar(spark, posixpath.join(path, "centroids.json"))
+        )
+        schema_json = _read_sidecar(spark, posixpath.join(path, "schema.json"))
         n_lists, seed, dim = _read_stamp_params(spark, path, cls._MARKER)
         return cls(spark, path, centroids, n_lists, seed, dim, schema_json)
 
@@ -650,6 +671,30 @@ class IvfServingIndex:
         )
 
 
+def _write_sidecar(spark, path: str, text: str) -> None:
+    """Small driver-side file write through the Hadoop FS (works on any
+    index location, not just local paths)."""
+    from ..streaming.dedup_stream import _hadoop
+
+    fs, _ = _hadoop(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode()))
+    finally:
+        out.close()
+
+
+def _read_sidecar(spark, path: str) -> str:
+    from ..streaming.dedup_stream import _hadoop, _read_small
+
+    fs, _ = _hadoop(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(jpath):
+        raise ValueError(f"no index sidecar at {path} — not a built index")
+    return _read_small(fs, jpath)
+
+
 def _read_stamp_params(spark, path: str, marker: str) -> tuple[int, int, int]:
     import posixpath
 
@@ -659,6 +704,13 @@ def _read_stamp_params(spark, path: str, marker: str) -> tuple[int, int, int]:
     jmarker = spark._jvm.org.apache.hadoop.fs.Path(
         posixpath.join(path, marker)
     )
+    # fail fast on a missing stamp: _read_marker's retry loop exists for
+    # the create/close race, not for absent files — without this check a
+    # deleted stamp means a 5 s blind hang then int('') noise
+    if not fs.exists(jmarker):
+        raise ValueError(
+            f"no {marker} stamp at {path} — not a built IvfServingIndex"
+        )
     stamp = _read_marker(fs, jmarker)
     n_lists, seed, dim = (int(x) for x in stamp.split(","))
     return n_lists, seed, dim
@@ -958,15 +1010,41 @@ def semantic_dedup(
 # -- product quantization (the compressed-vector ANN tier) --------------------
 
 
-def _quantize_half_away(m: np.ndarray, scale: int) -> np.ndarray:
-    """float → int64 grid quantization with the SAME rounding rule as
-    Spark's ``F.round`` (HALF_UP: ties away from zero). ``np.rint``
-    rounds half-to-even, so a component landing exactly on .5 after
-    scaling would take a different grid point at encode time than
-    ``pq_train``'s Spark-side quantization took at train time —
-    breaking the same-grid discipline the k-means family preserves."""
-    s = m * scale
-    return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+def _spark_quantize(col: Column, scale: int) -> Column:
+    """The ONE grid-quantization expression every PQ stage shares:
+    ``round(x * scale)`` as int64, evaluated by Spark. Training,
+    encoding, and the oracle all quantize through this same expression,
+    so the grid is identical by construction — no float-rounding mirror
+    to keep in sync. (An earlier numpy mirror using
+    ``floor(|s| + 0.5)`` diverged from F.round's BigDecimal HALF_UP
+    for doubles one ulp below a .5 tie: numpy's ``s + 0.5`` rounds to
+    1.0 at s = 0.49999999999999994 while BigDecimal.valueOf sees the
+    decimal string and returns 0.)"""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def _quantize_query_half_up(vals: list[float], scale: int) -> np.ndarray:
+    """Driver-side twin of ``_spark_quantize`` for a single query
+    vector. Mirrors F.round's exact semantics — Java's
+    ``BigDecimal.valueOf(double)`` parses ``Double.toString`` and
+    rounds HALF_UP — via ``Decimal(repr(s))``: both languages print a
+    round-tripping decimal of the SAME double, and two round-tripping
+    strings of one double can never straddle a .5 boundary (k + 0.5 is
+    itself a representable double), so integer HALF_UP rounding agrees
+    for every input."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = [
+        int(
+            Decimal(repr(float(v) * scale)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        for v in vals
+    ]
+    return np.array(out, dtype=np.int64)
 
 
 def pq_train(
@@ -994,10 +1072,7 @@ def pq_train(
 
     if not isinstance(df.schema[id_col].dataType, IntegralType):
         raise ValueError("pq_train requires an integral id column")
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * scale).cast("long"),
-    )
+    q = _spark_quantize(F.col(vec_col), scale)
     rows = (
         df.select(F.col(id_col).alias("id"), q.alias("q"))
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
@@ -1045,10 +1120,8 @@ def pq_encode(
     n_sub, _, d = books.shape
 
     @pandas_udf("array<int>")
-    def codes(vecs: pd.Series) -> pd.Series:
-        m = _quantize_half_away(
-            np.array(vecs.tolist(), dtype=np.float64), scale
-        )
+    def codes(qvecs: pd.Series) -> pd.Series:
+        m = np.array(qvecs.tolist(), dtype=np.int64)
         out = np.empty((len(m), n_sub), dtype=np.int32)
         for s in range(n_sub):
             sub = m[:, s * d : (s + 1) * d]
@@ -1056,8 +1129,11 @@ def pq_encode(
             out[:, s] = dist.argmin(axis=1).astype(np.int32)
         return pd.Series(list(out))
 
+    # quantization happens SPARK-SIDE through the same expression
+    # pq_train used, so train/encode grids are identical by construction
     return df.select(
-        F.col(id_col).alias("id"), codes(F.col(vec_col)).alias("codes")
+        F.col(id_col).alias("id"),
+        codes(_spark_quantize(F.col(vec_col), scale)).alias("codes"),
     )
 
 
@@ -1079,7 +1155,7 @@ def pq_topk(
 
     books = np.asarray(codebooks, dtype=np.int64)
     n_sub, _, d = books.shape
-    qv = _quantize_half_away(np.array(query, dtype=np.float64), scale)
+    qv = _quantize_query_half_up(query, scale)
     table = np.stack(
         [
             ((books[s] - qv[s * d : (s + 1) * d][None, :]) ** 2).sum(axis=1)

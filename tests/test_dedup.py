@@ -297,6 +297,11 @@ def test_editdist_straddling_buckets_found(spark):
                                        max_dist=50, bucket_width=50)
     with pytest.raises(ValueError):
         dedup.editdist_near_duplicates(df, "id", "text", strategy="nope")
+    # the prefix plan never uses bucket_width (its short fallback
+    # derives its own exact width), so the guard must not fire there
+    dedup.editdist_near_duplicates(
+        df, "id", "text", max_dist=60, bucket_width=50, strategy="prefix"
+    ).collect()
 
 
 def _editdist_corpus(rng, lengths, n, alpha="abcdefghijklmnopqrstuvwxyz"):

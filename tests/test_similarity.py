@@ -302,8 +302,8 @@ def test_pq_adc_self_distance_equals_reconstruction(spark, emb):
     row = emb.limit(1).collect()[0]
     import numpy as np
 
-    x = similarity._quantize_half_away(
-        np.array(row["embedding"], dtype=np.float64), 1000
+    x = similarity._quantize_query_half_up(
+        [float(v) for v in row["embedding"]], 1000
     )
     d = x.size // 8
     recon = np.concatenate(
@@ -388,14 +388,37 @@ def test_ivf_serving_index_append_and_guard(spark, emb, query, tmp_path):
             spark, path, idx.centroids, idx.n_lists + 8, idx.seed, idx.dim,
             idx._schema_json,
         )
+    # rebuilding in place over appended batches would file batch=1's
+    # rows under stale cell assignments — refused, not silently mixed
+    with pytest.raises(ValueError, match="appended batches"):
+        similarity.IvfServingIndex.build(
+            emb, "vec_id", "embedding", path, n_lists=8
+        )
+
+
+def test_ivf_serving_index_load_missing_pieces_fail_fast(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="sidecar"):
+        similarity.IvfServingIndex.load(spark, str(tmp_path / "nowhere"))
+    path = str(tmp_path / "ivf")
+    similarity.IvfServingIndex.build(emb, "vec_id", "embedding", path, n_lists=8)
+    import os
+
+    os.remove(os.path.join(path, "_params"))
+    # a deleted stamp must be a clear error, not a retry-loop hang
+    # followed by int('') noise
+    with pytest.raises(ValueError, match="stamp"):
+        similarity.IvfServingIndex.load(spark, path)
 
 
 def test_pq_quantization_matches_spark_round(spark):
-    # encode-time quantization must follow F.round's HALF_UP (ties away
-    # from zero), not numpy's half-to-even — exact-.5 components are the
-    # discriminating inputs (m/1000.0 * 1000.0 == m exactly for these)
-    import numpy as np
-
+    """The query-vector quantizer must follow F.round's exact semantics
+    (BigDecimal.valueOf(Double.toString) + HALF_UP). Discriminating
+    inputs: exact-.5 grid values (ties away from zero, where np.rint's
+    half-to-even failed) AND a double one ulp below a .5 tie, where the
+    floor(|s|+0.5) trick fails the other way (s + 0.5 IEEE-rounds UP to
+    1.0 while the decimal string 0.49999999999999994 rounds to 0).
+    Corpus-side encoding needs no mirror at all — it quantizes through
+    the same Spark expression training used (_spark_quantize)."""
     vals = [24.5, -24.5, 3.5, -7.5, 0.5, -0.5, 101.5, 24.4999, -3.49]
     assert all((m / 1000.0) * 1000.0 == m for m in vals if m == int(m) + 0.5)
     xs = [m / 1000.0 for m in vals]
@@ -406,10 +429,15 @@ def test_pq_quantization_matches_spark_round(spark):
             F.round(F.col("x") * 1000).cast("long").alias("q")
         ).collect()
     ]
-    np_side = similarity._quantize_half_away(
-        np.array(xs, dtype=np.float64), 1000
-    ).tolist()
-    assert np_side == spark_side
+    driver_side = similarity._quantize_query_half_up(xs, 1000).tolist()
+    assert driver_side == spark_side
+
+    ulp = 0.49999999999999994  # 0.5 - 2^-54: floor(|s|+0.5) says 1
+    one_ulp = spark.createDataFrame([(ulp,)], "x double").select(
+        F.round(F.col("x") * 1).cast("long").alias("q")
+    ).collect()[0]["q"]
+    assert one_ulp == 0
+    assert similarity._quantize_query_half_up([ulp], 1).tolist() == [0]
 
 
 def test_pq_train_truncates_short_sample(spark):
