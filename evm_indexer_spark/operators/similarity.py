@@ -508,6 +508,8 @@ class IvfServingIndex:
         seed: int,
         dim: int,
         schema_json: str,
+        codebooks: np.ndarray | None = None,
+        scale: int = 1000,
     ) -> None:
         import posixpath
 
@@ -519,6 +521,8 @@ class IvfServingIndex:
         self.n_lists = n_lists
         self.seed = seed
         self.dim = dim
+        self.codebooks = codebooks
+        self.scale = scale
         self._schema_json = schema_json
         self._vectors_dir = posixpath.join(path, "vectors")
         _claim_stamp(spark, path, self._MARKER, f"{n_lists},{seed},{dim}")
@@ -535,9 +539,20 @@ class IvfServingIndex:
         n_lists: int = 16,
         seed: int = 42,
         max_iter: int = 5,
+        pq_subspaces: int | None = None,
+        pq_centroids: int = 16,
+        pq_iters: int = 3,
+        scale: int = 1000,
     ) -> "IvfServingIndex":
         """Fit the coarse quantizer, write the corpus partitioned by
         cell as ``batch=0``, persist centroids + schema + params.
+
+        ``pq_subspaces`` turns the index into IVF-PQ — the canonical
+        billion-scale ANN layout: per-subspace codebooks are trained
+        once (``pq_train``) and every stored row carries its
+        ``n_subspaces``-byte code next to the raw vector. The ADC scan
+        then reads ONLY (id, codes) — parquet column pruning keeps the
+        raw vectors on disk until the re-rank touches the shortlist.
 
         Refuses a path that already holds appended batch dirs: their
         rows were assigned under the OLD quantizer, and replacing
@@ -560,15 +575,30 @@ class IvfServingIndex:
                 "centroids — rebuilding in place would file them in "
                 "wrong cells; build into a fresh path instead"
             )
+        books = None
+        if pq_subspaces is not None:
+            books = pq_train(
+                df, id_col, vec_col,
+                n_subspaces=pq_subspaces, n_centroids=pq_centroids,
+                iters=pq_iters, scale=scale,
+            )
         assigned, centroids = ivf_build(
             df, id_col, vec_col, n_lists, seed, max_iter
         )
         dim = len(centroids[0])
-        row_schema = assigned.select("id", "v", "list_id").schema
+        cols = ["id", "v"]
+        if books is not None:
+            assigned = assigned.withColumn(
+                "codes",
+                _pq_codes_udf(books)(_spark_quantize(F.col("v"), scale)),
+            )
+            cols.append("codes")
+        row_schema = assigned.select(*cols, "list_id").schema
         idx = cls(
-            spark, path, centroids, n_lists, seed, dim, row_schema.json()
+            spark, path, centroids, n_lists, seed, dim, row_schema.json(),
+            codebooks=books, scale=scale,
         )
-        assigned.select("id", "v", "list_id").write.partitionBy(
+        assigned.select(*cols, "list_id").write.partitionBy(
             "list_id"
         ).mode("overwrite").parquet(
             posixpath.join(idx._vectors_dir, "batch=0")
@@ -582,13 +612,19 @@ class IvfServingIndex:
         _write_sidecar(
             spark, posixpath.join(path, "schema.json"), row_schema.json()
         )
+        if books is not None:
+            _write_sidecar(
+                spark, posixpath.join(path, "pq.json"),
+                json.dumps({"scale": scale, "books": books.tolist()}),
+            )
         return idx
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfServingIndex":
         """Reopen a built index — driver-side small-file reads only, no
         Spark jobs (the stored schema means even the probe scan skips
-        footer inference)."""
+        footer inference). The PQ sidecar is optional: its presence is
+        what makes the loaded index IVF-PQ."""
         import json
         import posixpath
 
@@ -597,7 +633,17 @@ class IvfServingIndex:
         )
         schema_json = _read_sidecar(spark, posixpath.join(path, "schema.json"))
         n_lists, seed, dim = _read_stamp_params(spark, path, cls._MARKER)
-        return cls(spark, path, centroids, n_lists, seed, dim, schema_json)
+        books = None
+        scale = 1000
+        raw = _read_sidecar(spark, posixpath.join(path, "pq.json"), optional=True)
+        if raw is not None:  # present -> IVF-PQ; corrupt JSON raises loudly
+            pq = json.loads(raw)
+            books = np.asarray(pq["books"], dtype=np.int64)
+            scale = int(pq["scale"])
+        return cls(
+            spark, path, centroids, n_lists, seed, dim, schema_json,
+            codebooks=books, scale=scale,
+        )
 
     # -- query -----------------------------------------------------------
 
@@ -631,6 +677,44 @@ class IvfServingIndex:
         cell = self.vectors().filter(F.col("list_id").isin(probe))
         return cosine_topk(cell, "id", "v", query, k, round_digits=round_digits)
 
+    def topk_pq(
+        self,
+        query: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        n_candidates: int | None = None,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """IVF-PQ serving: ADC shortlist over the STORED codes of the
+        ``nprobe`` probed cells, exact cosine re-rank of the shortlist's
+        raw vectors — both prunings compose: partition-directory pruning
+        cuts the cells, parquet column pruning keeps the raw ``v``
+        column unread through the ADC stage (its scan reads only
+        (id, codes); the re-rank reads (id, v) for the shortlist's
+        semi-join inside the same probed cells). No encode pass runs at
+        query time — codes were written at build/append, the point of
+        storing them. Zero Spark jobs before the scans; exhaustive
+        parameters (nprobe = n_lists, n_candidates ≥ corpus) provably
+        degenerate to the exact cosine top-k."""
+        if self.codebooks is None:
+            raise ValueError(
+                "index has no PQ codebooks — built without pq_subspaces"
+            )
+        if n_candidates is None:
+            n_candidates = 4 * k
+        if n_candidates < k:
+            raise ValueError(
+                f"n_candidates ({n_candidates}) must be >= k ({k})"
+            )
+        probe = ivf_probe_lists(query, self.centroids, nprobe)
+        cell = self.vectors().filter(F.col("list_id").isin(probe))
+        shortlist = pq_topk(
+            cell.select("id", "codes"), self.codebooks, query,
+            k=n_candidates, scale=self.scale,
+        )
+        kept = cell.join(F.broadcast(shortlist.select("id")), "id", "left_semi")
+        return cosine_topk(kept, "id", "v", query, k, round_digits=round_digits)
+
     # -- arrival ---------------------------------------------------------
 
     def append(
@@ -661,11 +745,20 @@ class IvfServingIndex:
         # arrivals must land in the index's EXACT physical type — a
         # double batch in a float index fails every subsequent scan
         # (parquet readers don't coerce across files)
-        rows = docs.select(
+        cols = [
             F.col(id_col).cast(stored["id"].dataType).alias("id"),
             F.col(vec_col).cast(v_type).alias("v"),
-            nearest(F.col(vec_col)).alias("list_id"),
-        )
+        ]
+        if self.codebooks is not None:
+            # IVF-PQ arrivals carry their codes like built rows do —
+            # same fixed codebooks, same Spark-side quantization
+            cols.append(
+                _pq_codes_udf(self.codebooks)(
+                    _spark_quantize(F.col(vec_col), self.scale)
+                ).alias("codes")
+            )
+        cols.append(nearest(F.col(vec_col)).alias("list_id"))
+        rows = docs.select(*cols)
         rows.write.partitionBy("list_id").mode("overwrite").parquet(
             posixpath.join(self._vectors_dir, f"batch={batch_id}")
         )
@@ -685,12 +778,14 @@ def _write_sidecar(spark, path: str, text: str) -> None:
         out.close()
 
 
-def _read_sidecar(spark, path: str) -> str:
+def _read_sidecar(spark, path: str, optional: bool = False) -> str | None:
     from ..streaming.dedup_stream import _hadoop, _read_small
 
     fs, _ = _hadoop(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
     if not fs.exists(jpath):
+        if optional:
+            return None
         raise ValueError(f"no index sidecar at {path} — not a built index")
     return _read_small(fs, jpath)
 
@@ -1117,6 +1212,21 @@ def pq_encode(
     from pyspark.sql.functions import pandas_udf
 
     books = np.asarray(codebooks, dtype=np.int64)
+    codes = _pq_codes_udf(books)
+    # quantization happens SPARK-SIDE through the same expression
+    # pq_train used, so train/encode grids are identical by construction
+    return df.select(
+        F.col(id_col).alias("id"),
+        codes(_spark_quantize(F.col(vec_col), scale)).alias("codes"),
+    )
+
+
+def _pq_codes_udf(books: np.ndarray):
+    """Arrow-batched nearest-centroid coder over ALREADY-QUANTIZED int64
+    sub-vectors (exact integer distances, first-min tie-break) — shared
+    by ``pq_encode`` and the IVF-PQ index's build/append paths."""
+    from pyspark.sql.functions import pandas_udf
+
     n_sub, _, d = books.shape
 
     @pandas_udf("array<int>")
@@ -1129,12 +1239,7 @@ def pq_encode(
             out[:, s] = dist.argmin(axis=1).astype(np.int32)
         return pd.Series(list(out))
 
-    # quantization happens SPARK-SIDE through the same expression
-    # pq_train used, so train/encode grids are identical by construction
-    return df.select(
-        F.col(id_col).alias("id"),
-        codes(_spark_quantize(F.col(vec_col), scale)).alias("codes"),
-    )
+    return codes
 
 
 def pq_topk(

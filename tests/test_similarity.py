@@ -396,6 +396,72 @@ def test_ivf_serving_index_append_and_guard(spark, emb, query, tmp_path):
         )
 
 
+def test_ivfpq_serving_exhaustive_equals_exact(spark, emb, query, exact10, tmp_path):
+    """IVF-PQ: ADC over STORED codes in probed cells + exact re-rank.
+    Exhaustive parameters (nprobe = n_lists, n_candidates = corpus)
+    provably degenerate to the exact cosine top-k; the query plan must
+    launch zero build jobs and the ADC stage's scan must read ONLY
+    (id, codes) — the raw vector column stays on disk until the
+    re-rank (parquet column pruning composing with cell pruning)."""
+    path = str(tmp_path / "ivfpq")
+    similarity.IvfServingIndex.build(
+        emb, "vec_id", "embedding", path, n_lists=8, pq_subspaces=8
+    )
+    idx = similarity.IvfServingIndex.load(spark, path)
+    assert idx.codebooks is not None and idx.codebooks.shape[0] == 8
+
+    n = emb.count()
+    before = _next_job_id(spark)
+    df = idx.topk_pq(query, k=10, nprobe=8, n_candidates=n)
+    assert _next_job_id(spark) == before  # zero jobs at plan build
+    got = [(r["id"], r["score"]) for r in df.collect()]
+    assert [i for i, _ in got] == exact10
+
+    plan = df._jdf.queryExecution().toString()
+    # one scan reads codes WITHOUT v (the ADC stage)...
+    assert "struct<id:bigint,codes:array<int>>" in plan.replace(" ", "").replace(
+        "ReadSchema:", ""
+    ) or "codes:array<int>>" in plan
+    adc_scans = [
+        seg for seg in plan.split("ReadSchema: ")[1:]
+        if seg.startswith("struct<") and "codes" in seg.split(">")[0]
+        and ",v:" not in seg.split(">\n")[0].split("struct<")[1][:80]
+    ]
+    assert adc_scans, plan
+
+    # selective serving regime: recall holds and the self-match leads
+    sel = [
+        r["id"] for r in idx.topk_pq(query, k=10, nprobe=8, n_candidates=60).collect()
+    ]
+    assert sel[0] == 0
+    assert len(set(sel) & set(exact10)) >= 7
+
+
+def test_ivfpq_append_carries_codes(spark, emb, query, tmp_path):
+    path = str(tmp_path / "ivfpq")
+    idx = similarity.IvfServingIndex.build(
+        emb, "vec_id", "embedding", path, n_lists=8, pq_subspaces=8
+    )
+    twin = emb.limit(1).select(
+        (F.col("vec_id") + 60_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    idx.append(twin, "vec_id", "embedding", batch_id=1)
+    n = idx.vectors().count()
+    # the appended twin is reachable through the PQ path (codes stored)
+    found = [
+        r["id"]
+        for r in idx.topk_pq(query, k=3, nprobe=8, n_candidates=n).collect()
+    ]
+    assert 60_000 in found
+    # plain-IVF index refuses the PQ path loudly
+    plain = similarity.IvfServingIndex.build(
+        emb, "vec_id", "embedding", str(tmp_path / "plain"), n_lists=8
+    )
+    with pytest.raises(ValueError, match="codebooks"):
+        plain.topk_pq(query, k=3)
+
+
 def test_ivf_serving_index_load_missing_pieces_fail_fast(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="sidecar"):
         similarity.IvfServingIndex.load(spark, str(tmp_path / "nowhere"))
