@@ -492,6 +492,12 @@ class IvfServingIndex:
     probe scan itself, which prunes to the ``nprobe`` closest cells via
     partition-directory pruning (pinned by
     tests/test_similarity.py::test_ivf_serving_index_zero_build_jobs).
+    One caveat, measured at 200k vectors / 64 cells: above
+    ``spark.sql.sources.parallelPartitionDiscovery.threshold`` (default
+    32) directories, plan build launches ONE distributed file-LISTING
+    job — Spark's partition discovery, not any index rebuild; raising
+    the threshold removes it, and nothing about the quantizer or codes
+    is ever recomputed.
     ``append`` assigns new vectors to their nearest EXISTING centroid
     (one Arrow pass over the batch — the quantizer is never retrained,
     matching how IVF indexes absorb arrivals everywhere) and lands them
