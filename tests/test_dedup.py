@@ -342,6 +342,56 @@ def test_editdist_strategies_identical(spark):
     assert any(a in shorts and b in shorts for a, b, _ in outs["prefix"])
 
 
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_prefix_lossless_property(spark):
+    """Hypothesis: the prefix strategy's output equals the exact
+    pure-Python edit-distance truth on arbitrary small corpora — the
+    count-filter/prefix-filter/short-fallback composition can never
+    drop a qualifying pair, across (max_dist, qgram) combinations,
+    repeats, empty strings, and strings shorter than the gram width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(alphabet="ab x", min_size=0, max_size=24)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        texts=st.lists(text, min_size=4, max_size=10),
+        max_dist=st.integers(min_value=2, max_value=6),
+        qgram=st.integers(min_value=2, max_value=4),
+    )
+    def prop(texts, max_dist, qgram):
+        docs = list(enumerate(texts))
+        truth = {
+            (i, j, _py_lev(a, b))
+            for (i, a) in docs
+            for (j, b) in docs
+            if i < j and _py_lev(a, b) <= max_dist
+        }
+        df = spark.createDataFrame(docs, "id long, text string")
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in dedup.editdist_near_duplicates(
+                df, "id", "text", max_dist=max_dist,
+                bucket_width=max_dist + 10, strategy="prefix", qgram=qgram,
+            ).collect()
+        }
+        assert got == truth
+
+    prop()
+
+
 def test_editdist_candidates_pair_bound_on_one_length_bucket(spark):
     """The scale regression the round-8 verdict flagged: every doc in
     ONE length bucket. Content-blind blocking enumerates all
