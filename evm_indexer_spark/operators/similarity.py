@@ -668,6 +668,37 @@ class IvfServingIndex:
             .parquet(self._vectors_dir)
         )
 
+    def indexed_ids(self, exclude_batch: int | None = None) -> DataFrame:
+        """Slim (id) scan of the indexed rows, optionally excluding one
+        batch dir — the arrival stream's re-arrival guard reads this
+        (excluding the current epoch, so a crashed epoch reprocesses in
+        full; the column projection keeps the guard one thin column
+        scan, never a vector read)."""
+        import json as _json
+
+        import posixpath
+
+        from pyspark.sql.types import StructType
+
+        from ..streaming.dedup_stream import _list_batch_dirs
+
+        stored = StructType.fromJson(_json.loads(self._schema_json))
+        id_schema = StructType([stored["id"]])
+        dirs = [
+            d
+            for d in _list_batch_dirs(self.spark, self._vectors_dir)
+            if exclude_batch is None
+            or posixpath.basename(d) != f"batch={exclude_batch}"
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], id_schema)
+        return (
+            self.spark.read.schema(id_schema)
+            .option("basePath", self._vectors_dir)
+            .parquet(*dirs)
+            .select("id")
+        )
+
     def topk(
         self,
         query: list[float],

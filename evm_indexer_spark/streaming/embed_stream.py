@@ -225,3 +225,58 @@ def start_embedding_dedup_stream(
         .trigger(availableNow=True)
     )
     return stream.start()
+
+
+def start_ann_index_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    assume_new_ids: bool = False,
+):
+    """ANN-serving-on-arrival: stream newline-JSON ``{<id_col>,
+    <vec_col>}`` vectors from *landing_dir* into a built
+    ``similarity.IvfServingIndex`` — each micro-batch is assigned to
+    its nearest existing cells and appended under ``batch=<epoch_id>``
+    (O(batch) work, quantizer fixed), so ``topk``/``topk_pq`` stay
+    fresh without any rebuild.
+
+    Delivery contract matches the other arrival pipelines: epoch
+    re-delivery overwrites its own batch dir (converges); cross-epoch
+    id re-arrival is dropped by an anti-join against the index's slim
+    id scan excluding the current epoch (a crashed epoch reprocesses
+    in full); ``assume_new_ids=True`` skips the guard for sources that
+    guarantee at-most-once ids. ``availableNow`` + the same checkpoint
+    dir resumes across restarts."""
+    doc_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField(vec_col, ArrayType(DoubleType()), True),
+        ]
+    )
+
+    def _process(batch, epoch_id: int) -> None:
+        # batch=0 belongs to the BUILD; arrivals own batch=<epoch+1>
+        # (stable per epoch, so re-delivery still overwrites its own
+        # dir — epoch 0 must never clobber the built corpus)
+        batch_id = epoch_id + 1
+        batch = batch.dropDuplicates([id_col])
+        if not assume_new_ids:
+            prior = index.indexed_ids(exclude_batch=batch_id).withColumnRenamed(
+                "id", id_col
+            )
+            batch = batch.join(prior, id_col, "left_anti")
+        if not batch.take(1):
+            return
+        index.append(batch, id_col, vec_col, batch_id=batch_id)
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .json(landing_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    return stream.start()

@@ -146,6 +146,46 @@ def test_stream_reports_cross_batch_pairs(spark, tmp_path):
     assert flat == {(i, 100 + i) for i in range(6)}
 
 
+def test_ann_index_stream_appends_and_guards(spark, tmp_path):
+    """ANN-serving-on-arrival: landing vectors append into a built
+    IvfServingIndex exactly once — epoch re-delivery converges, a
+    mutated cross-epoch re-arrival is dropped, and topk sees arrivals
+    without any rebuild (checkpoint resume between legs)."""
+    from evm_indexer_spark.streaming.embed_stream import start_ann_index_stream
+
+    base = _vectors(spark).filter(F.col("vec_id") < 6)
+    path = str(tmp_path / "ivf")
+    idx = similarity.IvfServingIndex.build(
+        base.withColumnRenamed("vec", "embedding"), "vec_id", "embedding",
+        path, n_lists=4, pq_subspaces=4,
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = start_ann_index_stream(spark, str(landing), idx, ckpt)
+        q.awaitTermination(120)
+
+    _land(str(landing), [(100, _perturb(_unit(0))), (101, _unit(20))], "b1.json")
+    run()
+    assert idx.vectors().count() == 8
+    # leg 2: id 100 re-arrives MUTATED (must be dropped) + one new id
+    _land(str(landing), [(100, _unit(7)), (102, _unit(21))], "b2.json")
+    run()
+    assert idx.vectors().count() == 9
+    ids = {r["id"] for r in idx.vectors().select("id").collect()}
+    assert ids == {0, 1, 2, 3, 4, 5, 100, 101, 102}
+    # the first-arrival vector for 100 was kept: it stays vec 0's twin
+    got = [r["id"] for r in idx.topk(_unit(0), k=2, nprobe=4).collect()]
+    assert set(got) == {0, 100}
+    # and the PQ path serves the arrivals too (codes were appended)
+    got_pq = [
+        r["id"] for r in idx.topk_pq(_unit(0), k=2, nprobe=4, n_candidates=9).collect()
+    ]
+    assert set(got_pq) == {0, 100}
+
+
 def test_stream_rearrived_id_is_dropped(spark, tmp_path):
     # an id landing again in a LATER file must not re-index (its bucket
     # rows would double and verification would see two vector versions)
