@@ -297,13 +297,16 @@ def test_resp_depth_reorg_broker_restart_at_least_once(spark, tmp_path):
 
 
 def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
-    """Capstone: ONE landing flow drives all six arrival pipelines —
+    """Capstone: ONE landing flow drives all seven arrival pipelines —
     block ingest (publish-once store + RESP), text dedup-on-arrival
     (MinHashBucketIndex), audit-on-arrival (NgramStatsStore),
     substring-dedup-on-arrival (WindowHashIndex), vocab-on-arrival
-    (WordCountStore), and embedding dedup-on-arrival
-    (EmbeddingBucketIndex, consuming the DEFAULT parquet pair sink) —
-    with a broker restart and a depth-3 reorg mid-stream. A consumer
+    (WordCountStore), embedding dedup-on-arrival
+    (EmbeddingBucketIndex, consuming the DEFAULT parquet pair sink),
+    and ANN-serving-on-arrival (IvfServingIndex built from leg-1
+    vectors, fed by the SAME vector landing — its guard absorbs the
+    already-indexed re-arrivals) — with a broker restart and a depth-3
+    reorg mid-stream. A consumer
     loop turns published blocks into document/vector arrivals
     (at-least-once: the reorged number re-arrives with new content),
     each guarded stream's anti-join reduces that to the at-most-once
@@ -334,6 +337,7 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
     from evm_indexer_spark.operators import similarity
     from evm_indexer_spark.streaming.embed_stream import (
         EmbeddingBucketIndex,
+        start_ann_index_stream,
         start_embedding_dedup_stream,
     )
     from evm_indexer_spark.streaming.vocab_stream import (
@@ -399,6 +403,7 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
     audited: set[int] = set()  # ids already handed to the audit
     stored_text: dict[int, str] = {}  # expected text-store content
     stored_vec: dict[int, list[float]] = {}  # expected vector store
+    ann_index: list = []  # built after leg 1's vectors exist
 
     def drain_blocks(client) -> list[dict]:
         out = []
@@ -455,6 +460,16 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
             min_cosine=0.99,
         )
         q.awaitTermination(180)
+        # ANN-serving-on-arrival: the SAME vector landing feeds the
+        # serving index built from leg-1 vectors — already-indexed ids
+        # (the whole leg-1 file, and the reorged re-arrival later) are
+        # dropped by its guard, new tips append without any rebuild
+        if ann_index:
+            q = start_ann_index_stream(
+                spark, str(vec_landing), ann_index[0],
+                str(tmp_path / "ckpt_ann"),
+            )
+            q.awaitTermination(180)
 
     try:
         # ---- leg 1: blocks 0..4 ----------------------------------------
@@ -482,6 +497,15 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
                     + "\n"
                 )
                 stored_vec[p["number"]] = doc_vec(p)
+        ann_index.append(
+            similarity.IvfServingIndex.build(
+                spark.createDataFrame(
+                    list(stored_vec.items()), "vec_id long, vec array<double>"
+                ),
+                "vec_id", "vec", str(tmp_path / "ann"),
+                n_lists=2, pq_subspaces=4,
+            )
+        )
         run_doc_pipelines("leg1")
         sub.close()
 
@@ -636,5 +660,22 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
         assert len(sink_rows) == len(inc_vec)  # each pair exactly once
         assert inc_vec == batch_vec_pairs
         assert len(inc_vec) == 21  # C(7,2): every first-arrival pair
+
+        # 8. ANN serving index: exactly-once through the same flow —
+        #    leg-1 re-arrivals and the reorged vector were dropped, the
+        #    two tips appended, and both serving paths answer over the
+        #    first-arrival corpus with no rebuild
+        idx = ann_index[0]
+        assert {r["id"] for r in idx.vectors().select("id").collect()} == set(
+            range(7)
+        )
+        q_vec = stored_vec[0]
+        got_ids = [r["id"] for r in idx.topk(q_vec, k=7, nprobe=2).collect()]
+        assert set(got_ids) == set(range(7)) and got_ids[0] == 0
+        got_pq = [
+            r["id"]
+            for r in idx.topk_pq(q_vec, k=7, nprobe=2, n_candidates=7).collect()
+        ]
+        assert set(got_pq) == set(range(7)) and got_pq[0] == 0
     finally:
         broker.stop()
