@@ -2447,3 +2447,53 @@ def q79(spark, sf):
         emb, "vec_id", "embedding", books, qv,
         k=10, n_candidates=n_cand, round_digits=4,
     )
+
+
+@register(
+    "q80_ngram_contamination",
+    # benchmark decontamination: a train doc is contaminated when any
+    # of its 8-token windows appears verbatim in the eval split
+    # (doc_id % 10 = 0). Same gram definition as q65; every output an
+    # exact integer, so nothing can drift between engines.
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\\s+', ' ')), ' ') AS t
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE doc_id % 10 <> 0 AND len(t) >= 8 AND t[1] <> ''
+    ),
+    eg AS (
+      SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE doc_id % 10 = 0 AND len(t) >= 8 AND t[1] <> ''
+    ),
+    win AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 AND t[1] <> '' THEN len(t) - 7
+                  ELSE 0 END AS n_windows
+      FROM toks WHERE doc_id % 10 <> 0
+    ),
+    hits AS (
+      SELECT tg.doc_id, count(*) AS n_contaminated
+      FROM tg JOIN eg USING (g) GROUP BY 1
+    )
+    SELECT w.doc_id AS id, w.n_windows,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           coalesce(h.n_contaminated, 0) >= 1 AS contaminated
+    FROM win w LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q80(spark, sf):
+    """Verbatim 8-gram train/eval decontamination
+    (``corpus.ngram_contamination``): eval grams collapse to a
+    broadcast distinct set, train stays one scan + map-side probe,
+    per-doc hit counts are the only aggregation — exact integers end
+    to end."""
+    doc = load_table(spark, sf, "documents")
+    train = doc.filter(F.col("doc_id") % 10 != 0)
+    ev = doc.filter(F.col("doc_id") % 10 == 0)
+    return corpus.ngram_contamination(train, ev, "doc_id", "text", n=8)

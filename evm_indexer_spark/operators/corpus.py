@@ -432,6 +432,76 @@ def _ngram_counts_pandas(df: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination by verbatim n-gram overlap — the
+    GPT-3-style check: a training document is contaminated when ≥
+    *min_hits* of its token n-gram windows appear verbatim anywhere in
+    the held-out/eval corpus. Gram definition is exactly
+    ``top_ngrams``'s (lowercase, ASCII-whitespace tokens, space-joined
+    windows), so the q65-proven tokenization parity carries over.
+
+    Shape at scale: the eval side collapses to its DISTINCT gram set —
+    for benchmark suites that set is tiny relative to a pretraining
+    corpus, so it BROADCASTS and the train side stays one scan +
+    map-side hash probe; the only aggregation is a per-doc count of
+    matched windows (at true benchmark×corpus scale the same plan
+    works with the broadcast swapped for a bloom-filter prefilter, a
+    drop-in refinement). All outputs are exact integers — no float
+    thresholds to drift between engines.
+
+    Returns (id, n_windows, n_contaminated, contaminated) for every
+    train document, zero-filled where nothing matched."""
+    if n < 1 or min_hits < 1:
+        raise ValueError("n and min_hits must be positive")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    pat = r"(?<= )(?=(" + r"\S+" + (r" \S+" * (n - 1)) + r"))"
+    grams = F.regexp_extract_all(F.concat(F.lit(" "), norm), F.lit(pat), 1)
+    spread = spread_small_scan(train)
+    # ONE regexp pass over the train text: window counts and hit counts
+    # both aggregate from the same exploded stream. (A size()-based
+    # variant re-ran the extraction in a second scan — identical time
+    # at gate SF where scheduling floors dominate, ~1.4s warm sf0.1
+    # either way, but at corpus scale the text pass IS the cost and
+    # this shape makes exactly one.)
+    exploded = spread.select(F.col(id_col).alias("id"), grams.alias("__g")).select(
+        "id", F.explode("__g").alias("__gram")
+    )
+    eval_grams = (
+        eval_df.select(F.explode(grams).alias("__gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        exploded.join(F.broadcast(eval_grams), "__gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    # zero-window docs (< n tokens) never reach the explode — restore
+    # them from an id-only projection (column pruning: no regexp runs)
+    return (
+        spread.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def _ngram_counts_expr(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:

@@ -322,3 +322,47 @@ def test_token_budget_sample_matches_reference(spark):
             assert got[did]["selected"] == (cum <= budget), (dom, did)
             assert got[did]["n_tokens"] == t
     assert len(got) == len(rows)  # every doc reported, selected or not
+
+
+def test_ngram_contamination_planted(spark):
+    """A train doc sharing a verbatim 3-gram window with an eval doc is
+    flagged; short docs report zero windows; min_hits gates the flag;
+    counts are exact window counts (each matching occurrence counts)."""
+    ev = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "nothing to see here at all folks"),
+            # two overlapping windows hit: "secret benchmark answer" and
+            # "benchmark answer is" (both verbatim in the eval doc)
+            (1, "we leaked the secret benchmark answer is here"),
+            (2, "tiny doc"),  # < 3 tokens -> zero windows
+            # the SAME hit window twice -> n_contaminated counts both
+            (3, "secret benchmark answer and secret benchmark answer"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r
+        for r in corpus.ngram_contamination(
+            train, ev, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert len(got) == 4
+    assert got[0]["n_contaminated"] == 0 and not got[0]["contaminated"]
+    assert got[1]["n_windows"] == 6  # 8 tokens, 3-gram windows
+    assert got[1]["n_contaminated"] == 3 and got[1]["contaminated"]
+    assert got[2]["n_windows"] == 0 and not got[2]["contaminated"]
+    assert got[3]["n_contaminated"] == 2 and got[3]["contaminated"]
+    # min_hits raises the bar: only the triple-hit doc stays flagged
+    strict = {
+        r["id"]: r["contaminated"]
+        for r in corpus.ngram_contamination(
+            train, ev, "doc_id", "text", n=3, min_hits=3
+        ).collect()
+    }
+    assert strict == {0: False, 1: True, 2: False, 3: False}
+    with pytest.raises(ValueError):
+        corpus.ngram_contamination(train, ev, "doc_id", "text", n=0)
