@@ -191,6 +191,10 @@ def main() -> None:
             "ingest_cold_blocks_per_sec": round(ingest_n / ingest_cold_s, 1),
             "ingest_blocks": ingest_n,
         }
+        try:  # machine-readable bench-window context (1/5/15 min)
+            metrics["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
         line = json.dumps(metrics)
         # the driver keeps only the LAST 2000 CHARS of stdout and
         # json-parses them — the full metrics object is ~5 KB, so every
@@ -216,9 +220,16 @@ def main() -> None:
             "ingest_blocks_per_sec": metrics["ingest_blocks_per_sec"],
             "detail": "bench_out.json",
         }
+        try:  # bench-window context: was the machine quiet?
+            compact["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
         compact_line = json.dumps(compact, separators=(",", ":"))
         if len(compact_line) > 1900:  # keep headroom under the 2000-char tail
+            # flag the drop so a scraped record with no per-query data
+            # reads as truncated, not as an empty run
             compact["queries"] = {}
+            compact["queries_truncated"] = True
             compact_line = json.dumps(compact, separators=(",", ":"))
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -2489,10 +2489,13 @@ def q79(spark, sf):
 )
 def q80(spark, sf):
     """Verbatim 8-gram train/eval decontamination
-    (``corpus.ngram_contamination``): eval grams collapse to a
-    broadcast distinct set, train stays one scan + map-side probe,
-    per-doc hit counts are the only aggregation — exact integers end
-    to end."""
+    (``corpus.ngram_contamination``): size-routed on a cheap eval-gram
+    cardinality probe — benchmark-sized eval collapses to a broadcast
+    distinct gram set (train stays one scan + map-side probe);
+    corpus-sized eval routes to a shuffled hash join instead of an
+    OOM-bound forced broadcast. Per-doc hit counts are the only
+    aggregation — exact integers end to end. The probe runs live here
+    (no eval_small hint), so the gate exercises the routing."""
     doc = load_table(spark, sf, "documents")
     train = doc.filter(F.col("doc_id") % 10 != 0)
     ev = doc.filter(F.col("doc_id") % 10 == 0)

@@ -439,6 +439,8 @@ def ngram_contamination(
     text_col: str,
     n: int = 8,
     min_hits: int = 1,
+    eval_small: bool | None = None,
+    broadcast_below: int = 2_000_000,
 ) -> DataFrame:
     """Benchmark decontamination by verbatim n-gram overlap — the
     GPT-3-style check: a training document is contaminated when ≥
@@ -447,14 +449,25 @@ def ngram_contamination(
     ``top_ngrams``'s (lowercase, ASCII-whitespace tokens, space-joined
     windows), so the q65-proven tokenization parity carries over.
 
-    Shape at scale: the eval side collapses to its DISTINCT gram set —
-    for benchmark suites that set is tiny relative to a pretraining
-    corpus, so it BROADCASTS and the train side stays one scan +
-    map-side hash probe; the only aggregation is a per-doc count of
-    matched windows (at true benchmark×corpus scale the same plan
-    works with the broadcast swapped for a bloom-filter prefilter, a
-    drop-in refinement). All outputs are exact integers — no float
-    thresholds to drift between engines.
+    Shape at scale — SIZE-ROUTED on the eval gram cardinality:
+
+    * benchmark-suite regime (the common one): the eval side collapses
+      to its DISTINCT gram set, small relative to a pretraining corpus,
+      so it BROADCASTS and the train side stays one scan + map-side
+      hash probe — no train-gram shuffle at all.
+    * big-eval regime (eval is itself corpus-sized): a forced broadcast
+      would OOM the driver/executors, so the probe routes to a plain
+      shuffle hash join on the gram key instead — both sides hash-
+      partition, AQE coalesces, and the plan degrades to a shuffle
+      rather than falling over.
+
+    The routing probe is one cheap eval text pass with a scalar
+    aggregate (``sum(size(grams))`` — TOTAL gram occurrences, an upper
+    bound on the distinct count, so it never shuffles gram strings and
+    errs only toward the safe shuffle plan). Callers that already know
+    the regime skip the probe with ``eval_small=True/False``. All
+    outputs are exact integers — no float thresholds to drift between
+    engines, and both regimes are value-identical by construction.
 
     Returns (id, n_windows, n_contaminated, contaminated) for every
     train document, zero-filled where nothing matched."""
@@ -478,8 +491,21 @@ def ngram_contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
+    if eval_small is None:
+        # Upper-bound probe: total occurrences >= distinct grams, one
+        # map pass + scalar agg (no gram strings leave the executors).
+        total = eval_df.select(
+            F.sum(F.size(grams)).alias("__n")
+        ).first()["__n"]
+        eval_small = (total or 0) <= broadcast_below
+    # big regime: pin a shuffled hash join (eval side builds per-
+    # partition maps) so a low size ESTIMATE can't re-broadcast a side
+    # the probe just measured as too big.
+    probe_side = (
+        F.broadcast(eval_grams) if eval_small else eval_grams.hint("shuffle_hash")
+    )
     per_doc = (
-        exploded.join(F.broadcast(eval_grams), "__gram", "left")
+        exploded.join(probe_side, "__gram", "left")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

@@ -44,6 +44,7 @@ from .dedup_stream import (
     _foldable_dirs,
     _hadoop,
     _list_batch_dirs,
+    _stream_batch_base,
 )
 
 STATS_SCHEMA = StructType(
@@ -156,6 +157,8 @@ def start_ngram_stream(
         ]
     )
 
+    base = _stream_batch_base(spark, checkpoint_dir, [store.path])
+
     def _process(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.dropDuplicates([id_col])
         if not batch.take(1):
@@ -165,7 +168,7 @@ def start_ngram_stream(
             F.col("n_occurrences").alias("occ"),
             F.col("n_docs").alias("docs"),
         )
-        store.append(partial, batch_id=epoch_id)
+        store.append(partial, batch_id=base + epoch_id)
         rows = store.top(k, min_count).collect()
         on_top([r.asDict() for r in rows], epoch_id)
 

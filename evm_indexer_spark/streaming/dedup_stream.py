@@ -169,6 +169,55 @@ def _claim_stamp(spark: SparkSession, root: str, marker: str, stamp: str) -> Non
         )
 
 
+def _stream_batch_base(
+    spark: SparkSession, checkpoint_dir: str, roots: list[str]
+) -> int:
+    """Lineage-stable batch-id base for the arrival streams.
+
+    Structured Streaming epoch ids restart at 0 whenever a stream is
+    pointed at a FRESH checkpoint dir, so deriving store batch ids
+    from the epoch alone silently overwrites batches absorbed under an
+    earlier lineage (the ``batch=0`` clobber). The first start under a
+    checkpoint computes ``base = 1 + max numeric batch id`` already
+    present across *roots* (0 when none — the fresh-store fast path
+    keeps batch ids equal to epoch ids, exactly the historical
+    layout) and records it in a ``__batch_base__`` marker INSIDE the
+    checkpoint dir; restarts under the SAME checkpoint re-read the
+    marker, so a re-delivered epoch still overwrites its own batch
+    dirs (the convergence contract), while a fresh checkpoint starts
+    strictly above everything already on disk. Compacted
+    ``batch=base<G>`` generations are ignored: folding deletes the
+    numeric dirs it absorbed, so new numeric ids can never collide
+    with a base generation. Atomic create-if-absent; a lost race reads
+    the winner's value (both computed the same base anyway — the
+    stores are single-writer by contract)."""
+    jvm = spark._jvm
+    marker = posixpath.join(checkpoint_dir, "__batch_base__")
+    fs, jmarker = _hadoop(spark, marker)
+    if fs.exists(jmarker):
+        return int(_read_marker(fs, jmarker))
+    hi = -1
+    for root in roots:
+        for d in _list_batch_dirs(spark, root):
+            name = posixpath.basename(d)[len("batch="):]
+            try:
+                hi = max(hi, int(name))
+            except ValueError:  # batch=base<G> compacted generations
+                continue
+    base = hi + 1
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(checkpoint_dir))
+    try:
+        out = fs.create(jmarker, False)  # atomic create-if-absent
+        try:
+            out.write(bytearray(str(base).encode()))
+        finally:
+            out.close()
+    except Exception as exc:
+        if not _is_already_exists(exc):
+            raise
+    return int(_read_marker(fs, jmarker))
+
+
 def _is_already_exists(exc: Exception) -> bool:
     """True when a py4j-wrapped Hadoop exception means 'marker file
     already exists' — the only recoverable create(overwrite=False)
@@ -385,9 +434,15 @@ def start_dedup_stream(
     the same batch-keyed overwrite as the bucket rows, so a re-delivered
     epoch converges instead of duplicating. ``availableNow`` + the same
     checkpoint dir resumes across restarts (classic incremental fill).
+    Store batch ids are ``_stream_batch_base + epoch``, so a FRESH
+    checkpoint over already-filled stores starts above the existing
+    batches instead of clobbering ``batch=0``.
     """
     text_dir = seen_text_dir or posixpath.join(index.path, "_text")
     out_dir = pairs_dir or posixpath.join(index.path, "_pairs")
+    base = _stream_batch_base(
+        spark, checkpoint_dir, [index.path, text_dir, out_dir]
+    )
     doc_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -407,8 +462,9 @@ def start_dedup_stream(
         return spark.read.schema(doc_schema).parquet(*dirs)
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
+        bid = base + epoch_id
         batch = batch.dropDuplicates([id_col])
-        prior = _seen_text(exclude_epoch=epoch_id)
+        prior = _seen_text(exclude_epoch=bid)
         if not assume_new_ids:
             batch = batch.join(prior.select(id_col), id_col, "left_anti")
         if not batch.take(1):
@@ -417,15 +473,15 @@ def start_dedup_stream(
         pairs = index.pairs_for(
             batch, corpus, id_col, text_col, jaccard_threshold
         )
-        epoch_dir = posixpath.join(out_dir, f"batch={epoch_id}")
+        epoch_dir = posixpath.join(out_dir, f"batch={bid}")
         pair_schema = pairs.schema
         pairs.write.mode("overwrite").parquet(epoch_dir)
         if on_pairs is not None:
             rows = spark.read.schema(pair_schema).parquet(epoch_dir).collect()
             on_pairs([r.asDict() for r in rows], epoch_id)
-        index.append(batch, id_col, text_col, batch_id=epoch_id)
+        index.append(batch, id_col, text_col, batch_id=bid)
         batch.select(id_col, text_col).write.mode("overwrite").parquet(
-            posixpath.join(text_dir, f"batch={epoch_id}")
+            posixpath.join(text_dir, f"batch={bid}")
         )
 
     stream = (

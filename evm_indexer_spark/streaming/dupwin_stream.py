@@ -45,6 +45,7 @@ from .dedup_stream import (
     _foldable_dirs,
     _hadoop,
     _list_batch_dirs,
+    _stream_batch_base,
 )
 
 HASH_SCHEMA = StructType(
@@ -182,6 +183,9 @@ def start_dupwin_stream(
     restarts."""
     ids_dir = posixpath.join(index.path, "_ids")
     out_dir = stats_dir or posixpath.join(index.path, "_stats")
+    base = _stream_batch_base(
+        spark, checkpoint_dir, [index.path, ids_dir, out_dir]
+    )
     doc_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -201,21 +205,22 @@ def start_dupwin_stream(
         return spark.read.schema(id_schema).parquet(*dirs)
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
+        bid = base + epoch_id
         batch = batch.dropDuplicates([id_col])
         if not assume_new_ids:
-            batch = batch.join(_seen_ids(epoch_id), id_col, "left_anti")
+            batch = batch.join(_seen_ids(bid), id_col, "left_anti")
         if not batch.take(1):
             return
-        stats = index.stats_for(batch, id_col, text_col, exclude_epoch=epoch_id)
-        epoch_dir = posixpath.join(out_dir, f"batch={epoch_id}")
+        stats = index.stats_for(batch, id_col, text_col, exclude_epoch=bid)
+        epoch_dir = posixpath.join(out_dir, f"batch={bid}")
         stat_schema = stats.schema
         stats.write.mode("overwrite").parquet(epoch_dir)
         if on_stats is not None:
             rows = spark.read.schema(stat_schema).parquet(epoch_dir).collect()
             on_stats([r.asDict() for r in rows], epoch_id)
-        index.append(batch, id_col, text_col, batch_id=epoch_id)
+        index.append(batch, id_col, text_col, batch_id=bid)
         batch.select(id_col).write.mode("overwrite").parquet(
-            posixpath.join(ids_dir, f"batch={epoch_id}")
+            posixpath.join(ids_dir, f"batch={bid}")
         )
 
     stream = (

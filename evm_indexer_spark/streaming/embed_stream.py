@@ -40,6 +40,7 @@ from .dedup_stream import (
     _claim_stamp,
     _fold_batch_dirs,
     _list_batch_dirs,
+    _stream_batch_base,
 )
 
 EMBED_BUCKET_SCHEMA = StructType(
@@ -177,6 +178,9 @@ def start_embedding_dedup_stream(
     to a driver read-back of the written epoch for bounded batches."""
     vec_dir = seen_vec_dir or posixpath.join(index.path, "_vecs")
     out_dir = pairs_dir or posixpath.join(index.path, "_pairs")
+    base = _stream_batch_base(
+        spark, checkpoint_dir, [index.path, vec_dir, out_dir]
+    )
     doc_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -196,8 +200,9 @@ def start_embedding_dedup_stream(
         return spark.read.schema(doc_schema).parquet(*dirs)
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
+        bid = base + epoch_id
         batch = batch.dropDuplicates([id_col])
-        prior = _seen_vecs(exclude_epoch=epoch_id)
+        prior = _seen_vecs(exclude_epoch=bid)
         if not assume_new_ids:
             batch = batch.join(prior.select(id_col), id_col, "left_anti")
         if not batch.take(1):
@@ -206,15 +211,15 @@ def start_embedding_dedup_stream(
         pairs = index.pairs_for(
             batch, corpus, id_col, vec_col, min_cosine
         )
-        epoch_dir = posixpath.join(out_dir, f"batch={epoch_id}")
+        epoch_dir = posixpath.join(out_dir, f"batch={bid}")
         pair_schema = pairs.schema
         pairs.write.mode("overwrite").parquet(epoch_dir)
         if on_pairs is not None:
             rows = spark.read.schema(pair_schema).parquet(epoch_dir).collect()
             on_pairs([r.asDict() for r in rows], epoch_id)
-        index.append(batch, id_col, vec_col, batch_id=epoch_id)
+        index.append(batch, id_col, vec_col, batch_id=bid)
         batch.select(id_col, vec_col).write.mode("overwrite").parquet(
-            posixpath.join(vec_dir, f"batch={epoch_id}")
+            posixpath.join(vec_dir, f"batch={bid}")
         )
 
     stream = (
@@ -249,19 +254,26 @@ def start_ann_index_stream(
     id scan excluding the current epoch (a crashed epoch reprocesses
     in full); ``assume_new_ids=True`` skips the guard for sources that
     guarantee at-most-once ids. ``availableNow`` + the same checkpoint
-    dir resumes across restarts."""
+    dir resumes across restarts. Batch ids come from the per-lineage
+    high-water mark (``_stream_batch_base``), so restarting against an
+    existing index with a FRESH checkpoint starts above every batch
+    already absorbed instead of silently overwriting ``batch=1``."""
     doc_schema = StructType(
         [
             StructField(id_col, LongType(), False),
             StructField(vec_col, ArrayType(DoubleType()), True),
         ]
     )
+    # batch=0 belongs to the BUILD even when the stream starts before
+    # one exists — arrivals never own it
+    base = max(
+        _stream_batch_base(spark, checkpoint_dir, [index._vectors_dir]), 1
+    )
 
     def _process(batch, epoch_id: int) -> None:
-        # batch=0 belongs to the BUILD; arrivals own batch=<epoch+1>
-        # (stable per epoch, so re-delivery still overwrites its own
-        # dir — epoch 0 must never clobber the built corpus)
-        batch_id = epoch_id + 1
+        # stable per (lineage, epoch): re-delivery overwrites its own
+        # dir; a fresh lineage starts above the absorbed high-water mark
+        batch_id = base + epoch_id
         batch = batch.dropDuplicates([id_col])
         if not assume_new_ids:
             prior = index.indexed_ids(exclude_batch=batch_id).withColumnRenamed(

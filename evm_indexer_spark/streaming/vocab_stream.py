@@ -37,6 +37,7 @@ from .dedup_stream import (
     _foldable_dirs,
     _hadoop,
     _list_batch_dirs,
+    _stream_batch_base,
 )
 
 VOCAB_SCHEMA = StructType(
@@ -124,11 +125,13 @@ def start_vocab_stream(
         ]
     )
 
+    base = _stream_batch_base(spark, checkpoint_dir, [store.path])
+
     def _process(batch: DataFrame, epoch_id: int) -> None:
         batch = batch.dropDuplicates([id_col])
         if not batch.take(1):
             return
-        store.append(batch, text_col, batch_id=epoch_id)
+        store.append(batch, text_col, batch_id=base + epoch_id)
         on_merges(store.train(num_merges, min_freq), epoch_id)
 
     stream = (

@@ -366,3 +366,43 @@ def test_ngram_contamination_planted(spark):
     assert strict == {0: False, 1: True, 2: False, 3: False}
     with pytest.raises(ValueError):
         corpus.ngram_contamination(train, ev, "doc_id", "text", n=0)
+
+
+def test_ngram_contamination_big_eval_routing(spark):
+    """Big-eval regime: the gram probe join routes to a shuffled hash
+    join (no broadcast hint anywhere in the optimized plan) and the
+    values are identical to the broadcast regime. Both the explicit
+    ``eval_small=False`` hint and a forced-zero probe threshold take
+    the routed plan."""
+    ev = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "nothing to see here at all folks"),
+            (1, "we leaked the secret benchmark answer is here"),
+            (2, "tiny doc"),
+            (3, "secret benchmark answer and secret benchmark answer"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {
+        (r["id"], r["n_windows"], r["n_contaminated"], r["contaminated"])
+        for r in corpus.ngram_contamination(
+            train, ev, "doc_id", "text", n=3, eval_small=True
+        ).collect()
+    }
+    for kwargs in ({"eval_small": False}, {"broadcast_below": 0}):
+        routed = corpus.ngram_contamination(
+            train, ev, "doc_id", "text", n=3, **kwargs
+        )
+        opt = routed._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in opt.lower(), kwargs
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, kwargs
+        got = {
+            (r["id"], r["n_windows"], r["n_contaminated"], r["contaminated"])
+            for r in routed.collect()
+        }
+        assert got == base, kwargs
