@@ -2409,18 +2409,26 @@ def q78(spark, sf):
 
 @register(
     "q79_pq_ann",
-    # PQ ADC retrieve + exact re-rank. With n_candidates >= corpus size
-    # the ADC shortlist is provably total, so the re-rank degenerates to
-    # the exact cosine top-k — q33's oracle verbatim (the q34
-    # exhaustive-parameter gate strategy). The selective regime
-    # (n_candidates = 4k) is recall-pinned in tests/test_similarity.py.
+    # Two labeled regimes, BOTH hash-stable at any SF:
+    #  * 'total': shortlist >= corpus, provably-exact — q33's oracle.
+    #  * 'selective_planted': the REAL 4-k shortlist over the corpus
+    #    plus 10 planted copies of the query at ids -10..-1. Planted
+    #    codes achieve the global ADC minimum and the smallest ids, so
+    #    the (dist asc, id asc) shortlist provably retains them and the
+    #    exact re-rank provably returns exactly them (score 1.0, ids
+    #    before every corpus id) — the selective path executes end to
+    #    end with a closed-form answer at every corpus size.
     """
-    SELECT vec_id,
+    SELECT 'selective_planted' AS regime,
+           CAST(-i AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS score
+    FROM generate_series(1, 10) s(i)
+    UNION ALL
+    SELECT 'total' AS regime, vec_id,
            round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                   WHERE vec_id = 0)), 4) AS score
     FROM embeddings
-    ORDER BY score DESC, vec_id LIMIT 10
+    ORDER BY 1, 3 DESC, 2 LIMIT 20
     """,
 )
 def q79(spark, sf):
@@ -2430,23 +2438,47 @@ def q79(spark, sf):
     one Arrow pass), ADC-scan the codes for a shortlist, exact-cosine
     re-rank the shortlist's raw vectors (``pq_refine_topk``).
 
-    Size-routed like q34: at gate scale the shortlist width is the
-    corpus size (provably-total retrieval — the ADC scan, table
-    lookups, and re-rank all still execute and are timed; only the
-    recall question is made vacuous, so the output equals q33's exact
-    top-k and the entry is hash-checkable). Above 50k vectors the real
-    selective shortlist (4·k) takes over; its recall is pinned by
-    pytest, the honest contract for an approximate index."""
+    Both regimes run at EVERY SF and each row is labeled with the
+    regime that produced it (no size routing, no bare cutoff — the
+    round-10 advice fix):
+
+    * ``total`` — shortlist = corpus size, so retrieval is provably
+      total and the output is the exact cosine top-10 (data-dependent,
+      checked verbatim against q33's oracle).
+    * ``selective_planted`` — the honest 4·k shortlist (40 of n+10
+      rows, selective at every gate SF) over the corpus AUGMENTED with
+      10 exact copies of the query vector at ids -10..-1. Planted rows
+      quantize to the query's own grid points, so their ADC distance
+      is the global minimum (per subspace, min over centroids of the
+      distance to the query's sub-vector — no code scores lower), and
+      their negative ids sort before every corpus id, so the
+      (dist asc, id asc) shortlist provably contains all 10 at any
+      corpus size; the exact re-rank then scores them cosine 1.0 — the
+      unique maximum ties only with vec_id 0, which their smaller ids
+      beat. A wrong ADC table, a broken tie-break, or a shortlist that
+      drops rows all surface as a hash mismatch, while the answer
+      stays closed-form: ids -10..-1, score 1.0. Selective recall on
+      UNplanted data is additionally pinned in tests/test_similarity.py.
+    """
     emb = load_table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
     n = table_rowcount(sf, "embeddings")
     n = emb.count() if n is None else n
     books = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
-    n_cand = n if n <= 50_000 else 40
-    return similarity.pq_refine_topk(
+    total = similarity.pq_refine_topk(
         emb, "vec_id", "embedding", books, qv,
-        k=10, n_candidates=n_cand, round_digits=4,
-    )
+        k=10, n_candidates=n, round_digits=4,
+    ).select(F.lit("total").alias("regime"), "vec_id", "score")
+    planted = spark.createDataFrame(
+        [(i, qv) for i in range(-10, 0)],
+        schema="vec_id long, embedding array<double>",
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    aug = emb.select("vec_id", "embedding").unionByName(planted)
+    selective = similarity.pq_refine_topk(
+        aug, "vec_id", "embedding", books, qv,
+        k=10, n_candidates=40, round_digits=4,
+    ).select(F.lit("selective_planted").alias("regime"), "vec_id", "score")
+    return selective.unionByName(total)
 
 
 @register(

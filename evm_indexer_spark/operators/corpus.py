@@ -464,10 +464,16 @@ def ngram_contamination(
     The routing probe is one cheap eval text pass with a scalar
     aggregate (``sum(size(grams))`` — TOTAL gram occurrences, an upper
     bound on the distinct count, so it never shuffles gram strings and
-    errs only toward the safe shuffle plan). Callers that already know
-    the regime skip the probe with ``eval_small=True/False``. All
-    outputs are exact integers — no float thresholds to drift between
-    engines, and both regimes are value-identical by construction.
+    errs only toward the safe shuffle plan). NOTE the probe is EAGER:
+    with the default ``eval_small=None`` this function runs one Spark
+    job at CALL time (eval scan + scalar aggregate), and the eval gram
+    extraction runs a second time when the returned plan executes.
+    Plan-only callers — anything building a DAG without immediately
+    acting on it — should pass ``eval_small=True/False`` explicitly,
+    which keeps the call fully lazy and makes the eval regexp pass run
+    exactly once. All outputs are exact integers — no float thresholds
+    to drift between engines, and both regimes are value-identical by
+    construction.
 
     Returns (id, n_windows, n_contaminated, contaminated) for every
     train document, zero-filled where nothing matched."""

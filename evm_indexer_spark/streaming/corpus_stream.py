@@ -142,7 +142,7 @@ def start_ngram_stream(
     """Stream newline-JSON ``{<id_col>, <text_col>}`` docs from
     *landing_dir*; per micro-batch: fold the batch's n-gram partial
     counters into *store* and report the UPDATED corpus top-k through
-    ``on_top(rows, epoch_id)`` (rows are dicts with ngram /
+    ``on_top(rows, batch_id)`` (rows are dicts with ngram /
     n_occurrences / n_docs, already ordered).
 
     After any prefix of epochs, ``store.top(k, min_count)`` equals
@@ -170,7 +170,7 @@ def start_ngram_stream(
         )
         store.append(partial, batch_id=base + epoch_id)
         rows = store.top(k, min_count).collect()
-        on_top([r.asDict() for r in rows], epoch_id)
+        on_top([r.asDict() for r in rows], base + epoch_id)
 
     stream = (
         spark.readStream.schema(doc_schema)

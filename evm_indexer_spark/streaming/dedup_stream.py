@@ -15,12 +15,13 @@ uniform ``bh`` key at real scale), verification bounded by collisions.
 Nothing rescans the corpus; the index grows by O(batch × bands) rows
 between ``compact()`` calls.
 
-Idempotence: bucket rows are written to ``batch=<epoch_id>`` subdirs
+Idempotence: bucket rows are written to ``batch=<batch_id>`` subdirs
 with overwrite — Structured Streaming re-delivers a failed epoch under
 the SAME epoch id, so a crashed write is replaced, never doubled (the
 same contract ``streaming/store`` uses for block upserts). Pair output
-goes through the caller's sink callback with the epoch id so the sink
-can apply the same keying.
+goes through the caller's sink callback with the STORE batch id
+(``_stream_batch_base + epoch``) so the sink can apply the same keying
+as the ``batch=<id>`` dirs — stable across checkpoint lineages.
 
 All filesystem control flow (marker, listing, compaction renames) goes
 through the Hadoop FileSystem API, not ``os`` — the index must work on
@@ -190,21 +191,28 @@ def _stream_batch_base(
     numeric dirs it absorbed, so new numeric ids can never collide
     with a base generation. Atomic create-if-absent; a lost race reads
     the winner's value (both computed the same base anyway — the
-    stores are single-writer by contract)."""
+    stores are single-writer by contract).
+
+    A checkpoint that already holds Spark offset logs but NO marker was
+    created by pre-marker code: its lineage has been writing store
+    batches keyed by the raw epoch id all along, so the only base that
+    keeps a re-delivered in-flight epoch overwriting its own first
+    attempt (instead of re-landing under a shifted id and double-
+    counting in summed partial stores) is 0. The high-water path is
+    reserved for genuinely fresh checkpoints."""
     jvm = spark._jvm
     marker = posixpath.join(checkpoint_dir, "__batch_base__")
     fs, jmarker = _hadoop(spark, marker)
     if fs.exists(jmarker):
         return int(_read_marker(fs, jmarker))
-    hi = -1
-    for root in roots:
-        for d in _list_batch_dirs(spark, root):
-            name = posixpath.basename(d)[len("batch="):]
-            try:
-                hi = max(hi, int(name))
-            except ValueError:  # batch=base<G> compacted generations
-                continue
-    base = hi + 1
+    if fs.exists(
+        jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(checkpoint_dir, "offsets")
+        )
+    ):
+        base = 0  # same-lineage resume of a pre-marker checkpoint
+    else:
+        base = _high_water_base(spark, roots)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(checkpoint_dir))
     try:
         out = fs.create(jmarker, False)  # atomic create-if-absent
@@ -216,6 +224,20 @@ def _stream_batch_base(
         if not _is_already_exists(exc):
             raise
     return int(_read_marker(fs, jmarker))
+
+
+def _high_water_base(spark: SparkSession, roots: list[str]) -> int:
+    """``1 + max`` numeric ``batch=`` id across *roots* (0 when none —
+    the fresh-store fast path keeps batch ids equal to epoch ids)."""
+    hi = -1
+    for root in roots:
+        for d in _list_batch_dirs(spark, root):
+            name = posixpath.basename(d)[len("batch="):]
+            try:
+                hi = max(hi, int(name))
+            except ValueError:  # batch=base<G> compacted generations
+                continue
+    return hi + 1
 
 
 def _is_already_exists(exc: Exception) -> bool:
@@ -257,7 +279,12 @@ def _read_marker(fs, jpath) -> str:
         if stamp:
             return stamp
         time.sleep(0.1)
-    return ""
+    raise RuntimeError(
+        f"marker at {jpath} unreadable or empty after 5s of retries — "
+        "the writer never published its stamp (crashed between create "
+        "and write, or the filesystem is not read-after-close "
+        "consistent); delete the marker to let the next start rebuild it"
+    )
 
 
 class MinHashBucketIndex:
@@ -406,19 +433,22 @@ def start_dedup_stream(
 ):
     """Stream newline-JSON ``{<id_col>, <text_col>}`` docs from
     *landing_dir*; per micro-batch: write near-dup pairs
-    (new-vs-corpus + new-vs-new) to ``<pairs_dir>/batch=<epoch_id>``
+    (new-vs-corpus + new-vs-new) to ``<pairs_dir>/batch=<batch_id>``
     (default ``<index>/_pairs``), then append the batch to the index
     and to the text store future verifications read from.
 
     Pair volume is O(batch near-dups) — normally tiny, but UNBOUNDED
     when a batch is mostly duplicates (a crawler replay, a mirror
     dump), so the default verdict path is an executor-side parquet
-    sink, never a driver collect. ``on_pairs(pairs, epoch_id)`` is the
+    sink, never a driver collect. ``on_pairs(pairs, batch_id)`` is the
     opt-in for bounded batches: when given, the epoch's WRITTEN pairs
     are read back and collected (one computation, the sink stays the
     source of truth; epoch re-delivery overwrites its own batch dir,
     so the sink converges — callback side effects are the caller's to
-    idempotize, as before).
+    idempotize, as before). The callback id is the STORE batch id
+    (``_stream_batch_base + epoch``), i.e. the ``batch=<id>`` dir the
+    pairs were written to — callers keying side effects by it stay
+    collision-free across checkpoint lineages.
 
     An id that re-arrives in a LATER file (not an epoch re-delivery)
     would violate the index precondition — its buckets and text would
@@ -478,7 +508,7 @@ def start_dedup_stream(
         pairs.write.mode("overwrite").parquet(epoch_dir)
         if on_pairs is not None:
             rows = spark.read.schema(pair_schema).parquet(epoch_dir).collect()
-            on_pairs([r.asDict() for r in rows], epoch_id)
+            on_pairs([r.asDict() for r in rows], bid)
         index.append(batch, id_col, text_col, batch_id=bid)
         batch.select(id_col, text_col).write.mode("overwrite").parquet(
             posixpath.join(text_dir, f"batch={bid}")

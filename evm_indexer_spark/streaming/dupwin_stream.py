@@ -168,12 +168,14 @@ def start_dupwin_stream(
     *landing_dir*; per micro-batch: write each arriving doc's
     duplicated-span statistics vs the corpus indexed so far (rows with
     doc_id / n_tokens / n_windows / dup_windows / covered_tokens) to
-    ``<stats_dir>/batch=<epoch_id>`` (default ``<index>/_stats``), then
+    ``<stats_dir>/batch=<batch_id>`` (default ``<index>/_stats``), then
     append the batch's window counters to *index*. Stats volume is
     O(batch docs) — bounded, unlike pair verdicts — but the default
     stays the executor-side sink for uniformity with the dedup
-    streams; ``on_stats(rows, epoch_id)`` opts in to a driver
-    read-back of the written epoch.
+    streams; ``on_stats(rows, batch_id)`` opts in to a driver
+    read-back of the written epoch. The callback id is the STORE
+    batch id (``_stream_batch_base + epoch``) — the ``batch=<id>``
+    dir the stats landed in, stable across checkpoint lineages.
 
     Cross-epoch id re-arrival would double the re-arrived doc's window
     counters; the stream anti-joins each batch against the ids already
@@ -217,7 +219,7 @@ def start_dupwin_stream(
         stats.write.mode("overwrite").parquet(epoch_dir)
         if on_stats is not None:
             rows = spark.read.schema(stat_schema).parquet(epoch_dir).collect()
-            on_stats([r.asDict() for r in rows], epoch_id)
+            on_stats([r.asDict() for r in rows], bid)
         index.append(batch, id_col, text_col, batch_id=bid)
         batch.select(id_col).write.mode("overwrite").parquet(
             posixpath.join(ids_dir, f"batch={bid}")

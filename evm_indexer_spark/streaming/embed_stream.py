@@ -12,7 +12,7 @@ its own bucket rows appended for future batches — per-batch cost is
 O(batch + collisions), nothing rescans the corpus.
 
 Idempotence and layout follow ``MinHashBucketIndex`` exactly: bucket
-and vector rows land under ``batch=<epoch_id>`` with overwrite (epoch
+and vector rows land under ``batch=<batch_id>`` with overwrite (epoch
 re-delivery replaces, never doubles), the ``_planes`` marker pins
 (n_planes, n_tables, seed, dim) for the index lifetime (rows from
 different hyperplane sets share no geometry — a mixed index would
@@ -162,7 +162,7 @@ def start_embedding_dedup_stream(
 ):
     """Stream newline-JSON ``{<id_col>, <vec_col>}`` vectors from
     *landing_dir*; per micro-batch: write near-dup pairs
-    (new-vs-corpus + new-vs-new) to ``<pairs_dir>/batch=<epoch_id>``
+    (new-vs-corpus + new-vs-new) to ``<pairs_dir>/batch=<batch_id>``
     (default ``<index>/_pairs``), then append the batch to the index
     and to the vector store future verifications read from.
 
@@ -216,7 +216,7 @@ def start_embedding_dedup_stream(
         pairs.write.mode("overwrite").parquet(epoch_dir)
         if on_pairs is not None:
             rows = spark.read.schema(pair_schema).parquet(epoch_dir).collect()
-            on_pairs([r.asDict() for r in rows], epoch_id)
+            on_pairs([r.asDict() for r in rows], bid)
         index.append(batch, id_col, vec_col, batch_id=bid)
         batch.select(id_col, vec_col).write.mode("overwrite").parquet(
             posixpath.join(vec_dir, f"batch={bid}")
@@ -244,7 +244,7 @@ def start_ann_index_stream(
     """ANN-serving-on-arrival: stream newline-JSON ``{<id_col>,
     <vec_col>}`` vectors from *landing_dir* into a built
     ``similarity.IvfServingIndex`` — each micro-batch is assigned to
-    its nearest existing cells and appended under ``batch=<epoch_id>``
+    its nearest existing cells and appended under ``batch=<batch_id>``
     (O(batch) work, quantizer fixed), so ``topk``/``topk_pq`` stay
     fresh without any rebuild.
 

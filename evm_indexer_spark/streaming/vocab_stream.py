@@ -114,7 +114,7 @@ def start_vocab_stream(
     """Stream newline-JSON ``{<id_col>, <text_col>}`` docs from
     *landing_dir*; per micro-batch: fold the batch's word counts into
     *store* and report the UPDATED merge list through
-    ``on_merges(merges, epoch_id)`` (a list of (left, right, count)
+    ``on_merges(merges, batch_id)`` (a list of (left, right, count)
     tuples, equal to batch training over everything landed so far).
     ``availableNow`` + the same checkpoint dir resumes across
     restarts."""
@@ -132,7 +132,7 @@ def start_vocab_stream(
         if not batch.take(1):
             return
         store.append(batch, text_col, batch_id=base + epoch_id)
-        on_merges(store.train(num_merges, min_freq), epoch_id)
+        on_merges(store.train(num_merges, min_freq), base + epoch_id)
 
     stream = (
         spark.readStream.schema(doc_schema)

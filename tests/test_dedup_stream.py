@@ -309,3 +309,82 @@ def test_index_marker_permission_error_not_masked(spark, tmp_path):
     assert ds.MinHashBucketIndex._is_already_exists(
         RuntimeError("File already exists: /ix/_banding")
     )
+
+
+def test_fresh_checkpoint_starts_above_existing_batches(spark, tmp_path):
+    """A FRESH checkpoint over already-filled stores must not clobber
+    batch=0 (round-10 lineage fix): new epochs land strictly above the
+    high-water batch id, and the on_pairs callback receives the STORE
+    batch id (base + epoch), matching the batch=<id> sink dirs."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    _land(str(landing), [(0, BASE + " variant 0"), (1, BASE + " variant 1")],
+          "b1.json")
+    q = start_dedup_stream(
+        spark, str(landing), ix, str(tmp_path / "ckpt1"), jaccard_threshold=0.4
+    )
+    q.awaitTermination(120)
+    first_rows = ix.buckets().filter(F.col("id").isin(0, 1)).count()
+    assert first_rows == 128
+
+    # second lineage: fresh checkpoint, same stores, new near-dup doc
+    ids: list[int] = []
+    _land(str(landing), [(2, BASE + " variant 2")], "b2.json")
+    q = start_dedup_stream(
+        spark, str(landing), ix, str(tmp_path / "ckpt2"),
+        on_pairs=lambda pairs, bid: ids.append(bid),
+        jaccard_threshold=0.4,
+    )
+    q.awaitTermination(120)
+    # lineage 1's rows survived (no batch=0 clobber) and doc 2 indexed
+    assert ix.buckets().filter(F.col("id").isin(0, 1)).count() == 128
+    assert ix.buckets().filter(F.col("id") == 2).count() == 64
+    # the callback id names a real sink dir above lineage 1's batches
+    assert ids and min(ids) >= 1
+    for bid in ids:
+        assert (tmp_path / "ix" / "_pairs" / f"batch={bid}").is_dir()
+
+
+def test_premarker_checkpoint_resumes_at_base_zero(spark, tmp_path):
+    """A checkpoint created by pre-marker code (Spark offset logs
+    present, no __batch_base__ marker) is a SAME-lineage resume: its
+    epochs already wrote batch ids 0..k, so base must be 0 — a
+    high-water base would re-deliver an in-flight epoch under a new id
+    and double-count summed partial stores (round-11 advice fix)."""
+    from evm_indexer_spark.streaming.dedup_stream import _stream_batch_base
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    _land(str(landing), [(0, BASE + " variant 0")], "b1.json")
+    q = start_dedup_stream(spark, str(landing), ix, str(ckpt))
+    q.awaitTermination(120)
+    assert (ckpt / "offsets").is_dir()  # a real lineage exists
+    # simulate the pre-marker world: lineage logs intact, marker absent
+    (ckpt / "__batch_base__").unlink()
+    base = _stream_batch_base(
+        spark, str(ckpt), [str(tmp_path / "ix")]
+    )
+    assert base == 0
+    # and the recomputed answer was re-stamped for future restarts
+    assert (ckpt / "__batch_base__").read_text() == "0"
+    # a genuinely fresh checkpoint still takes the high-water path
+    assert _stream_batch_base(
+        spark, str(tmp_path / "ckpt_fresh"), [str(tmp_path / "ix")]
+    ) >= 1
+
+
+def test_marker_read_exhaustion_raises_informative(spark, tmp_path, monkeypatch):
+    # a persistently empty marker must fail loudly, not as int('')
+    import time as _time
+
+    from evm_indexer_spark.streaming.dedup_stream import _hadoop, _read_marker
+
+    marker = tmp_path / "__batch_base__"
+    marker.write_text("")
+    monkeypatch.setattr(_time, "sleep", lambda _s: None)
+    fs, jpath = _hadoop(spark, str(marker))
+    with pytest.raises(RuntimeError, match="unreadable or empty"):
+        _read_marker(fs, jpath)

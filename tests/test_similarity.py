@@ -573,3 +573,27 @@ def test_pq_refine_selective_recall(emb, query, exact10):
         similarity.pq_refine_topk(
             emb, "vec_id", "embedding", books, query, k=10, n_candidates=3
         )
+
+
+def test_pq_planted_selective_is_closed_form(emb, query):
+    """q79's selective_planted regime: 10 exact query copies at ids
+    -10..-1 must survive a shortlist 40 wide at ANY corpus size — their
+    codes achieve the global ADC minimum and their ids sort first, so
+    the provable answer is exactly ids -10..-1 at score 1.0. A wrong
+    ADC table, tie-break, or shortlist drop breaks this."""
+    books = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
+    planted = emb.sparkSession.createDataFrame(
+        [(i, query) for i in range(-10, 0)],
+        schema="vec_id long, embedding array<double>",
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(planted)
+    n_aug = aug.count()
+    assert n_aug > 40, "fixture must make the 40-wide shortlist selective"
+    got = similarity.pq_refine_topk(
+        aug, "vec_id", "embedding", books, query,
+        k=10, n_candidates=40, round_digits=4,
+    ).collect()
+    assert [r["vec_id"] for r in got] == list(range(-10, 0))
+    assert all(r["score"] == 1.0 for r in got)
