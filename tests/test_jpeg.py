@@ -282,3 +282,67 @@ def test_444_bit_identical_after_mcu_generalization():
     vals = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
     img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
     assert np.array_equal(jpeg_decode(jpeg_encode(img, 100)), img)
+
+
+def test_lut_entropy_path_bit_identical_to_bitloop():
+    """The 16-bit-LUT entropy decoder (default) must produce pixels
+    BIT-IDENTICAL to the per-bit scalar twin across content, quality,
+    subsampling, and restart intervals — the flaccodec twin-pinning
+    pattern applied to the round-11 Huffman vectorization."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(min_value=1, max_value=40),
+                st.integers(min_value=1, max_value=40),
+                st.just(3),
+            ),
+            elements=st.integers(min_value=0, max_value=255),
+        ),
+        st.sampled_from([50, 75, 90, 100]),
+        st.sampled_from(["444", "420"]),
+        st.sampled_from([0, 1, 3]),
+    )
+    def twin(img, quality, subsampling, dri):
+        enc = jpeg_encode(
+            img, quality=quality, subsampling=subsampling,
+            restart_interval=dri,
+        )
+        assert np.array_equal(
+            jpeg_decode(enc, entropy_path="lut"),
+            jpeg_decode(enc, entropy_path="bitloop"),
+        )
+
+    twin()
+    # grayscale leg + the unknown-path guardrail
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = jpeg_encode(gray, quality=85)
+    assert np.array_equal(
+        jpeg_decode(enc, entropy_path="lut"),
+        jpeg_decode(enc, entropy_path="bitloop"),
+    )
+    with pytest.raises(ValueError, match="entropy_path"):
+        jpeg_decode(enc, entropy_path="fast")
+
+
+def test_lut_path_error_parity_on_corrupt_streams():
+    # both entropy paths must REFUSE the same corrupt inputs: truncated
+    # scan (exhaustion) and a stray marker inside entropy data
+    img = np.full((16, 16), 200, dtype=np.uint8)
+    img[0, :] = 3  # some AC energy so the scan has real length
+    enc = jpeg_encode(img, quality=75)
+    sos = enc.find(b"\xff\xda")
+    cut = enc[: sos + 40]  # truncate inside the entropy segment
+    for path in ("lut", "bitloop"):
+        with pytest.raises(ValueError):
+            jpeg_decode(cut, entropy_path=path)
+    # splice a bare marker into the scan: 'unexpected marker' on both
+    bad = enc[: sos + 30] + b"\xff\xc8" + enc[sos + 30 :]
+    for path in ("lut", "bitloop"):
+        with pytest.raises(ValueError, match="marker|exhausted"):
+            jpeg_decode(bad, entropy_path=path)
