@@ -2465,18 +2465,24 @@ def q79(spark, sf):
     n = table_rowcount(sf, "embeddings")
     n = emb.count() if n is None else n
     books = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
-    total = similarity.pq_refine_topk(
-        emb, "vec_id", "embedding", books, qv,
-        k=10, n_candidates=n, round_digits=4,
-    ).select(F.lit("total").alias("regime"), "vec_id", "score")
     planted = spark.createDataFrame(
         [(i, qv) for i in range(-10, 0)],
         schema="vec_id long, embedding array<double>",
     ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
     aug = emb.select("vec_id", "embedding").unionByName(planted)
+    # ONE encode pass (the corpus-scale Arrow stage) serves both
+    # regimes; each retrieve filters it to exactly its own ids (see
+    # pq_refine_topk's encoded contract — a superset would let planted
+    # rows occupy total-regime shortlist slots)
+    encoded = similarity.pq_encode(aug, "vec_id", "embedding", books).persist()
+    total = similarity.pq_refine_topk(
+        emb, "vec_id", "embedding", books, qv,
+        k=10, n_candidates=n, round_digits=4,
+        encoded=encoded.filter(F.col("id") >= 0),
+    ).select(F.lit("total").alias("regime"), "vec_id", "score")
     selective = similarity.pq_refine_topk(
         aug, "vec_id", "embedding", books, qv,
-        k=10, n_candidates=40, round_digits=4,
+        k=10, n_candidates=40, round_digits=4, encoded=encoded,
     ).select(F.lit("selective_planted").alias("regime"), "vec_id", "score")
     return selective.unionByName(total)
 

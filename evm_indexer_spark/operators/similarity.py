@@ -501,7 +501,13 @@ class IvfServingIndex:
     ``append`` assigns new vectors to their nearest EXISTING centroid
     (one Arrow pass over the batch — the quantizer is never retrained,
     matching how IVF indexes absorb arrivals everywhere) and lands them
-    under their own batch dir."""
+    under their own batch dir.
+
+    ``delete`` tombstones ids (reorged / retracted docs): serving
+    anti-joins the broadcast tombstone set, so retraction is O(deletes)
+    with no cell-file rewrite on the query path; ``compact`` folds live
+    rows into the next ``batch=base<G>`` generation and clears the
+    tombstones (also the small-files consolidation pass)."""
 
     _MARKER = "_params"
 
@@ -531,6 +537,7 @@ class IvfServingIndex:
         self.scale = scale
         self._schema_json = schema_json
         self._vectors_dir = posixpath.join(path, "vectors")
+        self._tombstones_dir = posixpath.join(path, "tombstones")
         _claim_stamp(spark, path, self._MARKER, f"{n_lists},{seed},{dim}")
 
     # -- construction ----------------------------------------------------
@@ -699,6 +706,127 @@ class IvfServingIndex:
             .select("id")
         )
 
+    def tombstones(self) -> DataFrame | None:
+        """Slim (id) DataFrame of deleted ids, ``None`` when the index
+        has none — the None fast path keeps undeleted indexes at ZERO
+        extra plan nodes and zero extra file listings beyond one
+        driver-side exists/list call."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from ..streaming.dedup_stream import _list_batch_dirs
+
+        dirs = _list_batch_dirs(self.spark, self._tombstones_dir)
+        if not dirs:
+            return None
+        stored = StructType.fromJson(_json.loads(self._schema_json))
+        id_schema = StructType([stored["id"]])
+        return (
+            self.spark.read.schema(id_schema)
+            .option("basePath", self._tombstones_dir)
+            .parquet(*dirs)
+            .select("id")
+        )
+
+    def _served(self, cell: DataFrame) -> DataFrame:
+        """Serve-time tombstone mask: broadcast anti-join against the
+        deleted ids. Tombstone volume is O(deletes since compact) —
+        reorg-sized, always broadcastable; ``compact()`` folds it back
+        to zero."""
+        tombs = self.tombstones()
+        if tombs is None:
+            return cell
+        return cell.join(F.broadcast(tombs), "id", "left_anti")
+
+    def delete(self, ids, batch_id: int | None = None) -> None:
+        """Tombstone *ids* (an iterable of ids or a one-column
+        DataFrame): they stop being served by ``topk``/``topk_pq``
+        immediately; the physical rows remain until ``compact()`` folds
+        them out. This is how a reorg retracts vectors without
+        rewriting cell files on the serving path.
+
+        Tombstones land under ``tombstones/batch=<id>`` with the same
+        overwrite convergence contract as vector batches; *batch_id*
+        defaults to one past the current tombstone high-water mark.
+        A delete is TERMINAL until compact: re-appending the same id
+        leaves it masked (the anti-join matches every physical copy),
+        so delete → compact → append is the resurrection order."""
+        import json as _json
+
+        import posixpath
+
+        from pyspark.sql.types import StructType
+
+        from ..streaming.dedup_stream import _list_batch_dirs
+
+        stored = StructType.fromJson(_json.loads(self._schema_json))
+        id_schema = StructType([stored["id"]])
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(i,) for i in ids], id_schema
+            )
+        else:
+            ids = ids.select(
+                F.col(ids.columns[0]).cast(stored["id"].dataType).alias("id")
+            )
+        if batch_id is None:
+            hi = -1
+            for d in _list_batch_dirs(self.spark, self._tombstones_dir):
+                name = posixpath.basename(d)[len("batch="):]
+                if name.isdigit():
+                    hi = max(hi, int(name))
+            batch_id = hi + 1
+        ids.select("id").distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(
+            posixpath.join(self._tombstones_dir, f"batch={batch_id}")
+        )
+
+    def compact(self, files_per_cell: int = 1) -> int:
+        """Fold tombstones physically: rewrite the LIVE rows of every
+        batch dir into the next ``batch=base<G>`` generation
+        (partitioned by cell, ``files_per_cell`` files each — the
+        small-files consolidation pass every arrival-heavy index
+        needs), then delete the folded batch dirs and ALL tombstone
+        dirs. Same hidden-dir + atomic-rename publication as
+        ``MinHashBucketIndex.compact``; single-writer by contract, and
+        concurrent READERS planned against the old listing keep
+        resolving (dirs are deleted only after the rename lands).
+        Returns the number of batch dirs folded."""
+        import posixpath
+
+        from ..streaming.dedup_stream import _hadoop, _list_batch_dirs
+
+        old = _list_batch_dirs(self.spark, self._vectors_dir)
+        if not old:
+            return 0
+        live = self._served(self.vectors())
+        cols = [f.name for f in self.vectors().schema.fields
+                if f.name not in ("batch", "list_id")]
+        live = live.select(*cols, "list_id")
+        fs, _ = _hadoop(self.spark, self._vectors_dir)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        gen = 0
+        for d in old:
+            name = posixpath.basename(d)
+            if name.startswith("batch=base"):
+                suffix = name[len("batch=base"):]
+                if suffix.isdigit():
+                    gen = max(gen, int(suffix) + 1)
+        tmp = posixpath.join(self._vectors_dir, "_compacting")
+        live.repartition(
+            max(1, files_per_cell) * self.n_lists, "list_id"
+        ).write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+        dest = Path(posixpath.join(self._vectors_dir, f"batch=base{gen}"))
+        if not fs.rename(Path(tmp), dest):
+            raise OSError(f"compaction rename to {dest} failed")
+        for d in old:
+            fs.delete(Path(d), True)
+        for d in _list_batch_dirs(self.spark, self._tombstones_dir):
+            fs.delete(Path(d), True)
+        return len(old)
+
     def topk(
         self,
         query: list[float],
@@ -709,9 +837,11 @@ class IvfServingIndex:
         """Exact cosine top-k inside the *nprobe* closest cells. Cell
         ranking is driver-side math over the loaded centroids; the scan
         prunes ``list_id`` partition directories — zero jobs until the
-        probe scan executes."""
+        probe scan executes (one driver-side tombstone listing aside)."""
         probe = ivf_probe_lists(query, self.centroids, nprobe)
-        cell = self.vectors().filter(F.col("list_id").isin(probe))
+        cell = self._served(
+            self.vectors().filter(F.col("list_id").isin(probe))
+        )
         return cosine_topk(cell, "id", "v", query, k, round_digits=round_digits)
 
     def topk_pq(
@@ -744,7 +874,11 @@ class IvfServingIndex:
                 f"n_candidates ({n_candidates}) must be >= k ({k})"
             )
         probe = ivf_probe_lists(query, self.centroids, nprobe)
-        cell = self.vectors().filter(F.col("list_id").isin(probe))
+        # mask tombstones BEFORE the ADC scan: a deleted id must not
+        # occupy shortlist slots (k-bounded), not just drop at re-rank
+        cell = self._served(
+            self.vectors().filter(F.col("list_id").isin(probe))
+        )
         shortlist = pq_topk(
             cell.select("id", "codes"), self.codebooks, query,
             k=n_candidates, scale=self.scale,
@@ -1327,6 +1461,7 @@ def pq_refine_topk(
     n_candidates: int | None = None,
     scale: int = 1000,
     round_digits: int | None = 6,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """PQ retrieve + exact re-rank — the standard two-stage ADC serving
     shape: the compressed-code scan (``pq_topk``) shortlists
@@ -1340,12 +1475,22 @@ def pq_refine_topk(
     makes the shortlist provably total, degenerating the result to the
     exact cosine top-k — the q34 gate-degeneration strategy, used by
     q79 to hash-check this pipeline against q33's oracle; the
-    selective regime's recall is pinned in tests/test_similarity.py."""
+    selective regime's recall is pinned in tests/test_similarity.py.
+
+    ``encoded`` lets a caller that runs SEVERAL retrieves over one
+    corpus (q79's two labeled regimes; any multi-query serve) reuse a
+    single ``pq_encode`` pass: (id, codes) rows for EXACTLY *df*'s ids
+    under the same codebooks/scale. Not a superset — extra encoded ids
+    would occupy shortlist slots and then vanish at the semi-join,
+    silently shrinking the effective candidate width (and breaking the
+    n_candidates ≥ corpus totality guarantee); filter the shared
+    encode down to *df*'s ids instead."""
     if n_candidates is None:
         n_candidates = 4 * k
     if n_candidates < k:
         raise ValueError(f"n_candidates ({n_candidates}) must be >= k ({k})")
-    encoded = pq_encode(df, id_col, vec_col, codebooks, scale)
+    if encoded is None:
+        encoded = pq_encode(df, id_col, vec_col, codebooks, scale)
     shortlist = pq_topk(encoded, codebooks, query, k=n_candidates, scale=scale)
     # the shortlist is k-bounded and tiny relative to the corpus —
     # broadcast it so the re-rank never shuffles the raw vectors

@@ -677,5 +677,25 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
             for r in idx.topk_pq(q_vec, k=7, nprobe=2, n_candidates=7).collect()
         ]
         assert set(got_pq) == set(range(7)) and got_pq[0] == 0
+
+        # 9. reorg retraction: the reorged block's vector is TOMBSTONED
+        #    out of serving (the reorg handler's delete), both probe
+        #    paths stop returning it immediately, and compact() makes
+        #    the retraction physical while preserving every other answer
+        idx.delete([2])
+        assert 2 not in {
+            r["id"] for r in idx.topk(q_vec, k=7, nprobe=2).collect()
+        }
+        assert 2 not in {
+            r["id"]
+            for r in idx.topk_pq(q_vec, k=7, nprobe=2, n_candidates=7).collect()
+        }
+        idx.compact()
+        assert {r["id"] for r in idx.vectors().select("id").collect()} == {
+            0, 1, 3, 4, 5, 6
+        }
+        assert 2 not in {
+            r["id"] for r in idx.topk(q_vec, k=7, nprobe=2).collect()
+        }
     finally:
         broker.stop()

@@ -597,3 +597,51 @@ def test_pq_planted_selective_is_closed_form(emb, query):
     ).collect()
     assert [r["vec_id"] for r in got] == list(range(-10, 0))
     assert all(r["score"] == 1.0 for r in got)
+
+
+def test_ivf_serving_delete_tombstones_and_compact(spark, emb, query, exact10, tmp_path):
+    """Round-11 retraction path: delete() masks ids from serving
+    immediately (broadcast anti-join, no cell rewrite), compact() folds
+    live rows into a base generation and clears tombstones, and an
+    undeleted index pays ZERO extra plan nodes."""
+    path = str(tmp_path / "ivf")
+    idx = similarity.IvfServingIndex.build(
+        emb, "vec_id", "embedding", path, n_lists=8, pq_subspaces=8
+    )
+    assert idx.tombstones() is None  # no tombstones -> None fast path
+    # delete the top-2 exact neighbors: both probe paths must stop
+    # serving them and backfill from the remaining corpus
+    dead = exact10[:2]
+    idx.delete(dead)
+    got = [r["id"] for r in idx.topk(query, k=10, nprobe=8).collect()]
+    assert got[:8] == [i for i in exact10 if i not in dead]
+    assert len(got) == 10 and not set(dead) & set(got)
+    got_pq = [
+        r["id"]
+        for r in idx.topk_pq(query, k=10, nprobe=8, n_candidates=1000).collect()
+    ]
+    assert got_pq == got  # exhaustive PQ degenerates to the same set
+    # a reopened index sees the same tombstones (they live on disk)
+    again = similarity.IvfServingIndex.load(spark, path)
+    assert not set(dead) & {
+        r["id"] for r in again.topk(query, k=10, nprobe=8).collect()
+    }
+
+    # compact: physical fold — rows gone, tombstones cleared, results
+    # identical, and the folded layout serves through the same plan
+    n_live = idx.vectors().count() - len(dead)
+    folded = idx.compact()
+    assert folded >= 1
+    assert idx.tombstones() is None
+    assert idx.vectors().count() == n_live
+    assert [
+        r["id"] for r in idx.topk(query, k=10, nprobe=8).collect()
+    ] == got
+    # resurrection order: delete -> compact -> append serves again
+    back = emb.filter(F.col("vec_id") == dead[0]).select(
+        "vec_id", "embedding"
+    )
+    idx.append(back, "vec_id", "embedding", batch_id=7)
+    assert dead[0] in {
+        r["id"] for r in idx.topk(query, k=10, nprobe=8).collect()
+    }
