@@ -2538,3 +2538,65 @@ def q80(spark, sf):
     train = doc.filter(F.col("doc_id") % 10 != 0)
     ev = doc.filter(F.col("doc_id") % 10 == 0)
     return corpus.ngram_contamination(train, ev, "doc_id", "text", n=8)
+
+
+@register(
+    "q81_skipgram_contamination",
+    # fuzzy decontamination: an 8-token train window is contaminated
+    # when it matches an eval window allowing ONE token substitution —
+    # both engines build the same n masked variants per window (chr(1)
+    # placeholder, impossible in whitespace-split tokens) and match
+    # EXACTLY on them; a window matching via several variants counts
+    # once (DISTINCT positions). Same split and tokenization as q80.
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\\s+', ' ')), ' ') AS t
+      FROM documents
+    ),
+    tw AS (
+      SELECT doc_id, i AS pos, t[i:i+7] AS w
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE doc_id % 10 <> 0 AND len(t) >= 8 AND t[1] <> ''
+    ),
+    tk AS (
+      SELECT doc_id, pos,
+             array_to_string(list_transform(w, (x, k) ->
+                 CASE WHEN k = j THEN chr(1) ELSE x END), ' ') AS key
+      FROM tw, UNNEST(generate_series(1, 8)) AS v(j)
+    ),
+    ek AS (
+      SELECT DISTINCT array_to_string(list_transform(t[i:i+7], (x, k) ->
+                 CASE WHEN k = j THEN chr(1) ELSE x END), ' ') AS key
+      FROM toks,
+           UNNEST(generate_series(1, len(t) - 7)) AS u(i),
+           UNNEST(generate_series(1, 8)) AS v(j)
+      WHERE doc_id % 10 = 0 AND len(t) >= 8 AND t[1] <> ''
+    ),
+    win AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 AND t[1] <> '' THEN len(t) - 7
+                  ELSE 0 END AS n_windows
+      FROM toks WHERE doc_id % 10 <> 0
+    ),
+    hits AS (
+      SELECT tk.doc_id, count(DISTINCT tk.pos) AS n_contaminated
+      FROM tk JOIN ek USING (key) GROUP BY 1
+    )
+    SELECT w.doc_id AS id, CAST(w.n_windows AS BIGINT) AS n_windows,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           coalesce(h.n_contaminated, 0) >= 1 AS contaminated
+    FROM win w LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q81(spark, sf):
+    """One-substitution-tolerant decontamination
+    (``corpus.skipgram_contamination``): every 8-token window emits 8
+    masked skip-gram variants, turning "differs in ≤ 1 token" into an
+    exact hash-join — no quadratic window comparison, n× q80's map
+    volume, same eval-size broadcast/shuffle routing (probe runs live
+    so the gate exercises it). Exact integers end to end."""
+    doc = load_table(spark, sf, "documents")
+    train = doc.filter(F.col("doc_id") % 10 != 0)
+    ev = doc.filter(F.col("doc_id") % 10 == 0)
+    return corpus.skipgram_contamination(train, ev, "doc_id", "text", n=8)

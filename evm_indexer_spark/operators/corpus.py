@@ -534,6 +534,134 @@ def ngram_contamination(
     )
 
 
+def skipgram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+    eval_small: bool | None = None,
+    broadcast_below: int = 2_000_000,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: a train document is
+    contaminated when ≥ *min_hits* of its token n-gram windows match an
+    eval window ALLOWING ONE TOKEN SUBSTITUTION — the tolerance real
+    decontamination pipelines add on top of q80's verbatim check
+    (an eval answer with one number changed, a typo fix, a renamed
+    entity). Tokenization is exactly ``ngram_contamination``'s
+    (lowercase, ASCII-whitespace tokens).
+
+    Mechanism — masked skip-gram keys, not edit distance: each n-token
+    window emits n variants with position j replaced by a placeholder
+    (``\\x01``, which no whitespace-split token can contain); two
+    windows agree on a masked variant **iff** they differ in at most
+    that one position, so "≤ 1 substitution" becomes an EXACT equi-join
+    on the masked key. No quadratic window×window comparison exists
+    anywhere: work is n× the verbatim pipeline's map volume, the join
+    stays a hash join on strings, and the same size routing applies —
+    distinct eval keys broadcast in the benchmark-suite regime and fall
+    back to a shuffle hash join when eval is corpus-sized. As with
+    ``ngram_contamination``, the default ``eval_small=None`` runs ONE
+    eager probe job at call time; plan-only callers pass True/False.
+
+    A window that matches through SEVERAL masked variants still counts
+    once (distinct window positions), so every output is an exact
+    integer: (id, n_windows, n_contaminated, contaminated)."""
+    if n < 1 or min_hits < 1:
+        raise ValueError("n and min_hits must be positive")
+    if n > 32:
+        raise ValueError("n > 32 masked variants per window is a mistake")
+    norm = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        " ",
+    )
+
+    def windows(df: DataFrame, *keep) -> DataFrame:
+        toks = df.select(*keep, norm.alias("__t"))
+        return (
+            toks.filter(
+                (F.size("__t") >= n) & (F.element_at("__t", 1) != "")
+            )
+            .select(
+                *keep,
+                F.posexplode(
+                    F.sequence(F.lit(1), F.size("__t") - n + 1)
+                ).alias("__i", "__pos"),
+                F.col("__t"),
+            )
+            .select(
+                *keep,
+                "__pos",
+                F.slice("__t", F.col("__pos"), n).alias("__w"),
+            )
+        )
+
+    def masked(win: DataFrame, *keep) -> DataFrame:
+        variants = F.array(
+            *[
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.lit("\x01") if k == j
+                        else F.element_at("__w", k + 1)
+                        for k in range(n)
+                    ],
+                )
+                for j in range(n)
+            ]
+        )
+        return win.select(*keep, F.explode(variants).alias("__key"))
+
+    spread = spread_small_scan(train)
+    t_win = windows(spread.select(F.col(id_col).alias("id"), text_col), "id")
+    t_keys = masked(t_win, "id", "__pos")
+    eval_keys = (
+        masked(windows(eval_df.select(text_col)))
+        .select("__key")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if eval_small is None:
+        # same upper-bound probe as ngram_contamination, scaled by the
+        # n masked variants each window emits
+        total = eval_df.select(
+            F.sum(
+                F.greatest(F.size(norm) - n + 1, F.lit(0)) * n
+            ).alias("__n")
+        ).first()["__n"]
+        eval_small = (total or 0) <= broadcast_below
+    probe_side = (
+        F.broadcast(eval_keys) if eval_small else eval_keys.hint("shuffle_hash")
+    )
+    # ONE tokenize+mask pass feeds both aggregates (the q80 lesson —
+    # at corpus scale the text pass IS the cost): every window appears
+    # as exactly n keyed rows, so distinct positions count windows and
+    # distinct HIT positions count contaminated windows
+    per_doc = (
+        t_keys.join(probe_side, "__key", "left")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("__pos").alias("n_windows"),
+            F.countDistinct(
+                F.when(F.col("__hit").isNotNull(), F.col("__pos"))
+            ).alias("n_contaminated"),
+        )
+    )
+    return (
+        spread.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def _ngram_counts_expr(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:

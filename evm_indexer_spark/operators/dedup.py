@@ -1434,6 +1434,8 @@ def editdist_candidates(
     text_col: str,
     max_dist: int = 40,
     qgram: int = 4,
+    hot_gram_rows: int = 4096,
+    salt_max: int = 64,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs for an edit-distance ≤ *max_dist*
     self-join, bounded by CONTENT, not just length — the q-gram
@@ -1475,17 +1477,78 @@ def editdist_candidates(
     is real, not a blocking artifact; every candidate still pays only
     a threshold-early-exit levenshtein).
 
+    Hot-gram skew: that same shared-vocabulary regime concentrates the
+    prefix join on a few gram keys — a bucket of B prefix rows is a
+    single (e)-keyed join task doing O(B²) comparisons no matter how
+    many executors exist. Grams whose bucket exceeds *hot_gram_rows*
+    are therefore TRIANGLE-SALTED (the q64 machinery's self-join form):
+    each row gets a deterministic group s = xxhash64(id) mod G with
+    G = ceil(freq / hot_gram_rows) ≤ *salt_max*, the LEFT side
+    replicates into every group and the join key becomes (e, s), so
+    per-task work drops to O(B²/G) at an O(G·B) replication cost paid
+    ONLY by hot grams (cold grams keep G = 1 and a single copy). Each
+    qualifying pair is still produced exactly once: the a.id < b.id
+    orientation survives from exactly the left copy whose s equals the
+    right row's group.
+
     Returns distinct (ia, ib, ta, tb) with ia < ib, superset of all
     pairs within max_dist; callers verify with thresholded levenshtein.
     """
-    from pyspark.sql import Window as W
-
     dq = max_dist * qgram
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("t"),
         F.length(text_col).alias("len"),
     )
+    prefix = _editdist_prefix(base, max_dist, qgram, hot_gram_rows, salt_max)
+    right = prefix.withColumn(
+        "s", F.pmod(F.xxhash64("id"), F.col("gsalt")).cast("int")
+    )
+    left = prefix.withColumn(
+        "s", F.explode(F.sequence(F.lit(0), F.col("gsalt") - 1))
+    )
+    cand = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.e") == F.col("b.e"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            # short-short pairs have a vacuous count bound — they come
+            # from the bucket fallback, never from here
+            & (F.col("a.long") | F.col("b.long"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .dropDuplicates(["ia", "ib"])
+    )
+    texts = base.select("id", "t")
+    prefix_pairs = cand.join(
+        texts.select(F.col("id").alias("ia"), F.col("t").alias("ta")), "ia"
+    ).join(texts.select(F.col("id").alias("ib"), F.col("t").alias("tb")), "ib")
+    shorts = base.filter(F.col("len") <= dq + qgram - 1).withColumn(
+        "bkt", F.floor(F.col("len") / (max_dist + 1))
+    )
+    short_pairs = _editdist_bucket_candidates(shorts, max_dist)
+    return prefix_pairs.select("ia", "ib", "ta", "tb").unionByName(short_pairs)
+
+
+def _editdist_prefix(
+    base: DataFrame,
+    max_dist: int,
+    qgram: int,
+    hot_gram_rows: int,
+    salt_max: int,
+) -> DataFrame:
+    """The prefix-filter side of ``editdist_candidates``: per doc, its
+    min(s, d·q + 1) RAREST occurrence-indexed q-grams, each row carrying
+    the gram key ``e``, the doc length, the ``long`` flag, and the
+    per-gram salt width ``gsalt`` (1 for cold grams). Split out so the
+    sf10 proof can measure per-(e, salt-group) bucket widths — the
+    join-task bound — from the exact rows the join consumes."""
+    from pyspark.sql import Window as W
+
+    dq = max_dist * qgram
     # grams with occurrence index; s = len − q + 1 rows per doc (docs
     # shorter than q yield none and are short by definition). The
     # occurrence index k makes repeated grams distinct set elements:
@@ -1528,30 +1591,21 @@ def editdist_candidates(
     )
     prefix = ranked.filter(
         F.col("rk") <= F.least(sz, F.lit(dq + 1))
-    ).select("id", "len", "e", (sz > dq).alias("long"))
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.e") == F.col("b.e"))
-            & (F.col("a.id") < F.col("b.id"))
-            # short-short pairs have a vacuous count bound — they come
-            # from the bucket fallback, never from here
-            & (F.col("a.long") | F.col("b.long"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
-        )
-        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
-        .dropDuplicates(["ia", "ib"])
+    ).select(
+        "id",
+        "len",
+        "e",
+        (sz > dq).alias("long"),
+        # per-gram salt width: 1 for cold grams (the overwhelming
+        # mass), ceil(freq / hot_gram_rows) capped at salt_max for hot
+        # ones — freq is identical on both sides of the self-join by
+        # construction, so the group arithmetic agrees
+        F.least(
+            F.ceil(F.col("freq") / F.lit(hot_gram_rows)),
+            F.lit(salt_max),
+        ).cast("int").alias("gsalt"),
     )
-    texts = base.select("id", "t")
-    prefix_pairs = cand.join(
-        texts.select(F.col("id").alias("ia"), F.col("t").alias("ta")), "ia"
-    ).join(texts.select(F.col("id").alias("ib"), F.col("t").alias("tb")), "ib")
-    shorts = base.filter(F.col("len") <= dq + qgram - 1).withColumn(
-        "bkt", F.floor(F.col("len") / (max_dist + 1))
-    )
-    short_pairs = _editdist_bucket_candidates(shorts, max_dist)
-    return prefix_pairs.select("ia", "ib", "ta", "tb").unionByName(short_pairs)
+    return prefix
 
 
 def editdist_near_duplicates(

@@ -406,3 +406,45 @@ def test_ngram_contamination_big_eval_routing(spark):
             for r in routed.collect()
         }
         assert got == base, kwargs
+
+
+def test_skipgram_contamination_one_substitution_tolerance(spark):
+    """A train window matching an eval window with EXACTLY one token
+    changed is contaminated; two changes is not; verbatim still is; a
+    window matching through several masked variants counts once."""
+    ev = spark.createDataFrame(
+        [(0, "alpha bravo charlie delta echo foxtrot golf hotel")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel"),   # verbatim
+            (2, "alpha bravo charlie delta echo foxtrot golf india"),   # 1 sub
+            (3, "alpha bravo charlie delta echo foxtrot kilo india"),   # 2 subs
+            (4, "ALPHA  bravo charlie delta echo foxtrot golf hotel"),  # case+ws
+            (5, "short text"),                                          # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_windows"], r["n_contaminated"], r["contaminated"])
+        for r in corpus.skipgram_contamination(
+            train, ev, "doc_id", "text", n=8, eval_small=True
+        ).collect()
+    }
+    assert got[1] == (1, 1, True)   # verbatim matches all 8 variants, once
+    assert got[2] == (1, 1, True)   # one substitution tolerated
+    assert got[3] == (1, 0, False)  # two substitutions: clean
+    assert got[4] == (1, 1, True)   # normalization folds case/whitespace
+    assert got[5] == (0, 0, False)  # no windows
+
+    # multi-window doc: only windows within one substitution count
+    t2 = spark.createDataFrame(
+        [(9, "zulu alpha bravo charlie delta echo foxtrot golf hotel yankee")],
+        "doc_id long, text string",
+    )  # 3 windows of 8; window 2 = verbatim eval, windows 1/3 differ by
+    # one EXTRA token at an end — a shift, not a substitution: clean
+    row = corpus.skipgram_contamination(
+        t2, ev, "doc_id", "text", n=8, eval_small=True
+    ).collect()[0]
+    assert (row["n_windows"], row["n_contaminated"]) == (3, 1)

@@ -514,3 +514,65 @@ def test_minhash_onetask_flagged_matches_incremental(spark):
     assert len(one) > 0
     # every pair touches the new half
     assert all(b >= split for _a, b, _j in one)
+
+
+def test_editdist_hot_gram_salting_identical_and_bounded(spark):
+    """Round-11 skew fix: on a shared-small-vocabulary corpus the
+    prefix join concentrates on a few gram keys; triangle-salting must
+    (a) leave the candidate set EXACTLY identical to the unsalted join
+    and (b) bound the widest per-(e, s) join bucket by ~hot_gram_rows,
+    paying replication only on hot grams."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> hot grams
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(12, 30))))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unsalted = {
+        (r["ia"], r["ib"])
+        for r in dedup.editdist_candidates(
+            df, "doc_id", "text", max_dist=8,
+            hot_gram_rows=10**9,  # never splits
+        ).select("ia", "ib").collect()
+    }
+    salted = {
+        (r["ia"], r["ib"])
+        for r in dedup.editdist_candidates(
+            df, "doc_id", "text", max_dist=8,
+            hot_gram_rows=64, salt_max=16,
+        ).select("ia", "ib").collect()
+    }
+    assert salted == unsalted and unsalted  # identical, non-trivial
+
+    # bucket-width bound, measured on the exact rows the join consumes
+    base = df.select(
+        F.col("doc_id").alias("id"), F.col("text").alias("t"),
+        F.length("text").alias("len"),
+    )
+    prefix = dedup._editdist_prefix(
+        base, max_dist=8, qgram=4, hot_gram_rows=64, salt_max=16
+    )
+    right = prefix.withColumn(
+        "s", F.pmod(F.xxhash64("id"), F.col("gsalt")).cast("int")
+    )
+    stats = (
+        right.groupBy("e", "s")
+        .agg(F.count(F.lit(1)).alias("bucket"), F.first("gsalt").alias("g"))
+        .agg(
+            F.max("bucket").alias("max_bucket"),
+            F.max("g").alias("max_g"),
+        )
+        .collect()[0]
+    )
+    assert stats["max_g"] > 1  # the corpus really triggered splitting
+    # hash grouping is uneven but the widest right-side bucket must be
+    # a small multiple of the target, not the unsalted full width
+    unsplit = (
+        prefix.groupBy("e").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert unsplit > 64  # hot grams exist
+    assert stats["max_bucket"] <= 3 * 64

@@ -82,13 +82,13 @@ def main() -> None:
         "--families",
         nargs="*",
         default=None,
-        choices=["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup"],
+        choices=["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup", "editsalt"],
         help="subset to (re)run; merges into an existing --out report",
     )
     args = ap.parse_args()
     fam = set(
         args.families
-        or ["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup"]
+        or ["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup", "editsalt"]
     )
 
     # 100x-scale shuffles (24-band candidate stream ≈ 600M slim rows
@@ -369,6 +369,97 @@ def main() -> None:
             "full_run_secs": round(rn_secs, 2),
         }
         print("row_number:", report["global_row_number"], flush=True)
+
+    # ---- editdist hot-gram salting (q63 family, round 11) -------------
+    if "editsalt" in fam:
+        # Adversarial SHARED-VOCABULARY corpus: every doc drawn from a
+        # 6-word vocabulary, so the prefix join's gram keys concentrate
+        # into a few huge buckets — the regime the r9 proof documented
+        # as saturation. The question here is the JOIN-TASK bound: with
+        # triangle-salting, the widest per-(e, s) bucket (task width)
+        # must collapse from the unsalted per-e width, while the
+        # candidate count stays EXACTLY equal and planted recall holds.
+        import random
+
+        rng = random.Random(63)
+        vocab = [f"w{i}" for i in range(6)]
+        n_docs = 60_000
+        rows = []
+        for i in range(n_docs):
+            words = rng.randint(12, 90)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(words))))
+        planted = []
+        for j in range(100):  # (base, base+1M): 3 substitutions, ed<=3
+            bid, txt = rows[j * 17]
+            mut = list(txt)
+            for km in (5, 11, 17):
+                mut[km] = "z"
+            planted.append((bid + 1_000_000, "".join(mut)))
+        corpus = spark.createDataFrame(
+            rows + planted, "doc_id long, text string"
+        ).repartition(64)
+        hot = 512
+        base = corpus.select(
+            F.col("doc_id").alias("id"), F.col("text").alias("t"),
+            F.length("text").alias("len"),
+        )
+        pref = dedup._editdist_prefix(
+            base, max_dist=8, qgram=4, hot_gram_rows=hot, salt_max=64
+        )
+        widths = (
+            pref.withColumn(
+                "s", F.pmod(F.xxhash64("id"), F.col("gsalt")).cast("int")
+            )
+            .groupBy("e", "s")
+            .agg(F.count(F.lit(1)).alias("b"), F.first("gsalt").alias("g"))
+        )
+        per_e = pref.groupBy("e").count()
+        max_e = per_e.agg(F.max("count")).collect()[0][0]
+        wrow = widths.agg(
+            F.max("b").alias("max_b"), F.max("g").alias("max_g")
+        ).collect()[0]
+        t0 = time.perf_counter()
+        salted_n = dedup.editdist_candidates(
+            corpus, "doc_id", "text", max_dist=8,
+            hot_gram_rows=hot, salt_max=64,
+        ).count()
+        salted_secs = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        unsalted_n = dedup.editdist_candidates(
+            corpus, "doc_id", "text", max_dist=8, hot_gram_rows=10**9,
+        ).count()
+        unsalted_secs = time.perf_counter() - t0
+        cand = dedup.editdist_candidates(
+            corpus, "doc_id", "text", max_dist=8,
+            hot_gram_rows=hot, salt_max=64,
+        )
+        planted_df = spark.createDataFrame(
+            [(r[0] - 1_000_000, r[0]) for r in planted], "ia long, ib long"
+        )
+        found = cand.join(planted_df, ["ia", "ib"], "left_semi").count()
+        report["editdist_hot_gram_salting"] = {
+            "n_docs": n_docs + len(planted),
+            "vocab_words": len(vocab),
+            "hot_gram_rows": hot,
+            "unsalted_max_gram_bucket": max_e,
+            "salted_max_task_bucket": wrow["max_b"],
+            "max_salt_width": wrow["max_g"],
+            "task_width_shrink": round(max_e / max(1, wrow["max_b"]), 1),
+            "candidates_salted": salted_n,
+            "candidates_unsalted": unsalted_n,
+            "counts_equal": salted_n == unsalted_n,
+            "planted": len(planted),
+            "planted_found": found,
+            "salted_secs": round(salted_secs, 1),
+            "unsalted_secs": round(unsalted_secs, 1),
+            "note": (
+                "triangle-salted self-join on hot gram keys: per-task "
+                "width bounded near hot_gram_rows, candidate set "
+                "identical by construction, replication paid only by "
+                "hot grams"
+            ),
+        }
+        print("editsalt:", report["editdist_hot_gram_salting"], flush=True)
 
     # ---- 6. Duplicated-window spans (q73/q76 family) ------------------
     if "dupwin" in fam:
