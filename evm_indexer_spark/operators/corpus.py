@@ -635,17 +635,22 @@ def skipgram_contamination(
         F.broadcast(eval_keys) if eval_small else eval_keys.hint("shuffle_hash")
     )
     # ONE tokenize+mask pass feeds both aggregates (the q80 lesson —
-    # at corpus scale the text pass IS the cost): every window appears
-    # as exactly n keyed rows, so distinct positions count windows and
-    # distinct HIT positions count contaminated windows
+    # at corpus scale the text pass IS the cost). Two-level hash agg
+    # instead of count-distincts: collapsing the n keyed rows back to
+    # one row per (id, window) gets map-side partial aggregation and
+    # avoids the Expand node two DISTINCT aggregates would plan
     per_doc = (
         t_keys.join(probe_side, "__key", "left")
+        .groupBy("id", "__pos")
+        .agg(
+            F.max(
+                F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+            ).alias("__h")
+        )
         .groupBy("id")
         .agg(
-            F.countDistinct("__pos").alias("n_windows"),
-            F.countDistinct(
-                F.when(F.col("__hit").isNotNull(), F.col("__pos"))
-            ).alias("n_contaminated"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("__h").alias("n_contaminated"),
         )
     )
     return (
