@@ -554,10 +554,14 @@ def skipgram_contamination(
 
     Mechanism — masked skip-gram keys, not edit distance: each n-token
     window emits n variants with position j replaced by a placeholder
-    (``\\x01``, which no whitespace-split token can contain); two
-    windows agree on a masked variant **iff** they differ in at most
-    that one position, so "≤ 1 substitution" becomes an EXACT equi-join
-    on the masked key. No quadratic window×window comparison exists
+    (``\\x01``); two windows agree on a masked variant **iff** they
+    differ in at most that one position, so "≤ 1 substitution" becomes
+    an EXACT equi-join on the masked key. The placeholder is a
+    control byte no natural-language token contains; a corpus whose
+    raw text embeds literal ``\\x01`` bytes could align a real token
+    against a mask and over-report (both engines apply the identical
+    construction, so the oracle contract is unaffected) — sanitize
+    such corpora with ``clean_text`` first. No quadratic window×window comparison exists
     anywhere: work is n× the verbatim pipeline's map volume, the join
     stays a hash join on strings, and the same size routing applies —
     distinct eval keys broadcast in the benchmark-suite regime and fall

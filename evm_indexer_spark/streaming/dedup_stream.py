@@ -170,6 +170,49 @@ def _claim_stamp(spark: SparkSession, root: str, marker: str, stamp: str) -> Non
         )
 
 
+TOMBSTONE_SCHEMA = StructType([StructField("id", LongType(), False)])
+
+
+def _tombstones_df(spark: SparkSession, tomb_dir: str) -> DataFrame | None:
+    """Deleted ids under *tomb_dir*, ``None`` when there are none — the
+    None fast path keeps undeleted indexes at zero extra plan nodes
+    (one driver-side listing aside)."""
+    dirs = _list_batch_dirs(spark, tomb_dir)
+    if not dirs:
+        return None
+    return (
+        spark.read.schema(TOMBSTONE_SCHEMA)
+        .option("basePath", tomb_dir)
+        .parquet(*dirs)
+        .select("id")
+    )
+
+
+def _append_tombstones(
+    spark: SparkSession, tomb_dir: str, ids, batch_id: int | None = None
+) -> None:
+    """Write an id tombstone batch (iterable or one-column DataFrame)
+    under ``<tomb_dir>/batch=<id>`` with the family's overwrite
+    convergence contract; *batch_id* defaults to one past the current
+    tombstone high-water mark."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], TOMBSTONE_SCHEMA
+        )
+    else:
+        ids = ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+    if batch_id is None:
+        hi = -1
+        for d in _list_batch_dirs(spark, tomb_dir):
+            name = posixpath.basename(d)[len("batch="):]
+            if name.isdigit():
+                hi = max(hi, int(name))
+        batch_id = hi + 1
+    ids.select("id").distinct().coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(tomb_dir, f"batch={batch_id}")
+    )
+
+
 def _stream_batch_base(
     spark: SparkSession, checkpoint_dir: str, roots: list[str]
 ) -> int:
@@ -325,6 +368,8 @@ class MinHashBucketIndex:
         # signing strategies use different hash families, so an index
         # must be written AND queried with one of them forever
         self.strategy = "pandas" if strategy == "pandas" else "expr"
+        # underscore prefix: excluded from buckets()' recursive listing
+        self._tombstones_dir = posixpath.join(path, "_tombstones")
         _claim_stamp(
             spark,
             path,
@@ -337,13 +382,41 @@ class MinHashBucketIndex:
     _is_already_exists = staticmethod(_is_already_exists)
 
     def buckets(self) -> DataFrame:
-        """All indexed bucket rows (explicit schema: empty/partial batch
-        dirs must not poison inference)."""
+        """All PHYSICAL bucket rows, tombstoned ids included (explicit
+        schema: empty/partial batch dirs must not poison inference).
+        Serving paths read ``live_buckets()``."""
         return (
             self.spark.read.schema(BUCKET_SCHEMA)
             .option("recursiveFileLookup", "true")
             .parquet(self.path)
         )
+
+    def live_buckets(self) -> DataFrame:
+        """Bucket rows minus deleted ids — what every candidate join
+        consumes. Tombstone volume is O(deletes since compact) —
+        reorg/takedown-sized, always broadcastable."""
+        tombs = self.tombstones()
+        if tombs is None:
+            return self.buckets()
+        return self.buckets().join(F.broadcast(tombs), "id", "left_anti")
+
+    def tombstones(self) -> DataFrame | None:
+        """Deleted ids, ``None`` when the index has none."""
+        return _tombstones_df(self.spark, self._tombstones_dir)
+
+    def delete(self, ids, batch_id: int | None = None) -> None:
+        """Tombstone *ids* (iterable or one-column DataFrame): they
+        stop producing candidate pairs immediately (every serving join
+        reads ``live_buckets()``); physical bucket rows remain until
+        ``compact()`` folds them out. This is the retraction path a
+        training corpus needs for reorged documents and right-to-be-
+        forgotten deletes — O(deletes) now, physical at maintenance.
+
+        A delete is TERMINAL until compact: the arrival streams' text
+        store still lists the id, so a re-arrival is dropped by the
+        re-arrival guard. delete → compact (index) → retire the text
+        batch → re-land is the resurrection order."""
+        _append_tombstones(self.spark, self._tombstones_dir, ids, batch_id)
 
     def append(
         self, docs: DataFrame, id_col: str, text_col: str, batch_id: int = 0
@@ -379,17 +452,31 @@ class MinHashBucketIndex:
         exact, and the next ``compact()`` folds the leftovers away.
         Single concurrent writer assumed (the streaming foreachBatch
         contract); run it from the maintenance cadence, not per epoch.
-        Returns the number of directories folded."""
+        Returns the number of directories folded.
+
+        Tombstones fold here too: the rewrite keeps LIVE rows only and
+        clears the tombstone dirs afterwards (making deletes physical).
+        Every crash point stays serving-correct: un-deleted source dirs
+        still carry tombstoned rows, but the tombstones that mask them
+        are removed only after the sources are gone."""
         old = _list_batch_dirs(self.spark, self.path)
-        if len(old) <= 1:
+        tombs = self.tombstones()
+        if len(old) <= 1 and tombs is None:
+            return 0
+        if not old:
             return 0
         # the write job lists its input files at planning time, after
         # the `old` snapshot — an epoch landing mid-compaction is read
         # into the base AND survives in its own dir (duplicate rows,
         # harmless as above), never lost
-        return _fold_batch_dirs(
-            self.spark, self.path, self.buckets(), old, self.bands
+        folded = _fold_batch_dirs(
+            self.spark, self.path, self.live_buckets(), old, self.bands
         )
+        fs, _ = _hadoop(self.spark, self._tombstones_dir)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        for d in _list_batch_dirs(self.spark, self._tombstones_dir):
+            fs.delete(Path(d), True)
+        return folded
 
     def pairs_for(
         self,
@@ -403,10 +490,11 @@ class MinHashBucketIndex:
         the batch, exactly verified against *corpus_docs* text.
         *new_docs* ids must not already be indexed (the
         ``incremental_minhash_pairs`` precondition) — the streaming
-        wrapper enforces this with an arrival anti-join."""
+        wrapper enforces this with an arrival anti-join. Deleted ids
+        never produce candidates (the join reads ``live_buckets()``)."""
         return dedup.incremental_minhash_pairs(
             new_docs,
-            self.buckets(),
+            self.live_buckets(),
             corpus_docs,
             id_col,
             text_col,

@@ -39,8 +39,11 @@ from ..operators import similarity
 from .dedup_stream import (
     _claim_stamp,
     _fold_batch_dirs,
+    _append_tombstones,
+    _hadoop,
     _list_batch_dirs,
     _stream_batch_base,
+    _tombstones_df,
 )
 
 EMBED_BUCKET_SCHEMA = StructType(
@@ -80,18 +83,42 @@ class EmbeddingBucketIndex:
         self.n_planes = n_planes
         self.n_tables = n_tables
         self.seed = seed
+        # underscore prefix: excluded from buckets()' recursive listing
+        self._tombstones_dir = posixpath.join(path, "_tombstones")
         _claim_stamp(
             spark, path, self._MARKER, f"{n_planes},{n_tables},{seed},{dim}"
         )
 
     def buckets(self) -> DataFrame:
-        """All indexed bucket rows (explicit schema: empty/partial batch
-        dirs must not poison inference)."""
+        """All PHYSICAL bucket rows, tombstoned ids included (explicit
+        schema: empty/partial batch dirs must not poison inference).
+        Serving paths read ``live_buckets()``."""
         return (
             self.spark.read.schema(EMBED_BUCKET_SCHEMA)
             .option("recursiveFileLookup", "true")
             .parquet(self.path)
         )
+
+    def live_buckets(self) -> DataFrame:
+        """Bucket rows minus deleted ids — what every candidate join
+        consumes (broadcast anti-join; zero extra plan nodes while the
+        index has no tombstones)."""
+        tombs = self.tombstones()
+        if tombs is None:
+            return self.buckets()
+        return self.buckets().join(F.broadcast(tombs), "id", "left_anti")
+
+    def tombstones(self) -> DataFrame | None:
+        """Deleted ids, ``None`` when the index has none."""
+        return _tombstones_df(self.spark, self._tombstones_dir)
+
+    def delete(self, ids, batch_id: int | None = None) -> None:
+        """Tombstone *ids*: they stop producing candidate pairs
+        immediately; physical rows remain until ``compact()``. Same
+        terminal-until-compact contract as
+        ``MinHashBucketIndex.delete`` (the vec store still lists the
+        id, so re-arrivals stay guarded out until maintenance)."""
+        _append_tombstones(self.spark, self._tombstones_dir, ids, batch_id)
 
     def append(
         self, docs: DataFrame, id_col: str, vec_col: str, batch_id: int = 0
@@ -115,11 +142,16 @@ class EmbeddingBucketIndex:
         verification is exact); single concurrent writer assumed.
         Returns the number of directories folded."""
         old = _list_batch_dirs(self.spark, self.path)
-        if len(old) <= 1:
+        if not old or (len(old) <= 1 and self.tombstones() is None):
             return 0
-        return _fold_batch_dirs(
-            self.spark, self.path, self.buckets(), old, self.n_tables
+        folded = _fold_batch_dirs(
+            self.spark, self.path, self.live_buckets(), old, self.n_tables
         )
+        fs, _ = _hadoop(self.spark, self._tombstones_dir)
+        Path = self.spark._jvm.org.apache.hadoop.fs.Path
+        for d in _list_batch_dirs(self.spark, self._tombstones_dir):
+            fs.delete(Path(d), True)
+        return folded
 
     def pairs_for(
         self,
@@ -135,7 +167,7 @@ class EmbeddingBucketIndex:
         streaming wrapper enforces this with an arrival anti-join."""
         return similarity.incremental_embedding_pairs(
             new_docs,
-            self.buckets(),
+            self.live_buckets(),
             corpus_docs,
             id_col,
             vec_col,

@@ -388,3 +388,75 @@ def test_marker_read_exhaustion_raises_informative(spark, tmp_path, monkeypatch)
     fs, jpath = _hadoop(spark, str(marker))
     with pytest.raises(RuntimeError, match="unreadable or empty"):
         _read_marker(fs, jpath)
+
+
+def test_index_delete_tombstones_and_compact(spark, tmp_path):
+    """Retraction tier on the MinHash index: delete() stops a doc from
+    producing candidate pairs immediately (live_buckets anti-join),
+    buckets() keeps the physical rows until compact() folds them out
+    and clears tombstones."""
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    docs = spark.createDataFrame(
+        [(0, BASE + " variant 0"), (1, BASE + " variant 1")],
+        "doc_id long, text string",
+    )
+    ix.append(docs, "doc_id", "text", batch_id=0)
+    assert ix.tombstones() is None  # undeleted index: None fast path
+
+    new = spark.createDataFrame(
+        [(2, BASE + " variant 2")], "doc_id long, text string"
+    )
+    corpus = docs.unionByName(new)
+    before = {
+        (r["id_a"], r["id_b"])
+        for r in ix.pairs_for(new, corpus, "doc_id", "text", 0.4).collect()
+    }
+    assert before == {(0, 2), (1, 2)}
+
+    ix.delete([0])
+    after = {
+        (r["id_a"], r["id_b"])
+        for r in ix.pairs_for(new, corpus, "doc_id", "text", 0.4).collect()
+    }
+    assert after == {(1, 2)}  # retracted doc pairs with nothing
+    assert ix.buckets().filter(F.col("id") == 0).count() == 64  # physical
+    assert ix.live_buckets().filter(F.col("id") == 0).count() == 0
+
+    # compact folds the deletion physically and clears the tombstones
+    folded = ix.compact()
+    assert folded >= 1
+    assert ix.tombstones() is None
+    assert ix.buckets().filter(F.col("id") == 0).count() == 0
+    assert ix.buckets().filter(F.col("id") == 1).count() == 64
+    assert {
+        (r["id_a"], r["id_b"])
+        for r in ix.pairs_for(new, corpus, "doc_id", "text", 0.4).collect()
+    } == {(1, 2)}
+
+
+def test_embedding_index_delete_tombstones(spark, tmp_path):
+    from evm_indexer_spark.streaming.embed_stream import EmbeddingBucketIndex
+
+    ix = EmbeddingBucketIndex(spark, str(tmp_path / "eix"), dim=4)
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0, 0.0])],
+        "vec_id long, vec array<double>",
+    )
+    ix.append(vecs, "vec_id", "vec", batch_id=0)
+    new = spark.createDataFrame(
+        [(2, [0.998, 0.02, 0.0, 0.0])], "vec_id long, vec array<double>"
+    )
+    corpus = vecs.unionByName(new)
+    before = {
+        (r["id_a"], r["id_b"])
+        for r in ix.pairs_for(new, corpus, "vec_id", "vec", 0.99).collect()
+    }
+    assert before == {(0, 2), (1, 2)}
+    ix.delete([0])
+    assert {
+        (r["id_a"], r["id_b"])
+        for r in ix.pairs_for(new, corpus, "vec_id", "vec", 0.99).collect()
+    } == {(1, 2)}
+    assert ix.compact() >= 1
+    assert ix.tombstones() is None
+    assert ix.buckets().filter(F.col("id") == 0).count() == 0
