@@ -44,6 +44,7 @@ from .dedup_stream import (
     _foldable_dirs,
     _hadoop,
     _list_batch_dirs,
+    _retract_dir,
     _stream_batch_base,
 )
 
@@ -98,6 +99,22 @@ class NgramStatsStore:
             "overwrite"
         ).parquet(posixpath.join(self.path, f"batch={batch_id}"))
 
+    def retract(self, partial: DataFrame) -> None:
+        """Remove a previously-appended contribution: persist the
+        NEGATED partial under ``batch=retract<k>``. Callers recompute
+        the partial from the retracted docs exactly as the stream did
+        (``_ngram_counts_pandas`` with the same n) — the store keeps no
+        per-doc rows to derive it from, the same trust ``append``
+        extends. Sums cancel exactly in ``totals``/``top``; compaction
+        folds retractions like any partial and drops zero-sum rows."""
+        partial.select(
+            "ngram",
+            (-F.col("occ")).alias("occ"),
+            (-F.col("docs")).alias("docs"),
+        ).write.mode("overwrite").parquet(
+            _retract_dir(self.spark, self.path)
+        )
+
     def compact(self) -> int:
         """Merge every batch dir into one summed base generation; see
         module docstring. Returns the number of directories folded.
@@ -123,6 +140,7 @@ class NgramStatsStore:
             .parquet(*old)
             .groupBy("ngram")
             .agg(F.sum("occ").alias("occ"), F.sum("docs").alias("docs"))
+            .filter((F.col("occ") != 0) | (F.col("docs") != 0))
         )
         return _fold_batch_dirs(self.spark, self.path, merged, old, 1)
 

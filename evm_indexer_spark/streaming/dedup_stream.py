@@ -213,6 +213,21 @@ def _append_tombstones(
     )
 
 
+def _retract_dir(spark: SparkSession, root: str) -> str:
+    """Next ``batch=retract<k>`` dir under *root* — the summed-partial
+    stores' retraction namespace. Distinct from the numeric epoch ids
+    (a running stream's NEXT epoch can never overwrite a retraction)
+    and from ``batch=base<G>`` compaction generations; every batch-dir
+    reader picks ``batch=*`` up by glob and every numeric parser
+    already skips non-numeric names."""
+    hi = -1
+    for d in _list_batch_dirs(spark, root):
+        name = posixpath.basename(d)[len("batch="):]
+        if name.startswith("retract") and name[len("retract"):].isdigit():
+            hi = max(hi, int(name[len("retract"):]))
+    return posixpath.join(root, f"batch=retract{hi + 1}")
+
+
 def _stream_batch_base(
     spark: SparkSession, checkpoint_dir: str, roots: list[str]
 ) -> int:

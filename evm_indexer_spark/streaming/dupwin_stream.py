@@ -45,6 +45,7 @@ from .dedup_stream import (
     _foldable_dirs,
     _hadoop,
     _list_batch_dirs,
+    _retract_dir,
     _stream_batch_base,
 )
 
@@ -112,14 +113,38 @@ class WindowHashIndex:
             posixpath.join(self.path, f"batch={batch_id}")
         )
 
+    def retract(
+        self, docs: DataFrame, id_col: str, text_col: str
+    ) -> None:
+        """Remove *docs*' counter contribution — the retraction path
+        for reorged/taken-down documents: re-hash their windows and
+        append the NEGATED partial under ``batch=retract<k>``. Every
+        consumer sums partials, so the contribution cancels exactly;
+        O(retracted docs) work, no store rewrite. Caller contract:
+        retract a doc at most once, with the exact text that was
+        appended (the store keeps no per-doc rows to check against —
+        the same trust ``append`` already extends). The doc's id stays
+        consumed in the arrival stream's id store: retraction removes
+        CONTENT statistics, it does not re-open the id for landing."""
+        rows = (
+            _window_hashes(docs, id_col, text_col, self.window_n)
+            .groupBy("h")
+            .agg((-F.count(F.lit(1))).alias("occ"))
+        )
+        rows.write.mode("overwrite").parquet(
+            _retract_dir(self.spark, self.path)
+        )
+
     def compact(self, coalesce_n: int = 1) -> int:
         """Fold every ``batch=*`` dir into one merged base generation,
         bounding files AND rows at distinct-hash cardinality. Partials
         are SUMMED — the merge reads strictly the ``old`` snapshot dirs
         captured before the write, so an epoch landing mid-compaction
-        is neither double-counted nor lost. Single concurrent writer
-        assumed; run from the maintenance cadence, never concurrently
-        with ``append``. Returns the number of directories folded."""
+        is neither double-counted nor lost (retraction partials fold
+        like any other; hashes whose sum reaches zero are dropped).
+        Single concurrent writer assumed; run from the maintenance
+        cadence, never concurrently with ``append``. Returns the
+        number of directories folded."""
         # the newest epoch dir is never folded: a crashed-then-
         # redelivered epoch must still find (and overwrite) its own
         # first-attempt rows — folding them into the base would both
@@ -132,6 +157,7 @@ class WindowHashIndex:
             .parquet(*old)
             .groupBy("h")
             .agg(F.sum("occ").alias("occ"))
+            .filter(F.col("occ") != 0)
         )
         return _fold_batch_dirs(self.spark, self.path, merged, old, coalesce_n)
 

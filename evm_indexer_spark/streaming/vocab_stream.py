@@ -37,6 +37,7 @@ from .dedup_stream import (
     _foldable_dirs,
     _hadoop,
     _list_batch_dirs,
+    _retract_dir,
     _stream_batch_base,
 )
 
@@ -75,6 +76,18 @@ class WordCountStore:
             posixpath.join(self.path, f"batch={batch_id}")
         )
 
+    def retract(self, docs: DataFrame, text_col: str) -> None:
+        """Remove *docs*' word-count contribution: the NEGATED counts
+        land under ``batch=retract<k>`` and cancel exactly in
+        ``counts``/``train``. Caller contract as in
+        ``WindowHashIndex.retract``: at most once per doc, exact
+        appended text."""
+        word_counts(docs, text_col).select(
+            "word", (-F.col("freq")).alias("freq")
+        ).write.mode("overwrite").parquet(
+            _retract_dir(self.spark, self.path)
+        )
+
     def compact(self, coalesce_n: int = 1) -> int:
         """Fold every ``batch=*`` dir into one merged base generation —
         files AND rows bounded at vocab cardinality. Merges strictly
@@ -90,6 +103,7 @@ class WordCountStore:
             .parquet(*old)
             .groupBy("word")
             .agg(F.sum("freq").alias("freq"))
+            .filter(F.col("freq") != 0)
         )
         return _fold_batch_dirs(self.spark, self.path, merged, old, coalesce_n)
 

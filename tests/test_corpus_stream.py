@@ -168,3 +168,45 @@ def test_compaction_merges_only_snapshot_dirs(spark, tmp_path):
     totals = {r["ngram"]: r["n_occurrences"] for r in store.totals().collect()}
     single = {r["ngram"]: r["occ"] for r in partial.collect()}
     assert totals == {k: 4 * v for k, v in single.items()}
+
+
+def test_ngram_store_retract_cancels_exactly(spark, tmp_path):
+    from evm_indexer_spark.operators import corpus
+    from evm_indexer_spark.operators.corpus import _ngram_counts_pandas
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox sleeps under the old tree"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    def partial(df):
+        return _ngram_counts_pandas(df, "text", 3).select(
+            "ngram",
+            F.col("n_occurrences").alias("occ"),
+            F.col("n_docs").alias("docs"),
+        )
+
+    store = NgramStatsStore(spark, str(tmp_path / "stats"))
+    for i in range(3):
+        store.append(partial(docs.filter(F.col("doc_id") == i)), batch_id=i)
+    store.retract(partial(docs.filter(F.col("doc_id") == 1)))
+    want = {
+        (r["ngram"], r["n_occurrences"], r["n_docs"])
+        for r in corpus.top_ngrams(
+            docs.filter(F.col("doc_id") != 1), "doc_id", "text",
+            n=3, k=100, min_count=1,
+        ).collect()
+    }
+    got = {
+        (r["ngram"], r["n_occurrences"], r["n_docs"])
+        for r in store.top(100, 1).collect()
+    }
+    assert got == want
+    assert store.compact() >= 1
+    assert {
+        (r["ngram"], r["n_occurrences"], r["n_docs"])
+        for r in store.top(100, 1).collect()
+    } == want

@@ -151,3 +151,41 @@ def test_window_n_marker_is_immutable(spark, tmp_path):
         WindowHashIndex(spark, str(tmp_path / "idx"), window_n=8)
     with pytest.raises(ValueError, match="window_n"):
         WindowHashIndex(spark, str(tmp_path / "idx2"), window_n=0)
+
+
+def test_retract_cancels_contribution_exactly(spark, tmp_path):
+    """Negative-partial retraction: after retract(docs_subset), summed
+    counters equal the batch truth over the REMAINING docs — before
+    and after compaction (which drops zero-sum rows)."""
+    from evm_indexer_spark.operators.corpus import _window_hashes
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            (2, "totally different words in this one right here"),
+        ],
+        "doc_id long, text string",
+    )
+    ix = WindowHashIndex(spark, str(tmp_path / "dw"), window_n=4)
+    for i in range(3):
+        ix.append(docs.filter(F.col("doc_id") == i), "doc_id", "text",
+                  batch_id=i)
+    gone = docs.filter(F.col("doc_id") == 1)
+    ix.retract(gone, "doc_id", "text")
+
+    def summed(df):
+        return sorted(
+            map(tuple, df.groupBy("h").agg(F.sum("occ").alias("occ"))
+                .filter(F.col("occ") != 0).collect())
+        )
+
+    want = summed(_window_hashes(
+        docs.filter(F.col("doc_id") != 1), "doc_id", "text", 4
+    ).groupBy("h").agg(F.count(F.lit(1)).alias("occ")))
+    assert summed(ix.hashes()) == want
+    # compaction folds the retraction physically, zero-sum rows dropped
+    assert ix.compact() >= 1
+    assert summed(ix.hashes()) == want
+    rows = ix.hashes().collect()
+    assert all(r["occ"] > 0 for r in rows)  # no zero/negative residue

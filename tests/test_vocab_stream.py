@@ -91,3 +91,37 @@ def test_word_counts_match_plain_tokenization(spark, tmp_path):
     got = {r["word"]: r["freq"] for r in store.counts().collect()}
     toks = [t for _, s in DOCS for t in s.lower().split()]
     assert got == {t: toks.count(t) for t in set(toks)}
+
+
+def test_vocab_store_retract_cancels_exactly(spark, tmp_path):
+    from evm_indexer_spark.streaming.vocab_stream import word_counts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower lowest low low"),
+            (1, "newer newest new newer"),
+            (2, "low lowest newer low"),
+        ],
+        "doc_id long, text string",
+    )
+    store = WordCountStore(spark, str(tmp_path / "vocab"))
+    for i in range(3):
+        store.append(docs.filter(F.col("doc_id") == i), "text", batch_id=i)
+    store.retract(docs.filter(F.col("doc_id") == 1), "text")
+    keep = docs.filter(F.col("doc_id") != 1)
+    want = {
+        (r["word"], r["freq"])
+        for r in word_counts(keep, "text").collect()
+    }
+    got = {
+        (r["word"], r["freq"])
+        for r in store.counts().filter(F.col("freq") != 0).collect()
+    }
+    assert got == want
+    # BPE training over the store equals batch training on the
+    # remaining corpus — the vocab loop stays retraction-consistent
+    assert store.train(4, 1) == bpe_train(keep, "text", num_merges=4)
+    assert store.compact() >= 1
+    assert {
+        (r["word"], r["freq"]) for r in store.counts().collect()
+    } == want
