@@ -1607,7 +1607,7 @@ def q64(spark, sf):
     """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(
-        trim(regexp_replace(lower(text), '\\s+', ' ')), ' ') AS t
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ngram
@@ -2484,13 +2484,29 @@ def q79(spark, sf):
     # ONE encode pass (the corpus-scale Arrow stage) serves both
     # regimes; each retrieve filters it to exactly its own ids (see
     # pq_refine_topk's encoded contract — a superset would let planted
-    # rows occupy total-regime shortlist slots)
+    # rows occupy total-regime shortlist slots). The cache is
+    # per-invocation and bounded at (id, 8 codes) per vector; a
+    # long-lived session re-running the entry accumulates caches until
+    # spark.catalog.clearCache().
     encoded = similarity.pq_encode(aug, "vec_id", "embedding", books).persist()
-    total = similarity.pq_refine_topk(
-        emb, "vec_id", "embedding", books, qv,
-        k=10, n_candidates=n, round_digits=4,
-        encoded=encoded.filter(F.col("id") >= 0),
-    ).select(F.lit("total").alias("regime"), "vec_id", "score")
+    if n <= 100_000:
+        total = similarity.pq_refine_topk(
+            emb, "vec_id", "embedding", books, qv,
+            k=10, n_candidates=n, round_digits=4,
+            encoded=encoded.filter(F.col("id") >= 0),
+        )
+    else:
+        # STRATEGY routing, not answer routing (the q34 pattern): a
+        # corpus-sized shortlist is a corpus-sized TakeOrdered through
+        # the driver + a corpus-sized broadcast — past this cap the
+        # provably-identical exact scan computes the SAME rows
+        # (n_candidates >= corpus degenerates to exact top-k, the
+        # pytest-pinned theorem), so the oracle holds at any SF while
+        # the plan stays driver-safe.
+        total = similarity.cosine_topk(
+            emb, "vec_id", "embedding", qv, k=10, round_digits=4
+        )
+    total = total.select(F.lit("total").alias("regime"), "vec_id", "score")
     selective = similarity.pq_refine_topk(
         aug, "vec_id", "embedding", books, qv,
         k=10, n_candidates=40, round_digits=4, encoded=encoded,
@@ -2507,7 +2523,7 @@ def q79(spark, sf):
     """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(
-        trim(regexp_replace(lower(text), '\\s+', ' ')), ' ') AS t
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ),
     tg AS (
@@ -2562,7 +2578,7 @@ def q80(spark, sf):
     """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(
-        trim(regexp_replace(lower(text), '\\s+', ' ')), ' ') AS t
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ),
     tw AS (

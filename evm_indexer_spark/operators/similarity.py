@@ -706,27 +706,23 @@ class IvfServingIndex:
             .select("id")
         )
 
+    def _id_schema(self):
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        stored = StructType.fromJson(_json.loads(self._schema_json))
+        return StructType([stored["id"]])
+
     def tombstones(self) -> DataFrame | None:
         """Slim (id) DataFrame of deleted ids, ``None`` when the index
         has none — the None fast path keeps undeleted indexes at ZERO
         extra plan nodes and zero extra file listings beyond one
         driver-side exists/list call."""
-        import json as _json
+        from ..streaming.dedup_stream import _tombstones_df
 
-        from pyspark.sql.types import StructType
-
-        from ..streaming.dedup_stream import _list_batch_dirs
-
-        dirs = _list_batch_dirs(self.spark, self._tombstones_dir)
-        if not dirs:
-            return None
-        stored = StructType.fromJson(_json.loads(self._schema_json))
-        id_schema = StructType([stored["id"]])
-        return (
-            self.spark.read.schema(id_schema)
-            .option("basePath", self._tombstones_dir)
-            .parquet(*dirs)
-            .select("id")
+        return _tombstones_df(
+            self.spark, self._tombstones_dir, schema=self._id_schema()
         )
 
     def _served(self, cell: DataFrame) -> DataFrame:
@@ -752,35 +748,11 @@ class IvfServingIndex:
         A delete is TERMINAL until compact: re-appending the same id
         leaves it masked (the anti-join matches every physical copy),
         so delete → compact → append is the resurrection order."""
-        import json as _json
+        from ..streaming.dedup_stream import _append_tombstones
 
-        import posixpath
-
-        from pyspark.sql.types import StructType
-
-        from ..streaming.dedup_stream import _list_batch_dirs
-
-        stored = StructType.fromJson(_json.loads(self._schema_json))
-        id_schema = StructType([stored["id"]])
-        if not isinstance(ids, DataFrame):
-            ids = self.spark.createDataFrame(
-                [(i,) for i in ids], id_schema
-            )
-        else:
-            ids = ids.select(
-                F.col(ids.columns[0]).cast(stored["id"].dataType).alias("id")
-            )
-        if batch_id is None:
-            hi = -1
-            for d in _list_batch_dirs(self.spark, self._tombstones_dir):
-                name = posixpath.basename(d)[len("batch="):]
-                if name.isdigit():
-                    hi = max(hi, int(name))
-            batch_id = hi + 1
-        ids.select("id").distinct().coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(
-            posixpath.join(self._tombstones_dir, f"batch={batch_id}")
+        _append_tombstones(
+            self.spark, self._tombstones_dir, ids, batch_id,
+            schema=self._id_schema(),
         )
 
     def compact(self, files_per_cell: int = 1) -> int:
@@ -801,10 +773,20 @@ class IvfServingIndex:
         old = _list_batch_dirs(self.spark, self._vectors_dir)
         if not old:
             return 0
+        # snapshot BEFORE the fold: a delete() landing while the fold
+        # job runs was not applied to the rewritten rows — clearing it
+        # afterwards would silently undo the retraction, so only the
+        # tombstone dirs this fold consumed are removed
+        tomb_dirs = _list_batch_dirs(self.spark, self._tombstones_dir)
         live = self._served(self.vectors())
         cols = [f.name for f in self.vectors().schema.fields
                 if f.name not in ("batch", "list_id")]
-        live = live.select(*cols, "list_id")
+        # a crash between a previous fold's rename and its source-dir
+        # deletes leaves every row duplicated; unlike bucket rows,
+        # serving rows have no downstream dedup — drop exact id
+        # duplicates here so re-compaction heals instead of freezing
+        # the duplication into the new base
+        live = live.select(*cols, "list_id").dropDuplicates(["id"])
         fs, _ = _hadoop(self.spark, self._vectors_dir)
         Path = self.spark._jvm.org.apache.hadoop.fs.Path
         gen = 0
@@ -823,7 +805,7 @@ class IvfServingIndex:
             raise OSError(f"compaction rename to {dest} failed")
         for d in old:
             fs.delete(Path(d), True)
-        for d in _list_batch_dirs(self.spark, self._tombstones_dir):
+        for d in tomb_dirs:
             fs.delete(Path(d), True)
         return len(old)
 

@@ -173,15 +173,19 @@ def _claim_stamp(spark: SparkSession, root: str, marker: str, stamp: str) -> Non
 TOMBSTONE_SCHEMA = StructType([StructField("id", LongType(), False)])
 
 
-def _tombstones_df(spark: SparkSession, tomb_dir: str) -> DataFrame | None:
+def _tombstones_df(
+    spark: SparkSession, tomb_dir: str, schema: StructType | None = None
+) -> DataFrame | None:
     """Deleted ids under *tomb_dir*, ``None`` when there are none — the
     None fast path keeps undeleted indexes at zero extra plan nodes
-    (one driver-side listing aside)."""
+    (one driver-side listing aside). *schema* overrides the default
+    long-id layout for stores whose id column is typed differently
+    (IvfServingIndex reads it from its stored row schema)."""
     dirs = _list_batch_dirs(spark, tomb_dir)
     if not dirs:
         return None
     return (
-        spark.read.schema(TOMBSTONE_SCHEMA)
+        spark.read.schema(schema or TOMBSTONE_SCHEMA)
         .option("basePath", tomb_dir)
         .parquet(*dirs)
         .select("id")
@@ -189,18 +193,23 @@ def _tombstones_df(spark: SparkSession, tomb_dir: str) -> DataFrame | None:
 
 
 def _append_tombstones(
-    spark: SparkSession, tomb_dir: str, ids, batch_id: int | None = None
+    spark: SparkSession,
+    tomb_dir: str,
+    ids,
+    batch_id: int | None = None,
+    schema: StructType | None = None,
 ) -> None:
     """Write an id tombstone batch (iterable or one-column DataFrame)
     under ``<tomb_dir>/batch=<id>`` with the family's overwrite
     convergence contract; *batch_id* defaults to one past the current
     tombstone high-water mark."""
+    schema = schema or TOMBSTONE_SCHEMA
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(int(i),) for i in ids], TOMBSTONE_SCHEMA
-        )
+        ids = spark.createDataFrame([(i,) for i in ids], schema)
     else:
-        ids = ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+        ids = ids.select(
+            F.col(ids.columns[0]).cast(schema["id"].dataType).alias("id")
+        )
     if batch_id is None:
         hi = -1
         for d in _list_batch_dirs(spark, tomb_dir):
@@ -341,7 +350,10 @@ def _read_marker(fs, jpath) -> str:
         f"marker at {jpath} unreadable or empty after 5s of retries — "
         "the writer never published its stamp (crashed between create "
         "and write, or the filesystem is not read-after-close "
-        "consistent); delete the marker to let the next start rebuild it"
+        "consistent). Inspect the filesystem; do NOT delete a "
+        "__batch_base__ marker on a lineage that has already run — "
+        "its offset logs would pin the rebuilt base to 0 regardless "
+        "of the value in use, re-keying future batches"
     )
 
 
@@ -475,10 +487,13 @@ class MinHashBucketIndex:
         still carry tombstoned rows, but the tombstones that mask them
         are removed only after the sources are gone."""
         old = _list_batch_dirs(self.spark, self.path)
-        tombs = self.tombstones()
-        if len(old) <= 1 and tombs is None:
-            return 0
-        if not old:
+        # SNAPSHOT the tombstone dirs before any fold work: a delete()
+        # landing while the fold job runs was not applied to the rows
+        # being rewritten, so clearing it here would silently UNDO the
+        # retraction — only the dirs this fold actually consumed are
+        # safe to remove (the late one survives for the next compact)
+        tomb_dirs = _list_batch_dirs(self.spark, self._tombstones_dir)
+        if not old or (len(old) <= 1 and not tomb_dirs):
             return 0
         # the write job lists its input files at planning time, after
         # the `old` snapshot — an epoch landing mid-compaction is read
@@ -489,7 +504,7 @@ class MinHashBucketIndex:
         )
         fs, _ = _hadoop(self.spark, self._tombstones_dir)
         Path = self.spark._jvm.org.apache.hadoop.fs.Path
-        for d in _list_batch_dirs(self.spark, self._tombstones_dir):
+        for d in tomb_dirs:
             fs.delete(Path(d), True)
         return folded
 

@@ -142,14 +142,18 @@ class EmbeddingBucketIndex:
         verification is exact); single concurrent writer assumed.
         Returns the number of directories folded."""
         old = _list_batch_dirs(self.spark, self.path)
-        if not old or (len(old) <= 1 and self.tombstones() is None):
+        # snapshot first: a delete() landing mid-fold was not applied
+        # to the rewritten rows — clearing it would undo the
+        # retraction; only the consumed dirs are removed
+        tomb_dirs = _list_batch_dirs(self.spark, self._tombstones_dir)
+        if not old or (len(old) <= 1 and not tomb_dirs):
             return 0
         folded = _fold_batch_dirs(
             self.spark, self.path, self.live_buckets(), old, self.n_tables
         )
         fs, _ = _hadoop(self.spark, self._tombstones_dir)
         Path = self.spark._jvm.org.apache.hadoop.fs.Path
-        for d in _list_batch_dirs(self.spark, self._tombstones_dir):
+        for d in tomb_dirs:
             fs.delete(Path(d), True)
         return folded
 

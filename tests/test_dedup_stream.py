@@ -460,3 +460,37 @@ def test_embedding_index_delete_tombstones(spark, tmp_path):
     assert ix.compact() >= 1
     assert ix.tombstones() is None
     assert ix.buckets().filter(F.col("id") == 0).count() == 0
+
+
+def test_delete_landing_mid_compact_survives(spark, tmp_path, monkeypatch):
+    """A delete() that lands while compact()'s fold job is running was
+    not applied to the rows being rewritten — compact must clear only
+    the tombstone dirs it SNAPSHOTTED before folding, so the late
+    retraction keeps masking after the fold (the round-11 review
+    race)."""
+    import evm_indexer_spark.streaming.dedup_stream as ds
+
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    docs = spark.createDataFrame(
+        [(0, BASE + " variant 0"), (1, BASE + " variant 1")],
+        "doc_id long, text string",
+    )
+    for i in range(2):
+        ix.append(docs.filter(F.col("doc_id") == i), "doc_id", "text",
+                  batch_id=i)
+    real_fold = ds._fold_batch_dirs
+
+    def fold_with_late_delete(*a, **k):
+        ix.delete([1])  # lands after compact's tombstone snapshot
+        return real_fold(*a, **k)
+
+    monkeypatch.setattr(ds, "_fold_batch_dirs", fold_with_late_delete)
+    assert ix.compact() >= 1
+    monkeypatch.undo()
+    # the late tombstone survived the fold's cleanup and still masks
+    assert ix.tombstones() is not None
+    assert ix.live_buckets().filter(F.col("id") == 1).count() == 0
+    # and the NEXT maintenance pass makes it physical
+    assert ix.compact() >= 1
+    assert ix.tombstones() is None
+    assert ix.buckets().filter(F.col("id") == 1).count() == 0
