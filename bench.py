@@ -106,6 +106,13 @@ def bench_ingest(spark) -> tuple[float, float, int]:
 
 
 def main() -> None:
+    # loadavg BEFORE the bench's own 32 threads inflate it — the value
+    # that actually proves a quiet window from the committed artifact
+    # alone (the end-of-run field only shows the bench's own load)
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg_start = None
     # the console progress bar interleaves \r frames with stdout, which
     # is what corrupted the driver-parsed JSON line in BENCH_r01-r03
     spark = get_spark(
@@ -154,6 +161,12 @@ def main() -> None:
                 + (f" warm={warm[name]:.3f}s" if name in warm else ""),
                 file=sys.stderr,
             )
+            # entries that persist intermediates (q79's shared encode
+            # pass) would otherwise accumulate cached blocks across the
+            # 67-entry sweep; clearing OUTSIDE the timers keeps each
+            # entry's number self-contained without touching warm runs
+            # (every invocation builds and persists its own plan)
+            spark.catalog.clearCache()
 
         duck_total, duck_timings = bench_duckdb_oracles()
         print(
@@ -195,6 +208,8 @@ def main() -> None:
             metrics["loadavg"] = [round(x, 2) for x in os.getloadavg()]
         except OSError:
             pass
+        if loadavg_start is not None:
+            metrics["loadavg_start"] = loadavg_start
         line = json.dumps(metrics)
         # the driver keeps only the LAST 2000 CHARS of stdout and
         # json-parses them — the full metrics object is ~5 KB, so every
@@ -224,6 +239,8 @@ def main() -> None:
             compact["loadavg"] = [round(x, 2) for x in os.getloadavg()]
         except OSError:
             pass
+        if loadavg_start is not None:
+            compact["loadavg_start"] = loadavg_start
         compact_line = json.dumps(compact, separators=(",", ":"))
         if len(compact_line) > 1900:  # keep headroom under the 2000-char tail
             # flag the drop so a scraped record with no per-query data

@@ -506,6 +506,39 @@ def test_pq_quantization_matches_spark_round(spark):
     assert similarity._quantize_query_half_up([ulp], 1).tolist() == [0]
 
 
+def test_pq_train_sample_cap_hash_equal_below_cap(spark, emb):
+    # q79's gate entry trains with sample_rows=20_000; at every gate SF
+    # the corpus is smaller than the cap, so the deterministic
+    # (md5(id), id)-ordered sample is the WHOLE corpus under both the
+    # gate cap and the 50k library default — the codebooks must be
+    # bit-identical. (Above the cap the entry's answer is codebook-
+    # independent: the selective regime is closed-form for any codebook
+    # and the total regime is exact by the degeneration theorem /
+    # exact-scan route.)
+    capped = similarity.pq_train(
+        emb, "vec_id", "embedding", n_subspaces=8, sample_rows=20_000
+    )
+    default = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
+    assert capped.shape == default.shape
+    assert (capped == default).all()
+
+
+def test_pq_train_sample_cap_binds_above_cap(spark):
+    # sanity on the cap mechanism itself: with corpus > sample_rows the
+    # sample is a strict (deterministic) subset, and pq_train still
+    # produces a full-shape codebook from it
+    rows = [(i, [float((i * 37) % 101), float((i * 53) % 97)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    small = similarity.pq_train(
+        df, "vec_id", "embedding", n_subspaces=2, n_centroids=4, sample_rows=16
+    )
+    again = similarity.pq_train(
+        df, "vec_id", "embedding", n_subspaces=2, n_centroids=4, sample_rows=16
+    )
+    assert small.shape == (2, 4, 1)
+    assert (small == again).all()  # deterministic under the cap
+
+
 def test_pq_train_truncates_short_sample(spark):
     # a sample smaller than n_centroids must yield a TRUNCATED codebook,
     # not zero-padded phantom centroids near the origin

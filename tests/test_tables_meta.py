@@ -15,6 +15,7 @@ import duckdb
 
 from evm_indexer_spark.operators.dedup import banding_for_corpus
 from evm_indexer_spark.sources.tables import (
+    table_column_bytes,
     table_column_range,
     table_rowcount,
 )
@@ -43,6 +44,47 @@ class TestFooterMeta:
 
     def test_missing_column_returns_none(self):
         assert table_column_range(SF, "documents", "no_such_col") is None
+
+    def test_column_bytes_bounds_text_volume(self):
+        # the q80/q81 routing bound: whitespace tokens (hence token
+        # n-gram windows) number at most text-bytes/2 — the footer
+        # uncompressed size must dominate the true byte volume, which
+        # must dominate 2x the true token count
+        tb = table_column_bytes(SF, "documents", "text")
+        assert tb is not None and tb > 0
+        true_bytes, true_tokens = duckdb.sql(
+            f"""SELECT sum(strlen(text)),
+                       sum(len(regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')))
+                FROM read_parquet('{SF}/documents.parquet')"""
+        ).fetchone()
+        assert tb >= true_bytes
+        assert true_bytes >= 2 * true_tokens - duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchone()[0]  # last token of each doc has no separator byte
+
+    def test_column_bytes_missing_returns_none_or_zero(self):
+        assert table_column_bytes(SF, "no_such_table", "text") is None
+        # a present table with an absent column sums nothing
+        assert table_column_bytes(SF, "documents", "no_such_col") == 0
+
+    def test_eval_small_hint_footer_proven_at_gate_sf(self):
+        # at every gate SF the hint must be footer-proven True (zero
+        # plan-build Spark jobs for q80/q81) and must agree with the
+        # live probe's own decision (total gram occurrences <= 2M)
+        from evm_indexer_spark.driver_queries import _eval_small_hint
+
+        assert _eval_small_hint(SF) is True
+        assert _eval_small_hint(SF, variants=8) is True
+        total = duckdb.sql(
+            f"""SELECT sum(greatest(len(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    ' ')) - 7, 0))
+                FROM read_parquet('{SF}/documents.parquet')
+                WHERE doc_id % 10 = 0"""
+        ).fetchone()[0]
+        assert total * 8 <= 2_000_000  # the probe would also say True
 
     def test_directory_parquet_sums_part_files(self, spark, tmp_path):
         # Spark-written tables are DIRECTORIES of part files — the

@@ -21,6 +21,7 @@ for i in 1 2 3; do
   done
   echo "=== run $i start load: $(cat /proc/loadavg)" >> "$LOG"
   python bench.py > /tmp/bench_run$i.json 2>/tmp/bench_run$i.err
-  echo "=== run $i end load: $(cat /proc/loadavg) exit=$?" >> "$LOG"
+  rc=$?  # capture BEFORE the $(cat ...) substitution overwrites $?
+  echo "=== run $i end load: $(cat /proc/loadavg) exit=$rc" >> "$LOG"
 done
 echo ALLDONE >> "$LOG"
