@@ -783,10 +783,25 @@ class IvfServingIndex:
                 if f.name not in ("batch", "list_id")]
         # a crash between a previous fold's rename and its source-dir
         # deletes leaves every row duplicated; unlike bucket rows,
-        # serving rows have no downstream dedup — drop exact id
-        # duplicates here so re-compaction heals instead of freezing
-        # the duplication into the new base
-        live = live.select(*cols, "list_id").dropDuplicates(["id"])
+        # serving rows have no downstream dedup — drop FULL-ROW
+        # duplicates (crash copies are byte-identical) so re-compaction
+        # heals, then fail loudly if an id still appears twice: that
+        # means divergent payloads under one id (an append/delete
+        # contract violation), and silently freezing an arbitrary
+        # choice into the base would corrupt serving forever
+        live = live.select(*cols, "list_id").dropDuplicates()
+        clash = (
+            live.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .take(5)
+        )
+        if clash:
+            raise ValueError(
+                "IvfServingIndex.compact: divergent payloads for id(s) "
+                f"{sorted(r['id'] for r in clash)} — duplicate ids must "
+                "be exact crash copies; refusing to pick one arbitrarily"
+            )
         fs, _ = _hadoop(self.spark, self._vectors_dir)
         Path = self.spark._jvm.org.apache.hadoop.fs.Path
         gen = 0

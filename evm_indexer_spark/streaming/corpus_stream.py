@@ -40,11 +40,12 @@ from pyspark.sql.types import (
 
 from ..operators.corpus import _ngram_counts_pandas
 from .dedup_stream import (
+    _assert_counters_nonnegative,
     _fold_batch_dirs,
     _foldable_dirs,
     _hadoop,
     _list_batch_dirs,
-    _retract_dir,
+    _retraction_guard,
     _stream_batch_base,
 )
 
@@ -99,21 +100,33 @@ class NgramStatsStore:
             "overwrite"
         ).parquet(posixpath.join(self.path, f"batch={batch_id}"))
 
-    def retract(self, partial: DataFrame) -> None:
+    def retract(
+        self,
+        partial: DataFrame,
+        doc_ids: DataFrame,
+        retraction_id: int | None = None,
+    ) -> None:
         """Remove a previously-appended contribution: persist the
         NEGATED partial under ``batch=retract<k>``. Callers recompute
         the partial from the retracted docs exactly as the stream did
         (``_ngram_counts_pandas`` with the same n) — the store keeps no
         per-doc rows to derive it from, the same trust ``append``
-        extends. Sums cancel exactly in ``totals``/``top``; compaction
-        folds retractions like any partial and drops zero-sum rows."""
+        extends. *doc_ids* (a one-column DataFrame of the retracted
+        ids) feeds the shared retraction ledger: at-most-once per doc
+        is ENFORCED (double retract raises before anything is written),
+        and ambiguous-failure retries pass the same *retraction_id* to
+        overwrite their own ``retract<k>`` dir idempotently. Sums
+        cancel exactly in ``totals``/``top``; compaction folds
+        retractions like any partial, drops zero-sum rows, and asserts
+        non-negativity as the backstop."""
+        target = _retraction_guard(
+            self.spark, self.path, doc_ids, retraction_id
+        )
         partial.select(
             "ngram",
             (-F.col("occ")).alias("occ"),
             (-F.col("docs")).alias("docs"),
-        ).write.mode("overwrite").parquet(
-            _retract_dir(self.spark, self.path)
-        )
+        ).write.mode("overwrite").parquet(target)
 
     def compact(self) -> int:
         """Merge every batch dir into one summed base generation; see
@@ -132,9 +145,19 @@ class NgramStatsStore:
         # epoch must still find and overwrite its own first-attempt
         # partial (folding it into the base would double the counts
         # forever — see dedup_stream._foldable_dirs)
-        old = _foldable_dirs(_list_batch_dirs(self.spark, self.path))
+        dirs = _list_batch_dirs(self.spark, self.path)
+        old = _foldable_dirs(dirs)
         if len(old) <= 1:
             return 0
+        # retraction-contract backstop (see dupwin_stream.compact)
+        _assert_counters_nonnegative(
+            self.spark.read.schema(STATS_SCHEMA)
+            .parquet(*dirs)
+            .groupBy("ngram")
+            .agg(F.sum("occ").alias("occ"), F.sum("docs").alias("docs")),
+            ["occ", "docs"],
+            "NgramStatsStore.compact",
+        )
         merged = (
             self.spark.read.schema(STATS_SCHEMA)
             .parquet(*old)

@@ -237,6 +237,117 @@ def _retract_dir(spark: SparkSession, root: str) -> str:
     return posixpath.join(root, f"batch=retract{hi + 1}")
 
 
+def _retraction_guard(
+    spark: SparkSession,
+    root: str,
+    ids: DataFrame,
+    retraction_id: int | None = None,
+) -> str:
+    """ENFORCE the at-most-once retraction contract for the
+    summed-counter stores, and return the ``batch=retract<k>`` dir the
+    negated partial must be written to.
+
+    Before this guard the contract was documented but unenforced: a
+    second ``retract`` of the same doc landed a second negative partial
+    and the folded counters silently went negative/wrong. The guard
+    keeps a RETRACTION LEDGER — ``<root>/_retracted/retract<k>/`` parquet
+    dirs of the retracted ids (hidden ``_`` prefix: invisible to every
+    partial reader) — and:
+
+    * rejects a retraction containing any id already present in a
+      PRIOR ledger entry (loud ``ValueError``, nothing written);
+    * with an explicit *retraction_id*, retries after an ambiguous
+      failure OVERWRITE the same ``retract<k>``/ledger pair instead of
+      accumulating a second negated partial — the same idempotence key
+      ``append`` and ``delete`` already take. Re-using an id for a
+      DIFFERENT id-set is rejected;
+    * with ``retraction_id=None`` a fresh k is auto-assigned (the
+      pre-guard behavior); the ledger still catches a double retract,
+      so only ambiguous-failure RETRIES need the explicit id.
+
+    Write order is ledger-then-partial (the caller writes the partial):
+    a crash between the two leaves the doc ledgered but uncancelled,
+    and the retry path with the SAME id rewrites both; a retry under a
+    DIFFERENT id errors loudly rather than guessing. O(retracted ids)
+    storage and one small join per retraction — retraction is the rare
+    path. ``compact`` additionally asserts folded sums stay
+    non-negative as the backstop for callers that bypass the ids
+    (see each store's compact)."""
+    ids = ids.select(
+        F.col(ids.columns[0]).cast("string").alias("id")
+    ).distinct()
+    ledger_root = posixpath.join(root, "_retracted")
+    fs, jledger = _hadoop(spark, ledger_root)
+    own_name = None if retraction_id is None else f"retract{int(retraction_id)}"
+    prior_dirs, own_dir = [], None
+    if fs.exists(jledger):
+        for st in fs.listStatus(jledger):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("retract")):
+                continue
+            if name == own_name:
+                own_dir = st.getPath().toString()
+            else:
+                prior_dirs.append(st.getPath().toString())
+    if prior_dirs:
+        prior = spark.read.schema("id string").parquet(*prior_dirs)
+        dup = ids.join(prior, "id", "inner").take(5)
+        if dup:
+            raise ValueError(
+                "retraction rejected: id(s) already retracted "
+                f"{sorted(r['id'] for r in dup)} — a doc's contribution "
+                "cancels at most once (re-run an ambiguous failure with "
+                "the SAME retraction_id to make it an idempotent retry)"
+            )
+    if own_dir is not None:
+        # same retraction_id re-used: legal only as an exact retry
+        prev = spark.read.schema("id string").parquet(own_dir)
+        diff = ids.join(prev, "id", "full_outer").filter(
+            ids["id"].isNull() | prev["id"].isNull()
+        )
+        if diff.take(1):
+            raise ValueError(
+                f"retraction_id {retraction_id} was already used for a "
+                "different id-set — pick a fresh id (retries must carry "
+                "the exact ids of the failed attempt)"
+            )
+    if retraction_id is None:
+        target = _retract_dir(spark, root)
+        k = posixpath.basename(target)[len("batch=retract"):]
+    else:
+        k = str(int(retraction_id))
+        target = posixpath.join(root, f"batch=retract{k}")
+    ids.coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(ledger_root, f"retract{k}")
+    )
+    return target
+
+
+def _assert_counters_nonnegative(
+    totals: DataFrame, cols: list[str], store_desc: str
+) -> None:
+    """Compaction-time backstop for the retraction contract: under
+    at-most-once retraction every summed counter is >= 0 (a retraction
+    only ever cancels a prior append), so a negative total proves a
+    double retract (or a retract of never-appended content). Raises
+    instead of freezing the corruption into the folded base. Computed
+    over ALL partials including the un-foldable newest epoch — a
+    retraction legitimately cancelling the newest epoch's rows must
+    not trip the check. *totals* is the already-grouped sum (one row
+    per key, summed counter columns *cols*)."""
+    cond = None
+    for c in cols:
+        t = F.col(c) < 0
+        cond = t if cond is None else (cond | t)
+    bad = totals.filter(cond).take(5)
+    if bad:
+        raise ValueError(
+            f"{store_desc}: negative folded counter(s) {[tuple(r) for r in bad]}"
+            " — the at-most-once retraction contract was violated; "
+            "refusing to compact the corruption into the base"
+        )
+
+
 def _stream_batch_base(
     spark: SparkSession, checkpoint_dir: str, roots: list[str]
 ) -> int:

@@ -40,12 +40,13 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.corpus import _window_hashes, incremental_dup_window_stats
 from .dedup_stream import (
+    _assert_counters_nonnegative,
     _claim_stamp,
     _fold_batch_dirs,
     _foldable_dirs,
     _hadoop,
     _list_batch_dirs,
-    _retract_dir,
+    _retraction_guard,
     _stream_batch_base,
 )
 
@@ -114,26 +115,38 @@ class WindowHashIndex:
         )
 
     def retract(
-        self, docs: DataFrame, id_col: str, text_col: str
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        retraction_id: int | None = None,
     ) -> None:
         """Remove *docs*' counter contribution — the retraction path
         for reorged/taken-down documents: re-hash their windows and
         append the NEGATED partial under ``batch=retract<k>``. Every
         consumer sums partials, so the contribution cancels exactly;
-        O(retracted docs) work, no store rewrite. Caller contract:
-        retract a doc at most once, with the exact text that was
-        appended (the store keeps no per-doc rows to check against —
-        the same trust ``append`` already extends). The doc's id stays
-        consumed in the arrival stream's id store: retraction removes
-        CONTENT statistics, it does not re-open the id for landing."""
+        O(retracted docs) work, no store rewrite.
+
+        At-most-once is ENFORCED via the shared retraction ledger
+        (``_retraction_guard``): retracting an already-retracted id
+        raises before anything is written, and a retry after an
+        ambiguous failure should pass the SAME *retraction_id* to
+        overwrite its own ``retract<k>`` dir idempotently (the key
+        ``append`` and ``delete`` already take). The text must be the
+        exact appended text (the store keeps no per-doc rows to check
+        against — the same trust ``append`` already extends). The
+        doc's id stays consumed in the arrival stream's id store:
+        retraction removes CONTENT statistics, it does not re-open the
+        id for landing."""
+        target = _retraction_guard(
+            self.spark, self.path, docs.select(id_col), retraction_id
+        )
         rows = (
             _window_hashes(docs, id_col, text_col, self.window_n)
             .groupBy("h")
             .agg((-F.count(F.lit(1))).alias("occ"))
         )
-        rows.write.mode("overwrite").parquet(
-            _retract_dir(self.spark, self.path)
-        )
+        rows.write.mode("overwrite").parquet(target)
 
     def compact(self, coalesce_n: int = 1) -> int:
         """Fold every ``batch=*`` dir into one merged base generation,
@@ -149,9 +162,22 @@ class WindowHashIndex:
         # redelivered epoch must still find (and overwrite) its own
         # first-attempt rows — folding them into the base would both
         # defeat the exclude_epoch read and double the counts forever
-        old = _foldable_dirs(_list_batch_dirs(self.spark, self.path))
+        dirs = _list_batch_dirs(self.spark, self.path)
+        old = _foldable_dirs(dirs)
         if len(old) <= 1:
             return 0
+        # non-negativity backstop over ALL partials (incl. the
+        # un-foldable newest epoch, which a retraction may legitimately
+        # cancel): a negative total proves a contract violation the
+        # ledger couldn't see — refuse to freeze it into the base
+        _assert_counters_nonnegative(
+            self.spark.read.schema(HASH_SCHEMA)
+            .parquet(*dirs)
+            .groupBy("h")
+            .agg(F.sum("occ").alias("occ")),
+            ["occ"],
+            "WindowHashIndex.compact",
+        )
         merged = (
             self.spark.read.schema(HASH_SCHEMA)
             .parquet(*old)

@@ -33,11 +33,12 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.tokenizer import bpe_train_from_counts, word_counts
 from .dedup_stream import (
+    _assert_counters_nonnegative,
     _fold_batch_dirs,
     _foldable_dirs,
     _hadoop,
     _list_batch_dirs,
-    _retract_dir,
+    _retraction_guard,
     _stream_batch_base,
 )
 
@@ -76,17 +77,26 @@ class WordCountStore:
             posixpath.join(self.path, f"batch={batch_id}")
         )
 
-    def retract(self, docs: DataFrame, text_col: str) -> None:
+    def retract(
+        self,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str = "doc_id",
+        retraction_id: int | None = None,
+    ) -> None:
         """Remove *docs*' word-count contribution: the NEGATED counts
         land under ``batch=retract<k>`` and cancel exactly in
-        ``counts``/``train``. Caller contract as in
-        ``WindowHashIndex.retract``: at most once per doc, exact
-        appended text."""
+        ``counts``/``train``. At-most-once is ENFORCED per *id_col*
+        via the shared retraction ledger (``_retraction_guard``):
+        double retract raises, ambiguous-failure retries pass the same
+        *retraction_id* to overwrite idempotently. Text must be the
+        exact appended text, as with ``WindowHashIndex.retract``."""
+        target = _retraction_guard(
+            self.spark, self.path, docs.select(id_col), retraction_id
+        )
         word_counts(docs, text_col).select(
             "word", (-F.col("freq")).alias("freq")
-        ).write.mode("overwrite").parquet(
-            _retract_dir(self.spark, self.path)
-        )
+        ).write.mode("overwrite").parquet(target)
 
     def compact(self, coalesce_n: int = 1) -> int:
         """Fold every ``batch=*`` dir into one merged base generation —
@@ -95,9 +105,19 @@ class WordCountStore:
         neither double-counted nor lost); single concurrent writer
         assumed. Returns the number of directories folded."""
         # newest epoch dir never folds (see dupwin_stream.compact)
-        old = _foldable_dirs(_list_batch_dirs(self.spark, self.path))
+        dirs = _list_batch_dirs(self.spark, self.path)
+        old = _foldable_dirs(dirs)
         if len(old) <= 1:
             return 0
+        # retraction-contract backstop (see dupwin_stream.compact)
+        _assert_counters_nonnegative(
+            self.spark.read.schema(VOCAB_SCHEMA)
+            .parquet(*dirs)
+            .groupBy("word")
+            .agg(F.sum("freq").alias("freq")),
+            ["freq"],
+            "WordCountStore.compact",
+        )
         merged = (
             self.spark.read.schema(VOCAB_SCHEMA)
             .parquet(*old)

@@ -192,7 +192,10 @@ def test_ngram_store_retract_cancels_exactly(spark, tmp_path):
     store = NgramStatsStore(spark, str(tmp_path / "stats"))
     for i in range(3):
         store.append(partial(docs.filter(F.col("doc_id") == i)), batch_id=i)
-    store.retract(partial(docs.filter(F.col("doc_id") == 1)))
+    store.retract(
+        partial(docs.filter(F.col("doc_id") == 1)),
+        docs.filter(F.col("doc_id") == 1).select("doc_id"),
+    )
     want = {
         (r["ngram"], r["n_occurrences"], r["n_docs"])
         for r in corpus.top_ngrams(
@@ -210,3 +213,47 @@ def test_ngram_store_retract_cancels_exactly(spark, tmp_path):
         (r["ngram"], r["n_occurrences"], r["n_docs"])
         for r in store.top(100, 1).collect()
     } == want
+
+
+def test_ngram_store_double_retract_raises(spark, tmp_path):
+    import pytest
+
+    from evm_indexer_spark.operators.corpus import _ngram_counts_pandas
+    from evm_indexer_spark.streaming.corpus_stream import NgramStatsStore
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox sleeps under the old tree"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def partial(df):
+        return _ngram_counts_pandas(df, "text", 3).select(
+            "ngram",
+            F.col("n_occurrences").alias("occ"),
+            F.col("n_docs").alias("docs"),
+        )
+
+    store = NgramStatsStore(spark, str(tmp_path / "stats"))
+    for i in range(2):
+        store.append(partial(docs.filter(F.col("doc_id") == i)), batch_id=i)
+    gone = docs.filter(F.col("doc_id") == 1)
+    store.retract(partial(gone), gone.select("doc_id"))
+    with pytest.raises(ValueError, match="already retracted"):
+        store.retract(partial(gone), gone.select("doc_id"))
+    # retry path: same retraction_id on a DIFFERENT doc is fine only
+    # for fresh ids — doc 0 retracts under an explicit id, and its
+    # retry is a no-op
+    zero = docs.filter(F.col("doc_id") == 0)
+    store.retract(partial(zero), zero.select("doc_id"), retraction_id=42)
+    store.retract(partial(zero), zero.select("doc_id"), retraction_id=42)
+    got = {
+        (r["ngram"], r["n_occurrences"], r["n_docs"])
+        for r in store.totals()
+        .filter((F.col("n_occurrences") != 0) | (F.col("n_docs") != 0))
+        .collect()
+    }
+    assert got == set()  # both docs retracted exactly once
+    assert store.compact() >= 1

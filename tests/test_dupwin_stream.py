@@ -189,3 +189,114 @@ def test_retract_cancels_contribution_exactly(spark, tmp_path):
     assert summed(ix.hashes()) == want
     rows = ix.hashes().collect()
     assert all(r["occ"] > 0 for r in rows)  # no zero/negative residue
+
+
+def test_double_retract_raises_and_writes_nothing(spark, tmp_path):
+    """The at-most-once retract contract is ENFORCED: a second retract
+    of the same doc raises before any partial lands, so counters can
+    never silently go negative."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    ix = WindowHashIndex(spark, str(tmp_path / "dw"), window_n=4)
+    for i in range(2):
+        ix.append(docs.filter(F.col("doc_id") == i), "doc_id", "text",
+                  batch_id=i)
+    gone = docs.filter(F.col("doc_id") == 1)
+    ix.retract(gone, "doc_id", "text")
+    before = sorted(map(tuple, ix.hashes().collect()))
+    with pytest.raises(ValueError, match="already retracted"):
+        ix.retract(gone, "doc_id", "text")
+    # nothing landed: summed state unchanged, compaction still legal
+    assert sorted(map(tuple, ix.hashes().collect())) == before
+    assert ix.compact() >= 1
+
+
+def test_retract_retry_with_same_id_is_idempotent(spark, tmp_path):
+    """An ambiguous-failure retry carrying the SAME retraction_id
+    overwrites its own retract<k> dir — state equals exactly one
+    retraction, never a double-cancel."""
+    import pytest
+
+    from evm_indexer_spark.operators.corpus import _window_hashes
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    ix = WindowHashIndex(spark, str(tmp_path / "dw"), window_n=4)
+    for i in range(2):
+        ix.append(docs.filter(F.col("doc_id") == i), "doc_id", "text",
+                  batch_id=i)
+    gone = docs.filter(F.col("doc_id") == 1)
+    ix.retract(gone, "doc_id", "text", retraction_id=7)
+    ix.retract(gone, "doc_id", "text", retraction_id=7)  # retry: no-op
+    want = sorted(map(tuple, _window_hashes(
+        docs.filter(F.col("doc_id") == 0), "doc_id", "text", 4
+    ).groupBy("h").agg(F.count(F.lit(1)).alias("occ")).collect()))
+    got = sorted(map(tuple, ix.hashes().groupBy("h").agg(
+        F.sum("occ").alias("occ")).filter(F.col("occ") != 0).collect()))
+    assert got == want
+    # the same id may NOT be re-used for a different id-set
+    with pytest.raises(ValueError, match="different id-set"):
+        ix.retract(docs.filter(F.col("doc_id") == 0), "doc_id", "text",
+                   retraction_id=7)
+
+
+def test_compact_refuses_negative_counters(spark, tmp_path):
+    """Backstop for ledger-bypassing corruption: a hand-planted
+    negative partial (simulating a pre-guard double retract) makes
+    compact() raise instead of freezing negative sums into the base."""
+    import posixpath
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    ix = WindowHashIndex(spark, str(tmp_path / "dw"), window_n=4)
+    ix.append(docs, "doc_id", "text", batch_id=0)
+    ix.append(docs.limit(0), "doc_id", "text", batch_id=1)
+    bad = spark.createDataFrame([(123456789, -5)], "h long, occ long")
+    bad.write.mode("overwrite").parquet(
+        posixpath.join(ix.path, "batch=retract0")
+    )
+    with pytest.raises(ValueError, match="negative folded counter"):
+        ix.compact()
+
+
+def test_retraction_may_cancel_newest_epoch(spark, tmp_path):
+    """A retraction of content appended in the NEWEST (un-foldable)
+    epoch is legal: the non-negativity backstop sums ALL partials, so
+    compact() must not false-fire."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    ix = WindowHashIndex(spark, str(tmp_path / "dw"), window_n=4)
+    ix.append(docs.filter(F.col("doc_id") == 0), "doc_id", "text", batch_id=0)
+    ix.append(docs.filter(F.col("doc_id") == 1), "doc_id", "text", batch_id=1)
+    # doc 1 lives in the newest epoch dir; retract it anyway
+    ix.retract(docs.filter(F.col("doc_id") == 1), "doc_id", "text")
+    assert ix.compact() >= 1
+    from evm_indexer_spark.operators.corpus import _window_hashes
+
+    want = sorted(map(tuple, _window_hashes(
+        docs.filter(F.col("doc_id") == 0), "doc_id", "text", 4
+    ).groupBy("h").agg(F.count(F.lit(1)).alias("occ")).collect()))
+    got = sorted(map(tuple, ix.hashes().groupBy("h").agg(
+        F.sum("occ").alias("occ")).filter(F.col("occ") != 0).collect()))
+    assert got == want

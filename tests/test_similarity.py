@@ -678,3 +678,39 @@ def test_ivf_serving_delete_tombstones_and_compact(spark, emb, query, exact10, t
     assert dead[0] in {
         r["id"] for r in idx.topk(query, k=10, nprobe=8).collect()
     }
+
+
+def test_ivf_compact_heals_crash_copies_but_rejects_divergence(
+    spark, emb, query, exact10, tmp_path
+):
+    """Crash duplication (a fold that renamed its base but died before
+    deleting the source dirs => every row exists twice, byte-identical)
+    must HEAL on re-compaction: full-row dedupe collapses exact copies.
+    Divergent payloads under one id are a contract violation — compact
+    must refuse loudly rather than freeze an arbitrary pick."""
+    import shutil
+
+    path = str(tmp_path / "ivf")
+    idx = similarity.IvfServingIndex.build(
+        emb, "vec_id", "embedding", path, n_lists=8, pq_subspaces=8
+    )
+    n = idx.vectors().count()
+    # simulate the crash: duplicate the whole batch=0 dir as batch=1
+    shutil.copytree(f"{path}/vectors/batch=0", f"{path}/vectors/batch=1")
+    assert idx.vectors().count() == 2 * n
+    assert idx.compact() >= 1
+    assert idx.vectors().count() == n  # healed, not frozen
+    got = [r["id"] for r in idx.topk(query, k=10, nprobe=8).collect()]
+    assert got == exact10
+
+    # divergent payload: same id, different vector, appended as a new
+    # batch — compact must raise, state left unfolded
+    bad = emb.filter(F.col("vec_id") == exact10[0]).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.5)
+        ).alias("embedding"),
+    )
+    idx.append(bad, "vec_id", "embedding", batch_id=9)
+    with pytest.raises(ValueError, match="divergent payloads"):
+        idx.compact()

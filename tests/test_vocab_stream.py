@@ -125,3 +125,28 @@ def test_vocab_store_retract_cancels_exactly(spark, tmp_path):
     assert {
         (r["word"], r["freq"]) for r in store.counts().collect()
     } == want
+
+
+def test_vocab_double_retract_raises(spark, tmp_path):
+    import pytest
+
+    from evm_indexer_spark.streaming.vocab_stream import word_counts
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "newer newest new")],
+        "doc_id long, text string",
+    )
+    store = WordCountStore(spark, str(tmp_path / "vocab"))
+    for i in range(2):
+        store.append(docs.filter(F.col("doc_id") == i), "text", batch_id=i)
+    gone = docs.filter(F.col("doc_id") == 1)
+    store.retract(gone, "text")
+    with pytest.raises(ValueError, match="already retracted"):
+        store.retract(gone, "text")
+    # single retraction still cancels exactly; compaction stays legal
+    want = {(r["word"], r["freq"]) for r in word_counts(
+        docs.filter(F.col("doc_id") == 0), "text").collect()}
+    got = {(r["word"], r["freq"]) for r in store.counts()
+           .filter(F.col("freq") != 0).collect()}
+    assert got == want
+    assert store.compact() >= 1
