@@ -392,15 +392,30 @@ def _stream_batch_base(
     else:
         base = _high_water_base(spark, roots)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(checkpoint_dir))
+    # CRASH-ATOMIC publication: write the value to a hidden temp file,
+    # then rename onto the marker path. A crash mid-write leaves only
+    # the temp (the marker either doesn't exist or holds a complete
+    # value — never a half-written one), and rename-onto-existing
+    # fails, so a lost race cleans up and reads the winner's value.
+    # This closes the one resume ambiguity the bare create() left: a
+    # marker that exists but is empty/truncated. The marker is written
+    # strictly BEFORE stream start (offsets/ creation) — the ordering
+    # invariant test_marker_exists_before_first_epoch_commits pins.
+    import uuid
+
+    tmp = posixpath.join(
+        checkpoint_dir, f".__batch_base__.tmp.{uuid.uuid4().hex}"
+    )
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    out = fs.create(jtmp, True)
     try:
-        out = fs.create(jmarker, False)  # atomic create-if-absent
-        try:
-            out.write(bytearray(str(base).encode()))
-        finally:
-            out.close()
-    except Exception as exc:
-        if not _is_already_exists(exc):
-            raise
+        out.write(bytearray(str(base).encode()))
+    finally:
+        out.close()
+    if not fs.rename(jtmp, jmarker):
+        # lost the publication race (or a marker already exists):
+        # drop the temp and adopt the winner's value
+        fs.delete(jtmp, False)
     return int(_read_marker(fs, jmarker))
 
 

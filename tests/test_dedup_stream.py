@@ -494,3 +494,62 @@ def test_delete_landing_mid_compact_survives(spark, tmp_path, monkeypatch):
     assert ix.compact() >= 1
     assert ix.tombstones() is None
     assert ix.buckets().filter(F.col("id") == 1).count() == 0
+
+
+def test_marker_exists_before_first_epoch_commits(spark, tmp_path):
+    """The resume-ambiguity ordering invariant: __batch_base__ is
+    published (complete, parseable) strictly BEFORE the stream's first
+    epoch runs — so 'offsets/ exists but marker missing' can only mean
+    a pre-marker lineage (base=0 resume), never a crashed new-code
+    start that already landed high-water batches."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    _land(str(landing), [(0, BASE + " variant 0")], "b1.json")
+    seen: list[tuple[bool, str | None, bool]] = []
+
+    def probe(pairs, bid):
+        marker = ckpt / "__batch_base__"
+        seen.append((
+            marker.is_file(),
+            marker.read_text() if marker.is_file() else None,
+            (ckpt / "commits" / "0").is_file(),
+        ))
+
+    q = start_dedup_stream(
+        spark, str(landing), ix, str(ckpt), on_pairs=probe,
+        jaccard_threshold=0.4,
+    )
+    q.awaitTermination(120)
+    assert seen, "first epoch must have run"
+    exists, value, committed = seen[0]
+    assert exists and value is not None and value.isdigit()
+    assert not committed  # probed mid-epoch: before the commit log
+    # and no crash-atomicity temp residue is left behind
+    assert not [p for p in ckpt.iterdir() if ".__batch_base__.tmp." in p.name]
+
+
+def test_marker_publication_is_crash_atomic(spark, tmp_path):
+    """A crash mid-publication leaves only a hidden temp file, never a
+    half-written marker; the next start ignores the residue, publishes
+    atomically, and resumes with the full high-water value."""
+    from evm_indexer_spark.streaming.dedup_stream import _stream_batch_base
+
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    ix.append(
+        spark.createDataFrame([(0, BASE)], "id long, text string"),
+        "id", "text", batch_id=4,
+    )
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    # simulated crash residue from a dead starter
+    (ckpt / ".__batch_base__.tmp.deadbeef").write_text("5")
+    base = _stream_batch_base(spark, str(ckpt), [str(tmp_path / "ix")])
+    assert base == 5  # high-water over batch=4
+    assert (ckpt / "__batch_base__").read_text() == "5"
+    # second starter racing an existing marker adopts it and cleans up
+    assert _stream_batch_base(spark, str(ckpt), [str(tmp_path / "ix")]) == 5
+    assert [p.name for p in ckpt.iterdir() if p.name.startswith(".__batch_base__.tmp.")] == [
+        ".__batch_base__.tmp.deadbeef"  # pre-existing foreign residue untouched
+    ]

@@ -55,6 +55,41 @@ def test_oracle_keys_subset():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_registry_fully_covered_by_gate_replica():
+    """Every registered query must appear — green — in the newest
+    committed gate-replica artifact (tools/gate_replica.py output).
+    The driver's own CORRECTNESS file is frozen at 50 rows, so entries
+    past q64 are verified ONLY by the replica ritual; this test makes
+    a new registration that skipped the ritual a pytest failure
+    instead of a silent gate dodge. Regenerate with
+    ``python tools/gate_replica.py`` and commit the artifact as
+    ``GATE_REPLICA_r<N>.json`` after any registry-touching change."""
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best, best_round = None, -1
+    for f in os.listdir(repo):
+        m = re.fullmatch(r"GATE_REPLICA_r(\d+)\.json", f)
+        if m and int(m.group(1)) > best_round:
+            best, best_round = f, int(m.group(1))
+    assert best is not None, "no committed GATE_REPLICA_r<N>.json found"
+    with open(os.path.join(repo, best)) as fh:
+        replica = json.load(fh)
+    missing = sorted(set(QUERIES) - set(replica))
+    assert not missing, (
+        f"{best} does not cover registered queries {missing} — run "
+        "tools/gate_replica.py at head and commit the artifact"
+    )
+    red = sorted(
+        k for k, v in replica.items()
+        if k in QUERIES
+        and not (v.get("rows_match") and v.get("schema_match")
+                 and v.get("hash_match"))
+    )
+    assert not red, f"{best} has non-green entries {red}"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query(name, spark, duck_sf):
     df = QUERIES[name](spark, SF_DIR)

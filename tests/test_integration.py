@@ -697,5 +697,75 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
         assert 2 not in {
             r["id"] for r in idx.topk(q_vec, k=7, nprobe=2).collect()
         }
+
+        # 10. counter retraction: the same reorged doc's n-gram /
+        #     window / vocab contributions are retracted from all three
+        #     summed-counter stores and every streamed aggregate
+        #     re-converges to the batch truth over the SURVIVING corpus
+        #     — the derived-state completion of the reference's cascade
+        #     delete (app/db/block.go:44-58): leg 9 proved the vector
+        #     stops being SERVED, this leg proves the statistics stop
+        #     COUNTING it
+        from evm_indexer_spark.operators.corpus import _ngram_counts_pandas
+
+        gone = docs_df.filter(F.col("doc_id") == 2)
+        surviving_df = docs_df.filter(F.col("doc_id") != 2)
+        stats.retract(
+            _ngram_counts_pandas(gone, "text", 3).select(
+                "ngram",
+                F.col("n_occurrences").alias("occ"),
+                F.col("n_docs").alias("docs"),
+            ),
+            gone.select("doc_id"),
+        )
+        dw_index.retract(gone, "doc_id", "text")
+        vstore.retract(gone, "text")
+        want_after = {
+            (r["ngram"], r["n_occurrences"], r["n_docs"])
+            for r in corpus.top_ngrams(
+                surviving_df, "doc_id", "text", n=3, k=100, min_count=1
+            ).collect()
+        }
+        assert {
+            (r["ngram"], r["n_occurrences"], r["n_docs"])
+            for r in stats.top(100, 1).collect()
+        } == want_after
+        want_win = sorted(
+            map(
+                tuple,
+                _window_hashes(surviving_df, "doc_id", "text", 4)
+                .groupBy("h")
+                .agg(F.count(F.lit(1)).alias("occ"))
+                .collect(),
+            )
+        )
+        assert sorted(
+            map(
+                tuple,
+                dw_index.hashes()
+                .groupBy("h")
+                .agg(F.sum("occ").alias("occ"))
+                .filter(F.col("occ") != 0)
+                .collect(),
+            )
+        ) == want_win
+        assert vstore.train(4, 1) == bpe_train(
+            surviving_df, "text", num_merges=4
+        )
+        # the at-most-once contract holds END-TO-END: a second reorg
+        # handler firing for the same doc is rejected, state unchanged
+        with pytest.raises(ValueError, match="already retracted"):
+            dw_index.retract(gone, "doc_id", "text")
+        # compaction folds the retractions physically; answers hold
+        assert stats.compact() >= 1
+        assert dw_index.compact() >= 1
+        assert vstore.compact() >= 1
+        assert {
+            (r["ngram"], r["n_occurrences"], r["n_docs"])
+            for r in stats.top(100, 1).collect()
+        } == want_after
+        assert vstore.train(4, 1) == bpe_train(
+            surviving_df, "text", num_merges=4
+        )
     finally:
         broker.stop()
