@@ -444,6 +444,28 @@ def _parse_pps(r: _BitReader) -> dict:
     }
 
 
+def h264_header_dims(buf: bytes) -> tuple[int, int]:
+    """(height, width) of the luma plane from the SPS ONLY — NAL split
+    plus one sequence-parameter-set parse, no slice decoding, O(header
+    bytes) regardless of stream size. The metadata path the
+    decode-budget cap routes oversized payloads to
+    (``multimodal.h264_frame_features(decode_budget_bytes=...)``).
+    Works for any stream whose SPS fits the parser's profile subset —
+    including CAVLC/CABAC streams whose SLICES ``h264_decode``
+    refuses."""
+    for nal in _split_nals(buf):
+        if not nal:
+            continue
+        nal_type = nal[0] & 0x1F
+        if nal_type == 7:  # SPS
+            sps = _parse_sps(_BitReader(_ebsp_to_rbsp(nal[1:])))
+            left, right, top, bottom = sps["crop"]
+            w = sps["mbs_w"] * 16 - 2 * (left + right)
+            h = sps["mbs_h"] * 16 - 2 * (top + bottom)
+            return int(h), int(w)
+    raise ValueError("no SPS NAL found")
+
+
 def h264_decode(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode an Annex B stream of I_PCM slices back to uint8 planes
     ``(y, cb, cr)`` of shapes (n, H, W) / (n, H/2, W/2) / (n, H/2, W/2).

@@ -875,6 +875,41 @@ def _decode_scan_bitloop(
     return out
 
 
+def jpeg_header_dims(data: bytes) -> tuple[int, int, int]:
+    """(height, width, n_components) from the frame header ONLY — a
+    marker walk to the first SOF segment, no Huffman/DCT work, O(header
+    bytes) regardless of payload size. This is the metadata path the
+    decode-budget cap routes oversized payloads to
+    (``multimodal.image_pixel_extremes(decode_budget_bytes=...)``):
+    at 100 TB, per-row decode CPU must be bounded by a budget, not by
+    whatever the largest payload happens to cost. Accepts any SOF0-SOF15
+    frame type (dimensions are frame-header fields common to all),
+    including the progressive streams ``jpeg_decode`` refuses."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if marker in sof:
+            _precision, h, w, nc = struct.unpack_from(">BHHB", data, pos + 4)
+            return int(h), int(w), int(nc)
+        pos += 2 + seglen
+    raise ValueError("no SOF frame header found")
+
+
 def jpeg_decode(data: bytes, *, entropy_path: str = "lut") -> np.ndarray:
     """Decode baseline 4:4:4 JFIF bytes (the subset in the module
     docstring) to uint8 pixels: (h, w) for 1 component, (h, w, 3) RGB

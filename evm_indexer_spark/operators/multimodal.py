@@ -445,13 +445,29 @@ def synthesize_h264(
     )
 
 
-def h264_frame_features(media: DataFrame) -> DataFrame:
+def h264_frame_features(
+    media: DataFrame, decode_budget_bytes: int | None = None
+) -> DataFrame:
     """REAL compressed-video decode: parse Annex B NAL framing, strip
     emulation prevention, parse SPS/PPS and IDR slice headers, recover
     the I_PCM sample planes, emit exact integer luma statistics
     (lossless ⇒ oracle-matchable): n_frames, width, height,
-    y_min/y_max/y_sum over all frames' luma samples."""
-    from evm_indexer_spark.functions.h264codec import h264_decode
+    y_min/y_max/y_sum over all frames' luma samples.
+
+    ``decode_budget_bytes`` is the same 100-TB cap route as
+    ``image_pixel_extremes``: payloads larger than the budget take the
+    SPS-only metadata path (``h264_header_dims``), emitting their true
+    luma dimensions with NULL frame/sample stats and ``decoded=false``
+    — which also gives CAVLC/CABAC streams (whose slices the I_PCM
+    subset refuses) a labeled metadata row instead of a poisoned task,
+    when routed by size. Default ``None`` = decode everything, schema
+    unchanged."""
+    from evm_indexer_spark.functions.h264codec import (
+        h264_decode,
+        h264_header_dims,
+    )
+
+    budgeted = decode_budget_bytes is not None
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -462,24 +478,39 @@ def h264_frame_features(media: DataFrame) -> DataFrame:
                     "y_min", "y_max", "y_sum",
                 )
             }
+            if budgeted:
+                out["decoded"] = []
             for did, buf in zip(pdf["doc_id"], pdf["payload"]):
-                y, _, _ = h264_decode(bytes(buf))
+                raw = bytes(buf)
                 out["doc_id"].append(did)
+                if budgeted and len(raw) > decode_budget_bytes:
+                    h, w = h264_header_dims(raw)
+                    out["n_frames"].append(None)
+                    out["height"].append(h)
+                    out["width"].append(w)
+                    out["y_min"].append(None)
+                    out["y_max"].append(None)
+                    out["y_sum"].append(None)
+                    out["decoded"].append(False)
+                    continue
+                y, _, _ = h264_decode(raw)
                 out["n_frames"].append(y.shape[0])
                 out["height"].append(y.shape[1])
                 out["width"].append(y.shape[2])
                 out["y_min"].append(int(y.min()))
                 out["y_max"].append(int(y.max()))
                 out["y_sum"].append(int(y.astype(np.int64).sum()))
+                if budgeted:
+                    out["decoded"].append(True)
             yield pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(
-        decode,
-        schema=(
-            "doc_id long, n_frames long, width long, height long, "
-            "y_min long, y_max long, y_sum long"
-        ),
+    schema = (
+        "doc_id long, n_frames long, width long, height long, "
+        "y_min long, y_max long, y_sum long"
     )
+    if budgeted:
+        schema += ", decoded boolean"
+    return media.select("doc_id", "payload").mapInPandas(decode, schema=schema)
 
 
 def wav_features(media: DataFrame) -> DataFrame:
@@ -701,6 +732,27 @@ def decode_image_payload(buf: bytes) -> tuple[str, np.ndarray]:
     )
 
 
+def image_header_dims(buf: bytes) -> tuple[int, int]:
+    """(height, width) from the container HEADER only — no pixel
+    decode, O(header bytes) for every supported format. This is the
+    metadata path the decode-budget cap routes oversized payloads to:
+    bounded per-row CPU at any payload size."""
+    import struct
+
+    if buf[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", buf, 18)  # BITMAPINFOHEADER
+        return abs(h), abs(w)
+    if buf.startswith(_PNG_SIG):
+        w, h = struct.unpack_from(">II", buf, 16)  # IHDR
+        return int(h), int(w)
+    if buf[:2] == b"\xff\xd8":
+        from evm_indexer_spark.functions.jpegcodec import jpeg_header_dims
+
+        h, w, _nc = jpeg_header_dims(buf)
+        return h, w
+    raise NotImplementedError("unknown image container")
+
+
 def _encode_image_payload(fmt: str, pixels: np.ndarray) -> bytes:
     if fmt == "bmp":
         return _bmp_encode(pixels)
@@ -840,34 +892,64 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def image_pixel_extremes(media: DataFrame) -> DataFrame:
+def image_pixel_extremes(
+    media: DataFrame, decode_budget_bytes: int | None = None
+) -> DataFrame:
     """REAL decode (BMP/PNG/JPEG sniffed by magic) → exact integer
     pixel statistics per payload: min, max and sum over every sample of
     every channel. Integer outputs (unlike the float means of
     ``image_pixel_stats``) so a SQL oracle can match them hash-exactly
-    when the pixels are recomputable — the q68 gate strategy."""
+    when the pixels are recomputable — the q68 gate strategy.
+
+    ``decode_budget_bytes`` is the 100-TB cap route: payloads LARGER
+    than the budget skip the entropy/pixel decode entirely and take the
+    header-only metadata path (``image_header_dims`` — O(header bytes)
+    at any payload size), emitting their true dimensions with NULL
+    pixel stats and ``decoded=false``. This bounds worst-case per-row
+    CPU by the budget instead of by the largest payload in the corpus —
+    the pure-python codec's measured ~0.5 µs/coefficient sequencing
+    ceiling (SCALE.md §codec-boundary) makes unbounded decode of bulk
+    photographic data a native-codec job, so oversized rows are
+    labeled, not silently burned. With the default ``None`` every row
+    decodes and the schema is unchanged (no ``decoded`` column)."""
+
+    budgeted = decode_budget_bytes is not None
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height",
                                    "px_min", "px_max", "px_sum")}
+            if budgeted:
+                out["decoded"] = []
             for did, buf in zip(pdf["doc_id"], pdf["payload"]):
-                _, px = decode_image_payload(bytes(buf))
+                raw = bytes(buf)
                 out["doc_id"].append(did)
+                if budgeted and len(raw) > decode_budget_bytes:
+                    h, w = image_header_dims(raw)
+                    out["height"].append(h)
+                    out["width"].append(w)
+                    out["px_min"].append(None)
+                    out["px_max"].append(None)
+                    out["px_sum"].append(None)
+                    out["decoded"].append(False)
+                    continue
+                _, px = decode_image_payload(raw)
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
                 out["px_min"].append(int(px.min()))
                 out["px_max"].append(int(px.max()))
                 out["px_sum"].append(int(px.astype(np.int64).sum()))
+                if budgeted:
+                    out["decoded"].append(True)
             yield pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(
-        decode,
-        schema=(
-            "doc_id long, width long, height long, "
-            "px_min long, px_max long, px_sum long"
-        ),
+    schema = (
+        "doc_id long, width long, height long, "
+        "px_min long, px_max long, px_sum long"
     )
+    if budgeted:
+        schema += ", decoded boolean"
+    return media.select("doc_id", "payload").mapInPandas(decode, schema=schema)
 
 
 def resize_image_payloads(media: DataFrame, width: int, height: int) -> DataFrame:

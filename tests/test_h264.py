@@ -24,6 +24,7 @@ from evm_indexer_spark.functions.h264codec import (
     _nal,
     _pps_rbsp,
     _rbsp_to_ebsp,
+    _sps_rbsp,
     h264_decode,
     h264_encode,
 )
@@ -447,3 +448,60 @@ def test_hypothesis_roundtrip_property():
         assert (dy == y).all() and (dcb == cb).all() and (dcr == cr).all()
 
     prop()
+
+
+def test_h264_header_dims_sps_only():
+    """SPS-only dims: matches decode shapes (incl. frame cropping), and
+    parses streams whose SLICES the I_PCM subset refuses — the metadata
+    path stays available where full decode is out of scope."""
+    from evm_indexer_spark.functions.h264codec import h264_header_dims
+
+    buf = (
+        _nal(7, 3, _sps_rbsp(2, 1))
+        + _nal(8, 3, _pps_rbsp())
+        + _nal(5, 3, _slice_rbsp(0, 2, 1, fill=9))
+    )
+    y, _, _ = h264_decode(buf)
+    assert h264_header_dims(buf) == (y.shape[1], y.shape[2]) == (16, 32)
+    cropped = (
+        _nal(7, 3, _sps_custom(1, 1, crop=(1, 2, 1, 0)))
+        + _nal(8, 3, _pps_rbsp())
+        + _nal(5, 3, _slice_rbsp(0, 1, 1, fill=9))
+    )
+    yc, _, _ = h264_decode(cropped)
+    assert h264_header_dims(cropped) == (yc.shape[1], yc.shape[2]) == (14, 10)
+    # SPS+PPS only, no slices: full decode refuses, header dims answer
+    hdr_only = _nal(7, 3, _sps_rbsp(2, 1)) + _nal(8, 3, _pps_rbsp())
+    with pytest.raises(ValueError):
+        h264_decode(hdr_only)
+    assert h264_header_dims(hdr_only) == (16, 32)
+    with pytest.raises(ValueError):
+        h264_header_dims(_nal(8, 3, _pps_rbsp()))  # no SPS at all
+
+
+def test_h264_features_decode_budget_cap_route(spark, docs):
+    from pyspark.sql import functions as F
+
+    eight = docs.filter(F.col("doc_id") < 4)
+    media = multimodal.synthesize_h264(eight, width=32, height=16, n_frames=2)
+    base = {r["doc_id"]: r for r in multimodal.h264_frame_features(media).collect()}
+    full = {
+        r["doc_id"]: r
+        for r in multimodal.h264_frame_features(
+            media, decode_budget_bytes=10**7
+        ).collect()
+    }
+    for did, r in full.items():
+        b = base[did]
+        assert r["decoded"] is True
+        assert tuple(r)[:7] == tuple(b)[:7]
+    capped = {
+        r["doc_id"]: r
+        for r in multimodal.h264_frame_features(
+            media, decode_budget_bytes=64
+        ).collect()
+    }
+    for did, r in capped.items():
+        assert r["decoded"] is False
+        assert (r["height"], r["width"]) == (16, 32)
+        assert r["n_frames"] is None and r["y_sum"] is None

@@ -346,3 +346,64 @@ def test_lut_path_error_parity_on_corrupt_streams():
     for path in ("lut", "bitloop"):
         with pytest.raises(ValueError, match="marker|exhausted"):
             jpeg_decode(bad, entropy_path=path)
+
+
+def test_jpeg_header_dims_no_entropy_work(spark):
+    """Header-only dims: matches the decoded shape for codec output,
+    works on a truncated stream (header intact, entropy data gone —
+    full decode would fail), rejects non-JPEG bytes."""
+    import pytest
+
+    from evm_indexer_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_header_dims,
+    )
+
+    px = (np.arange(24 * 32, dtype=np.uint8) % 251).reshape(24, 32)
+    enc = jpeg_encode(px, quality=90)
+    assert jpeg_header_dims(enc) == (24, 32, 1)
+    assert jpeg_decode(enc).shape == (24, 32)
+    rgb = np.stack([px, px[::-1], px[:, ::-1]], axis=-1)
+    assert jpeg_header_dims(jpeg_encode(rgb, quality=90)) == (24, 32, 3)
+    # truncate right after the SOF area: dims still parse, decode can't
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    assert jpeg_header_dims(enc[:sos]) == (24, 32, 1)
+    with pytest.raises(ValueError):
+        jpeg_decode(enc[:sos])
+    with pytest.raises(ValueError):
+        jpeg_header_dims(b"\x00\x01\x02\x03")
+
+
+def test_image_extremes_decode_budget_cap_route(spark, docs):
+    """The 100-TB cap route: payloads over the byte budget skip pixel
+    decode and emit header dims + NULL stats + decoded=false; payloads
+    under it are identical to the unbudgeted rows."""
+    eight = docs.filter(F.col("doc_id") < 8)
+    media = multimodal.synthesize_jpeg(eight, width=32, height=24, quality=100)
+    base = {r["doc_id"]: r for r in multimodal.image_pixel_extremes(media).collect()}
+    # generous budget: every row decodes, plus the decoded marker
+    full = {
+        r["doc_id"]: r
+        for r in multimodal.image_pixel_extremes(
+            media, decode_budget_bytes=10**6
+        ).collect()
+    }
+    assert set(full) == set(base)
+    for did, r in full.items():
+        b = base[did]
+        assert r["decoded"] is True
+        assert (r["width"], r["height"], r["px_min"], r["px_max"], r["px_sum"]) \
+            == (b["width"], b["height"], b["px_min"], b["px_max"], b["px_sum"])
+    # tiny budget: every row takes the metadata path — true dims, no stats
+    capped = {
+        r["doc_id"]: r
+        for r in multimodal.image_pixel_extremes(
+            media, decode_budget_bytes=16
+        ).collect()
+    }
+    for did, r in capped.items():
+        assert r["decoded"] is False
+        assert (r["width"], r["height"]) == (32, 24)
+        assert r["px_min"] is None and r["px_max"] is None and r["px_sum"] is None
