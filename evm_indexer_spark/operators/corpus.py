@@ -479,9 +479,7 @@ def ngram_contamination(
     train document, zero-filled where nothing matched."""
     if n < 1 or min_hits < 1:
         raise ValueError("n and min_hits must be positive")
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    pat = r"(?<= )(?=(" + r"\S+" + (r" \S+" * (n - 1)) + r"))"
-    grams = F.regexp_extract_all(F.concat(F.lit(" "), norm), F.lit(pat), 1)
+    grams = gram_array(text_col, n)
     spread = spread_small_scan(train)
     # ONE regexp pass over the train text: window counts and hit counts
     # both aggregate from the same exploded stream. (A size()-based
@@ -671,13 +669,23 @@ def skipgram_contamination(
     )
 
 
+def gram_array(text_col: str, n: int):
+    """Column expression: the array of space-joined *n*-token windows
+    of *text_col* under the repo-wide gram definition (lowercase,
+    ASCII-whitespace tokens) — ONE native regexp pass, no UDF. The
+    single tokenization every gram consumer shares (``top_ngrams``,
+    ``ngram_contamination``, the q80 oracle SQL, and the
+    contamination-on-arrival stream), so engines can never drift."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    pat = r"(?<= )(?=(" + r"\S+" + (r" \S+" * (n - 1)) + r"))"
+    return F.regexp_extract_all(F.concat(F.lit(" "), norm), F.lit(pat), 1)
+
+
 def _ngram_counts_expr(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(ngram, n_occurrences, n_docs) in pure JVM expressions."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    pat = r"(?<= )(?=(" + r"\S+" + (r" \S+" * (n - 1)) + r"))"
-    grams = F.regexp_extract_all(F.concat(F.lit(" "), norm), F.lit(pat), 1)
+    grams = gram_array(text_col, n)
     e = df.select(F.col(id_col).alias("id"), grams.alias("__g"))
     return (
         e.select("id", F.explode("__g").alias("ngram"))
