@@ -1095,9 +1095,21 @@ def q40(spark, sf):
     scale-safe corpus-wide (rare-shingle prefixes bound candidates and
     kill common-shingle skew; see ``dedup.jaccard_prefix_join``). The
     id cap only keeps the small-SF benchmark comparable across rounds;
-    the operator itself needs no cap."""
+    the operator itself needs no cap.
+
+    Footer-proven lazy routing (the q80/q81 pattern): doc_id is a
+    distinct integer key, so with footer min >= 0 the ``doc_id < 500``
+    filter keeps at most 500 rows — strictly under the 2000-row brute
+    threshold at EVERY SF — and the brute tier can be passed explicitly
+    with zero plan-build jobs. Footerless sources keep the live
+    limit-count probe; the auto router itself stays pytest-exercised
+    (tests/test_dedup)."""
     doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
-    return dedup.jaccard_prefix_join(doc, "doc_id", "text", threshold=0.5)
+    rng = table_column_range(sf, "documents", "doc_id")
+    strategy = "brute" if rng is not None and rng[0] >= 0 else "auto"
+    return dedup.jaccard_prefix_join(
+        doc, "doc_id", "text", threshold=0.5, strategy=strategy
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1662,12 +1674,18 @@ def q63(spark, sf):
     hash-green against this same oracle (round-9 gate replica, entry
     temporarily forced) and byte-equal to the bucket tier in
     tests/test_dedup.py — so routing changes the plan, not the
-    answer."""
+    answer. Routing is footer-proven lazy exactly as q40: the
+    ``doc_id < 300`` cap bounds the kept rows at 300 < 2000 whenever
+    footer min(doc_id) >= 0, so the bucket tier passes explicitly with
+    zero plan-build jobs (footerless sources keep the live probe)."""
     from .operators import dedup
 
     doc = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    rng = table_column_range(sf, "documents", "doc_id")
+    strategy = "bucket" if rng is not None and rng[0] >= 0 else "auto"
     return dedup.editdist_near_duplicates(
-        doc, "doc_id", "text", max_dist=40, bucket_width=50
+        doc, "doc_id", "text", max_dist=40, bucket_width=50,
+        strategy=strategy,
     )
 
 
@@ -2582,8 +2600,33 @@ def q79(spark, sf):
     # regime is closed-form for any codebook, total regime is exact by
     # the degeneration theorem / exact-scan route), so the tighter cap
     # only shrinks the driver-side Lloyd fit, never the result.
+    # Footer-gated LOCAL sample: a corpus small enough to train on
+    # whole is read once with pyarrow and fed through pq_train's
+    # bit-identical local path (same (md5, id) ordering, same half-up
+    # grid — test_pq_train_local_sample_bit_identical), removing the
+    # training collect job from the plan build; larger or footerless
+    # corpora keep the Spark sample.
+    local = None
+    if n <= 200_000:
+        try:
+            import os
+
+            import pyarrow.parquet as pq
+
+            path = os.path.join(sf, "embeddings.parquet")
+            if os.path.isfile(path):
+                t = pq.read_table(path, columns=["vec_id", "embedding"])
+                local = list(
+                    zip(
+                        t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist(),
+                    )
+                )
+        except Exception:
+            local = None
     books = similarity.pq_train(
-        emb, "vec_id", "embedding", n_subspaces=8, sample_rows=20_000
+        emb, "vec_id", "embedding", n_subspaces=8, sample_rows=20_000,
+        local_sample=local,
     )
     planted = spark.createDataFrame(
         [(i, qv) for i in range(-10, 0)],

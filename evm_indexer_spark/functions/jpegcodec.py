@@ -904,6 +904,8 @@ def jpeg_header_dims(data: bytes) -> tuple[int, int, int]:
             continue
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         if marker in sof:
+            if pos + 10 > len(data):
+                raise ValueError("truncated SOF frame header")
             _precision, h, w, nc = struct.unpack_from(">BHHB", data, pos + 4)
             return int(h), int(w), int(nc)
         pos += 2 + seglen

@@ -1319,6 +1319,7 @@ def pq_train(
     iters: int = 3,
     scale: int = 1000,
     sample_rows: int = 50_000,
+    local_sample: list | None = None,
 ) -> np.ndarray:
     """Train product-quantization codebooks: split each vector into
     ``n_subspaces`` contiguous sub-vectors and run the deterministic
@@ -1330,22 +1331,53 @@ def pq_train(
     The quantizer trains on a DETERMINISTIC bounded sample — the first
     ``sample_rows`` rows in (md5(id), id) order — which is how coarse
     quantizers are fit at scale (``ivf_build`` documents the same);
-    encoding, the corpus-scale pass, is ``pq_encode``."""
+    encoding, the corpus-scale pass, is ``pq_encode``.
+
+    ``local_sample``: optional list of ``(id, vector)`` pairs already
+    on the driver (e.g. a footer-gated pyarrow read of a small corpus,
+    the q79 gate tier). The SAME deterministic sampling and grid apply
+    — (md5(str(id)), id) ordering matches Spark's
+    ``md5(cast(id as string))`` byte-for-byte, and quantization goes
+    through ``_quantize_query_half_up``, the pinned bit-identical twin
+    of ``_spark_quantize`` — so the codebooks are equal to the Spark
+    path's (test_pq_train_local_sample_bit_identical). Skips the
+    plan-build Spark job entirely; never use it for corpora that don't
+    comfortably fit on the driver."""
     from pyspark.sql.types import IntegralType
 
     if not isinstance(df.schema[id_col].dataType, IntegralType):
         raise ValueError("pq_train requires an integral id column")
-    q = _spark_quantize(F.col(vec_col), scale)
-    rows = (
-        df.select(F.col(id_col).alias("id"), q.alias("q"))
-        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-        .limit(sample_rows)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("cannot train a quantizer on an empty corpus")
-    ids = [r["id"] for r in rows]
-    qm = np.array([r["q"] for r in rows], dtype=np.int64)
+    if local_sample is not None:
+        import hashlib
+
+        pairs = sorted(
+            local_sample,
+            key=lambda p: (
+                hashlib.md5(str(int(p[0])).encode()).hexdigest(),
+                int(p[0]),
+            ),
+        )[:sample_rows]
+        if not pairs:
+            raise ValueError("cannot train a quantizer on an empty corpus")
+        ids = [int(p[0]) for p in pairs]
+        qm = np.stack(
+            [
+                _quantize_query_half_up([float(x) for x in p[1]], scale)
+                for p in pairs
+            ]
+        ).astype(np.int64)
+    else:
+        q = _spark_quantize(F.col(vec_col), scale)
+        rows = (
+            df.select(F.col(id_col).alias("id"), q.alias("q"))
+            .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+            .limit(sample_rows)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("cannot train a quantizer on an empty corpus")
+        ids = [r["id"] for r in rows]
+        qm = np.array([r["q"] for r in rows], dtype=np.int64)
     dim = qm.shape[1]
     if dim % n_subspaces:
         raise ValueError(
@@ -1356,7 +1388,7 @@ def pq_train(
     # one centroid per sample row) — the codebook is TRUNCATED to the
     # trained rows, never padded: zero-padding would plant phantom
     # all-zero "centroids" that near-origin vectors encode to
-    n_trained = min(n_centroids, len(rows))
+    n_trained = min(n_centroids, len(ids))
     books = np.zeros((n_subspaces, n_trained, d), dtype=np.int64)
     for s in range(n_subspaces):
         _, cents = _np_lloyd(ids, qm[:, s * d : (s + 1) * d], n_trained, iters)

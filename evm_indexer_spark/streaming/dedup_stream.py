@@ -273,6 +273,10 @@ def _retraction_guard(
     path. ``compact`` additionally asserts folded sums stay
     non-negative as the backstop for callers that bypass the ids
     (see each store's compact)."""
+    if retraction_id is not None and int(retraction_id) < 0:
+        # a negative id would name a dir the retract<k> parser skips,
+        # silently breaking auto-assignment's collision avoidance
+        raise ValueError("retraction_id must be a non-negative integer")
     ids = ids.select(
         F.col(ids.columns[0]).cast("string").alias("id")
     ).distinct()

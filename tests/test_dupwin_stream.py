@@ -300,3 +300,16 @@ def test_retraction_may_cancel_newest_epoch(spark, tmp_path):
     got = sorted(map(tuple, ix.hashes().groupBy("h").agg(
         F.sum("occ").alias("occ")).filter(F.col("occ") != 0).collect()))
     assert got == want
+
+
+def test_negative_retraction_id_rejected(spark, tmp_path):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    ix = WindowHashIndex(spark, str(tmp_path / "dw"), window_n=4)
+    ix.append(docs, "doc_id", "text", batch_id=0)
+    with pytest.raises(ValueError, match="non-negative"):
+        ix.retract(docs, "doc_id", "text", retraction_id=-1)

@@ -714,3 +714,33 @@ def test_ivf_compact_heals_crash_copies_but_rejects_divergence(
     idx.append(bad, "vec_id", "embedding", batch_id=9)
     with pytest.raises(ValueError, match="divergent payloads"):
         idx.compact()
+
+
+def test_pq_train_local_sample_bit_identical(spark, emb):
+    """pq_train's driver-local sample path (footer-gated pyarrow read,
+    the q79 tier) must produce codebooks BIT-IDENTICAL to the Spark
+    sample path: same (md5(str(id)), id) ordering, same half-up grid
+    (_quantize_query_half_up is the pinned twin of _spark_quantize)."""
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.collect()]
+    via_spark = similarity.pq_train(emb, "vec_id", "embedding", n_subspaces=8)
+    via_local = similarity.pq_train(
+        emb, "vec_id", "embedding", n_subspaces=8, local_sample=rows
+    )
+    assert via_spark.shape == via_local.shape
+    assert (via_spark == via_local).all()
+    # the cap binds identically on both paths
+    capped_s = similarity.pq_train(
+        emb, "vec_id", "embedding", n_subspaces=8, sample_rows=50
+    )
+    capped_l = similarity.pq_train(
+        emb, "vec_id", "embedding", n_subspaces=8, sample_rows=50,
+        local_sample=rows,
+    )
+    assert (capped_s == capped_l).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        similarity.pq_train(
+            emb, "vec_id", "embedding", n_subspaces=8, local_sample=[]
+        )
