@@ -574,52 +574,14 @@ def skipgram_contamination(
         raise ValueError("n and min_hits must be positive")
     if n > 32:
         raise ValueError("n > 32 masked variants per window is a mistake")
-    norm = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-        " ",
-    )
-
-    def windows(df: DataFrame, *keep) -> DataFrame:
-        toks = df.select(*keep, norm.alias("__t"))
-        return (
-            toks.filter(
-                (F.size("__t") >= n) & (F.element_at("__t", 1) != "")
-            )
-            .select(
-                *keep,
-                F.posexplode(
-                    F.sequence(F.lit(1), F.size("__t") - n + 1)
-                ).alias("__i", "__pos"),
-                F.col("__t"),
-            )
-            .select(
-                *keep,
-                "__pos",
-                F.slice("__t", F.col("__pos"), n).alias("__w"),
-            )
-        )
-
-    def masked(win: DataFrame, *keep) -> DataFrame:
-        variants = F.array(
-            *[
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.lit("\x01") if k == j
-                        else F.element_at("__w", k + 1)
-                        for k in range(n)
-                    ],
-                )
-                for j in range(n)
-            ]
-        )
-        return win.select(*keep, F.explode(variants).alias("__key"))
-
+    norm = _token_split(text_col)
     spread = spread_small_scan(train)
-    t_win = windows(spread.select(F.col(id_col).alias("id"), text_col), "id")
-    t_keys = masked(t_win, "id", "__pos")
+    t_win = skipgram_windows(
+        spread.select(F.col(id_col).alias("id"), text_col), text_col, n, "id"
+    )
+    t_keys = skipgram_keys(t_win, n, "id", "__pos")
     eval_keys = (
-        masked(windows(eval_df.select(text_col)))
+        skipgram_keys(skipgram_windows(eval_df.select(text_col), text_col, n), n)
         .select("__key")
         .distinct()
         .withColumn("__hit", F.lit(1))
@@ -667,6 +629,60 @@ def skipgram_contamination(
             ),
         )
     )
+
+
+def _token_split(text_col: str):
+    """Column: ASCII-whitespace token array under the repo-wide
+    tokenization (lowercase, runs of whitespace collapsed)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        " ",
+    )
+
+
+def skipgram_windows(df: DataFrame, text_col: str, n: int, *keep) -> DataFrame:
+    """One row per *n*-token window of *text_col*: (*keep*, __pos, __w)
+    where __w is the token slice. Shared by ``skipgram_contamination``
+    and the arrival stream's skip-gram mode — identical windowing by
+    construction."""
+    toks = df.select(*keep, _token_split(text_col).alias("__t"))
+    return (
+        toks.filter((F.size("__t") >= n) & (F.element_at("__t", 1) != ""))
+        .select(
+            *keep,
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("__t") - n + 1)
+            ).alias("__i", "__pos"),
+            F.col("__t"),
+        )
+        .select(
+            *keep,
+            "__pos",
+            F.slice("__t", F.col("__pos"), n).alias("__w"),
+        )
+    )
+
+
+def skipgram_keys(win: DataFrame, n: int, *keep) -> DataFrame:
+    """The n masked one-substitution variants of each window row:
+    (*keep*, __key) — position j replaced by the ``\\x01`` placeholder
+    (a control byte no natural-language token contains; see
+    ``skipgram_contamination`` for the caveat on corpora embedding
+    literal \\x01 bytes)."""
+    variants = F.array(
+        *[
+            F.concat_ws(
+                " ",
+                *[
+                    F.lit("\x01") if k == j
+                    else F.element_at("__w", k + 1)
+                    for k in range(n)
+                ],
+            )
+            for j in range(n)
+        ]
+    )
+    return win.select(*keep, F.explode(variants).alias("__key"))
 
 
 def gram_array(text_col: str, n: int):

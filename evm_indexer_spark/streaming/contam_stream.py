@@ -44,7 +44,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.corpus import gram_array
+from ..operators.corpus import gram_array, skipgram_keys, skipgram_windows
 from ..operators.partitioning import spread_small_scan
 from .dedup_stream import (
     _assert_counters_nonnegative,
@@ -69,25 +69,54 @@ class EvalGramIndex:
     """Parquet-backed summed (gram, occ) partials of an eval corpus's
     n-token windows — the persisted probe side of decontamination.
 
-    The gram definition (``corpus.gram_array``) and *n* are stamped in
-    a ``_meta`` marker at creation; reopening with a different *n*
-    raises instead of silently mixing window widths."""
+    ``mode``: ``"ngram"`` (default) stores the verbatim space-joined
+    windows (the q80 check); ``"skipgram"`` stores the n masked
+    one-substitution variants per window (the q81 check — matching an
+    arriving train window against ANY stored key means it differs from
+    some eval window in at most one token). Both modes share the exact
+    tokenization of their batch twins (``corpus.gram_array`` /
+    ``corpus.skipgram_windows+skipgram_keys``), so arrival rows equal
+    the batch operators by construction.
 
-    def __init__(self, spark: SparkSession, path: str, n: int = 8) -> None:
+    The gram definition, *n*, and *mode* are stamped in a ``_meta``
+    marker at creation; reopening with different parameters raises
+    instead of silently mixing key spaces."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, n: int = 8,
+        mode: str = "ngram",
+    ) -> None:
         if n < 1:
             raise ValueError("n must be positive")
+        if mode not in ("ngram", "skipgram"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode == "skipgram" and n > 32:
+            raise ValueError("n > 32 masked variants per window is a mistake")
         self.spark = spark
         self.path = path
         self.n = n
+        self.mode = mode
         fs, jroot = _hadoop(spark, path)
         fs.mkdirs(jroot)
-        _claim_stamp(spark, path, "_meta", f"n={n}")
+        _claim_stamp(spark, path, "_meta", f"n={n};mode={mode}")
 
     # -- eval-side maintenance (the small, slowly-changing side) --------
 
+    def _keys(self, docs: DataFrame, text_col: str, *keep) -> DataFrame:
+        """(*keep*, gram) rows under this index's mode — for skipgram,
+        n masked variants per window (also keeps __pos when asked)."""
+        if self.mode == "ngram":
+            return docs.select(
+                *keep, F.explode(gram_array(text_col, self.n)).alias("gram")
+            )
+        win = skipgram_windows(docs, text_col, self.n, *keep)
+        return skipgram_keys(win, self.n, *keep, "__pos").withColumnRenamed(
+            "__key", "gram"
+        )
+
     def _partial(self, eval_docs: DataFrame, text_col: str) -> DataFrame:
         return (
-            eval_docs.select(F.explode(gram_array(text_col, self.n)).alias("gram"))
+            self._keys(eval_docs, text_col)
             .groupBy("gram")
             .agg(F.count(F.lit(1)).alias("occ"))
         )
@@ -163,11 +192,8 @@ class EvalGramIndex:
         (gram, occ) partials — it never touches document text."""
         if min_hits < 1:
             raise ValueError("min_hits must be positive")
-        grams = gram_array(text_col, self.n)
-        exploded = (
-            spread_small_scan(docs)
-            .select(F.col(id_col).alias("id"), grams.alias("__g"))
-            .select("id", F.explode("__g").alias("gram"))
+        spread = spread_small_scan(docs).select(
+            F.col(id_col).alias("id"), text_col
         )
         if eval_small is None:
             # occurrence total >= distinct grams: an upper bound, errs
@@ -179,14 +205,38 @@ class EvalGramIndex:
             eval_small = (total or 0) <= broadcast_below
         probe = self.grams().withColumn("__hit", F.lit(1))
         probe = F.broadcast(probe) if eval_small else probe.hint("shuffle_hash")
-        per_doc = (
-            exploded.join(probe, "gram", "left")
-            .groupBy("id")
-            .agg(
-                F.count(F.lit(1)).alias("n_windows"),
-                F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+        if self.mode == "ngram":
+            exploded = self._keys(spread, text_col, "id")
+            per_doc = (
+                exploded.join(probe, "gram", "left")
+                .groupBy("id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_windows"),
+                    F.sum(
+                        F.coalesce("__hit", F.lit(0))
+                    ).alias("n_contaminated"),
+                )
             )
-        )
+        else:
+            # skipgram: a window matching via SEVERAL masked variants
+            # counts once — collapse the n keyed rows back to one per
+            # (id, window) first (two-level hash agg, map-side partial
+            # on both levels; the q81 shape, no Expand node)
+            keyed = self._keys(spread, text_col, "id")
+            per_doc = (
+                keyed.join(probe, "gram", "left")
+                .groupBy("id", "__pos")
+                .agg(
+                    F.max(
+                        F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+                    ).alias("__h")
+                )
+                .groupBy("id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_windows"),
+                    F.sum("__h").alias("n_contaminated"),
+                )
+            )
         base = docs.select(F.col(id_col).alias("id")).distinct()
         return (
             base.join(per_doc, "id", "left")

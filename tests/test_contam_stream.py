@@ -180,3 +180,73 @@ def test_index_n_marker_is_immutable(spark, tmp_path):
         EvalGramIndex(spark, str(tmp_path / "eg"), n=5)
     with pytest.raises(ValueError):
         EvalGramIndex(spark, str(tmp_path / "eg2"), n=0)
+
+
+def test_skipgram_mode_equals_batch_operator(spark, tmp_path):
+    """mode='skipgram': arrival rows equal corpus.skipgram_contamination
+    — one-substitution tolerance included — against the same eval set."""
+    ev_rows = [
+        (100, "the quick brown fox jumps over the lazy dog near the river")
+    ]
+    tr_rows = [
+        # verbatim copy: contaminated in both modes
+        (0, "x the quick brown fox jumps over the lazy dog y"),
+        # ONE substituted token (fox->cat): skipgram-contaminated only
+        (1, "x the quick brown cat jumps over the lazy dog y"),
+        # two substitutions: clean in both modes
+        (2, "x the quick brown cat naps over the lazy dog y"),
+    ]
+    ev = spark.createDataFrame(ev_rows, ["doc_id", "text"])
+    train = spark.createDataFrame(tr_rows, ["doc_id", "text"])
+    index = EvalGramIndex(spark, str(tmp_path / "sg"), n=8, mode="skipgram")
+    index.append(ev, "text", batch_id=0)
+    got = {
+        tuple(r)
+        for r in index.contamination_for(train, "doc_id", "text").collect()
+    }
+    want = {
+        tuple(r)
+        for r in corpus.skipgram_contamination(
+            train, ev, "doc_id", "text", n=8
+        ).collect()
+    }
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][3] is True and by_id[1][3] is True
+    assert by_id[2][3] is False
+    # the ngram-mode index on the same data does NOT tolerate the
+    # substitution — the two modes are genuinely different checks
+    ng = EvalGramIndex(spark, str(tmp_path / "ng"), n=8, mode="ngram")
+    ng.append(ev, "text", batch_id=0)
+    ng_by_id = {
+        r["id"]: r["contaminated"]
+        for r in ng.contamination_for(train, "doc_id", "text").collect()
+    }
+    assert ng_by_id[0] is True and ng_by_id[1] is False
+
+
+def test_skipgram_mode_retraction_and_marker(spark, tmp_path):
+    ev_rows = [
+        (100, "the quick brown fox jumps over the lazy dog near the river")
+    ]
+    ev = spark.createDataFrame(ev_rows, ["doc_id", "text"])
+    index = EvalGramIndex(spark, str(tmp_path / "sg"), n=8, mode="skipgram")
+    index.append(ev, "text", batch_id=0)
+    train = spark.createDataFrame(
+        [(1, "x the quick brown cat jumps over the lazy dog y")],
+        ["doc_id", "text"],
+    )
+    assert index.contamination_for(train, "doc_id", "text").collect()[0][
+        "contaminated"
+    ] is True
+    index.retract(ev, "text")
+    assert index.contamination_for(train, "doc_id", "text").collect()[0][
+        "contaminated"
+    ] is False
+    with pytest.raises(ValueError, match="already retracted"):
+        index.retract(ev, "text")
+    # mode is stamped: reopening with a different mode raises
+    with pytest.raises(ValueError):
+        EvalGramIndex(spark, str(tmp_path / "sg"), n=8, mode="ngram")
+    with pytest.raises(ValueError, match="unknown mode"):
+        EvalGramIndex(spark, str(tmp_path / "other"), n=8, mode="fuzzy")

@@ -14,10 +14,15 @@ for i in 1 2 3; do
   waited=0
   while :; do
     load=$(cut -d' ' -f1 /proc/loadavg)
-    ok=$(python3 -c "print(1 if float('$load') < 1.5 else 0)")
+    load5=$(cut -d' ' -f2 /proc/loadavg)
+    # gate BOTH averages: a 1-min dip right after a heavy job passes
+    # the 1-min gate while the box is still thermally/cache loaded
+    # (r12 observed ~25-40% absolute inflation on both engines in
+    # exactly that state) — require the 5-min average down too
+    ok=$(python3 -c "print(1 if float('$load') < 1.5 and float('$load5') < 3.0 else 0)")
     [ "$ok" = "1" ] && break
     sleep 60; waited=$((waited+1))
-    [ $waited -ge 40 ] && echo "WARN: run $i proceeding at load $load after 40min" >> "$LOG" && break
+    [ $waited -ge 40 ] && echo "WARN: run $i proceeding at load $load/$load5 after 40min" >> "$LOG" && break
   done
   echo "=== run $i start load: $(cat /proc/loadavg)" >> "$LOG"
   python bench.py > /tmp/bench_run$i.json 2>/tmp/bench_run$i.err
