@@ -2494,8 +2494,39 @@ def q77(spark, sf):
     if n is None:
         n = emb.count()
     k = max(8, (2 * n) // 500)
+    # Footer-gated LOCAL corpus (the q79 tier): build the SAME
+    # emb ∪ perturbed pairs driver-side from one pyarrow read — the
+    # perturbation is the identical IEEE double op (float32→double
+    # cast then +0.01), quantization goes through the pinned half-up
+    # twin inside semantic_dedup — removing the probe-collect job from
+    # plan build. Bit-identity vs the Spark tier is pytest-pinned
+    # (test_semantic_dedup_local_corpus_bit_identical); larger or
+    # footerless corpora keep the Spark probe.
+    local = None
+    if n <= 25_000:  # 2n rows collected; keep the driver bound tight
+        try:
+            import os
+
+            import pyarrow.parquet as pq
+
+            path = os.path.join(sf, "embeddings.parquet")
+            if os.path.isfile(path):
+                t = pq.read_table(path, columns=["vec_id", "embedding"])
+                base = [
+                    (int(i), [float(x) for x in v])
+                    for i, v in zip(
+                        t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist(),
+                    )
+                ]
+                local = base + [
+                    (i + 1000000, [v[0] + 0.01] + v[1:]) for i, v in base
+                ]
+        except Exception:
+            local = None
     return similarity.semantic_dedup(
-        corpus, "id", "v", k=k, iters=2, scale=1000, threshold=0.95
+        corpus, "id", "v", k=k, iters=2, scale=1000, threshold=0.95,
+        local_corpus=local,
     )
 
 

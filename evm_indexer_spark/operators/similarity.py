@@ -1157,12 +1157,23 @@ def semantic_dedup(
     threshold: float = 0.95,
     round_digits: int = 6,
     driver_below: int = 50_000,
+    local_corpus: list | None = None,
 ) -> DataFrame:
     """SemDeDup: cluster the embedding space, then drop within each
     cluster every member that has a LOWER-id neighbor above the cosine
     *threshold* — the cluster bounds the quadratic term, so the
     pairwise pass is per-cluster, never corpus-wide. Returns
     ``(id, cluster, is_dropped)`` for every input row.
+
+    ``local_corpus``: optional list of ``(id, vector)`` pairs already
+    on the driver (a footer-gated pyarrow read, the q77 gate tier) —
+    runs the SAME in-driver pipeline as the probe tier with zero
+    plan-build Spark jobs: quantization goes through
+    ``_quantize_query_half_up`` (the pinned bit-identical twin of the
+    Spark grid expression), the raw doubles feed the same numpy
+    kernels. Output equals the Spark-probe tier byte-for-byte
+    (test_semantic_dedup_local_corpus_bit_identical). Never use it for
+    corpora that don't comfortably fit on the driver.
 
     Cosine runs as float64 numpy (normalize + blocked matmul) and is
     rounded to ``round_digits`` before the threshold compare — the
@@ -1187,21 +1198,40 @@ def semantic_dedup(
         lambda x: F.round(x.cast("double") * scale).cast("long"),
     )
     integral_id = isinstance(df.schema[id_col].dataType, IntegralType)
-    probe = (
-        df.select(
-            F.col(id_col).alias("id"),
-            quant.alias("q"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ids = qm = vm = None
+    if local_corpus is not None:
+        if not local_corpus:
+            raise ValueError("cannot dedup an empty corpus")
+        ids = np.array([int(p[0]) for p in local_corpus], dtype=np.int64)
+        qm = np.stack(
+            [
+                _quantize_query_half_up([float(x) for x in p[1]], scale)
+                for p in local_corpus
+            ]
+        ).astype(np.int64)
+        vm = np.array(
+            [[float(x) for x in p[1]] for p in local_corpus],
+            dtype=np.float64,
         )
-        .limit(driver_below + 1)
-        .collect()
-        if integral_id and driver_below > 0
-        else []
-    )
-    if integral_id and len(probe) <= driver_below and probe:
-        ids = np.array([r["id"] for r in probe], dtype=np.int64)
-        qm = np.array([r["q"] for r in probe], dtype=np.int64)
-        vm = np.array([r["v"] for r in probe], dtype=np.float64)
+    else:
+        probe = (
+            df.select(
+                F.col(id_col).alias("id"),
+                quant.alias("q"),
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double")
+                ).alias("v"),
+            )
+            .limit(driver_below + 1)
+            .collect()
+            if integral_id and driver_below > 0
+            else []
+        )
+        if integral_id and len(probe) <= driver_below and probe:
+            ids = np.array([r["id"] for r in probe], dtype=np.int64)
+            qm = np.array([r["q"] for r in probe], dtype=np.int64)
+            vm = np.array([r["v"] for r in probe], dtype=np.float64)
+    if ids is not None:
         a, _ = _np_lloyd(list(ids), qm, k, iters)
         dropped = np.zeros(len(ids), dtype=bool)
         for j in np.unique(a):

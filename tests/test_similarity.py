@@ -744,3 +744,41 @@ def test_pq_train_local_sample_bit_identical(spark, emb):
         similarity.pq_train(
             emb, "vec_id", "embedding", n_subspaces=8, local_sample=[]
         )
+
+
+def test_semantic_dedup_local_corpus_bit_identical(spark, emb):
+    """semantic_dedup's driver-local corpus path (footer-gated pyarrow
+    read, the q77 tier) must equal the Spark probe tier byte-for-byte
+    — including the q77 perturbed-twin construction, whose +0.01 on
+    dim 0 is the same IEEE double op in numpy and the JVM."""
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = base.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(
+            F.array(F.get(F.col("v"), 0) + F.lit(0.01)),
+            F.slice(F.col("v"), 2, 1000000),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(perturbed)
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.collect()]
+    local = rows + [(i + 1000000, [v[0] + 0.01] + v[1:]) for i, v in rows]
+    via_spark = sorted(
+        map(tuple, similarity.semantic_dedup(
+            corpus, "id", "v", k=8, iters=2, threshold=0.95
+        ).collect())
+    )
+    via_local = sorted(
+        map(tuple, similarity.semantic_dedup(
+            corpus, "id", "v", k=8, iters=2, threshold=0.95,
+            local_corpus=local,
+        ).collect())
+    )
+    assert via_spark == via_local
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        similarity.semantic_dedup(corpus, "id", "v", local_corpus=[])
