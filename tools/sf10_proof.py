@@ -82,13 +82,13 @@ def main() -> None:
         "--families",
         nargs="*",
         default=None,
-        choices=["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup", "editsalt"],
+        choices=["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup", "editsalt", "contam"],
         help="subset to (re)run; merges into an existing --out report",
     )
     args = ap.parse_args()
     fam = set(
         args.families
-        or ["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup", "editsalt"]
+        or ["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup", "editsalt", "contam"]
     )
 
     # 100x-scale shuffles (24-band candidate stream ≈ 600M slim rows
@@ -587,6 +587,63 @@ def main() -> None:
             "boundaries, the documented SemDeDup failure mode",
         }
         print("semdedup:", report["semantic_dedup"], flush=True)
+
+    # ---- 10. decontamination-on-arrival (q80 family / contam stream) --
+    if "contam" in fam:
+        import tempfile
+
+        from evm_indexer_spark.operators import corpus as corpus_ops
+        from evm_indexer_spark.streaming.contam_stream import EvalGramIndex
+
+        ev = doc.filter(F.col("doc_id") % 10 == 0)  # ~50k eval docs
+        idx = EvalGramIndex(
+            spark, os.path.join(tempfile.mkdtemp(), "eg"), n=8
+        )
+        t0 = time.perf_counter()
+        idx.append(ev, "text", batch_id=0)  # O(eval grams), one pass
+        build_secs = time.perf_counter() - t0
+        gram_rows = idx.partials().count()
+        # one arrival batch: ~1% of the train split — scoring must cost
+        # O(batch + index probe), never O(train corpus): the other 445k
+        # train docs are never touched (nothing else is even scanned)
+        batch = doc.filter(
+            (F.col("doc_id") % 10 != 0)
+            & (F.pmod(F.xxhash64("doc_id"), F.lit(100)) == 0)
+        )
+        n_batch = batch.count()
+        t0 = time.perf_counter()
+        got = idx.contamination_for(batch, "doc_id", "text").persist()
+        n_scored = got.count()
+        score_secs = time.perf_counter() - t0
+        n_contam = got.filter("contaminated").count()
+        # exact equality with the batch operator over the same
+        # (batch, eval) inputs — the incremental == batch identity,
+        # held at 100x bench scale with the shuffle-routed (big-eval)
+        # probe regime engaged
+        want = corpus_ops.ngram_contamination(
+            batch, ev, "doc_id", "text", n=8, eval_small=False
+        )
+        diffs = got.exceptAll(want).count() + want.exceptAll(got).count()
+        got.unpersist()
+        report["contamination_on_arrival"] = {
+            "eval_docs": ev.count(),
+            "eval_gram_rows": gram_rows,
+            "index_build_secs": round(build_secs, 2),
+            "arrival_batch_docs": n_batch,
+            "scored_rows": n_scored,
+            "contaminated_in_batch": n_contam,
+            "batch_vs_incremental_diffs": diffs,
+            "score_secs": round(score_secs, 2),
+            "note": "50k-doc eval suite indexed once (summed gram "
+            "partials); a 1%-of-train arrival batch scores in O(batch "
+            "+ probe) with the shuffle-hash big-eval regime engaged "
+            "(eval occurrences > 2M), and the rows equal "
+            "ngram_contamination run batch-side on identical inputs. "
+            "The 99% of train text not in the batch is never scanned — "
+            "the property that makes eval-suite changes O(changed "
+            "grams) instead of a 100 TB re-scan.",
+        }
+        print("contam:", report["contamination_on_arrival"], flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
