@@ -250,3 +250,36 @@ def test_skipgram_mode_retraction_and_marker(spark, tmp_path):
         EvalGramIndex(spark, str(tmp_path / "sg"), n=8, mode="ngram")
     with pytest.raises(ValueError, match="unknown mode"):
         EvalGramIndex(spark, str(tmp_path / "other"), n=8, mode="fuzzy")
+
+
+def test_probe_routing_is_plan_pinned(spark, tmp_path):
+    """The size routing must materialize in the PLAN: a broadcast hash
+    join under eval_small=True, a shuffled hash join (never a forced
+    broadcast) under eval_small=False."""
+    import io
+    from contextlib import redirect_stdout
+
+    ev = spark.createDataFrame(EVAL_DOCS, ["doc_id", "text"])
+    index = EvalGramIndex(spark, str(tmp_path / "eg"), n=8)
+    index.append(ev, "text", batch_id=0)
+    train = spark.createDataFrame(TRAIN_LEGS[0], ["doc_id", "text"])
+
+    def plan(eval_small):
+        df = index.contamination_for(
+            train, "doc_id", "text", eval_small=eval_small
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    small = plan(True)
+    assert "BroadcastHashJoin" in small
+    big = plan(False)
+    assert "ShuffledHashJoin" in big
+    # and the routed-vs-routed answers are value-identical
+    a = sorted(map(tuple, index.contamination_for(
+        train, "doc_id", "text", eval_small=True).collect()))
+    b = sorted(map(tuple, index.contamination_for(
+        train, "doc_id", "text", eval_small=False).collect()))
+    assert a == b

@@ -407,3 +407,34 @@ def test_image_extremes_decode_budget_cap_route(spark, docs):
         assert r["decoded"] is False
         assert (r["width"], r["height"]) == (32, 24)
         assert r["px_min"] is None and r["px_max"] is None and r["px_sum"] is None
+
+
+def test_jpeg_header_dims_property_matches_decode():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from evm_indexer_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_header_dims,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=10, max_value=100),
+        st.booleans(),
+        st.sampled_from(["444", "420"]),
+    )
+    def check(h, w, quality, rgb, subsampling):
+        rng = np.random.default_rng(h * 41 + w)
+        shape = (h, w, 3) if rgb else (h, w)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        enc = jpeg_encode(img, quality=quality, subsampling=subsampling)
+        hh, ww, nc = jpeg_header_dims(enc)
+        assert (hh, ww) == (h, w)
+        assert nc == (3 if rgb else 1)
+        assert jpeg_decode(enc).shape[:2] == (h, w)
+
+    check()
