@@ -294,14 +294,26 @@ def _retraction_guard(
             else:
                 prior_dirs.append(st.getPath().toString())
     if prior_dirs:
-        prior = spark.read.schema("id string").parquet(*prior_dirs)
+        # tag every prior ledger row with the entry it came from so a
+        # rejection can NAME the retraction_id holding the dup — the
+        # recovery key for an ambiguous failure on the auto-assigned
+        # path (the caller retries with that id to make it idempotent)
+        prior = spark.read.schema("id string").parquet(*prior_dirs).withColumn(
+            "prior_entry",
+            F.element_at(F.split(F.input_file_name(), "/_retracted/"), -1),
+        ).withColumn(
+            "prior_entry", F.split(F.col("prior_entry"), "/").getItem(0)
+        )
         dup = ids.join(prior, "id", "inner").take(5)
         if dup:
+            pairs = sorted((r["id"], r["prior_entry"]) for r in dup)
             raise ValueError(
                 "retraction rejected: id(s) already retracted "
-                f"{sorted(r['id'] for r in dup)} — a doc's contribution "
-                "cancels at most once (re-run an ambiguous failure with "
-                "the SAME retraction_id to make it an idempotent retry)"
+                f"{pairs} (id, ledger entry) — a doc's contribution "
+                "cancels at most once. If this is a RETRY of an "
+                "ambiguous failure, re-run with "
+                f"retraction_id={pairs[0][1][len('retract'):]} (the "
+                "ledger entry shown) to make it idempotent"
             )
     if own_dir is not None:
         # same retraction_id re-used: legal only as an exact retry
@@ -321,6 +333,23 @@ def _retraction_guard(
     else:
         k = str(int(retraction_id))
         target = posixpath.join(root, f"batch=retract{k}")
+        if own_dir is None:
+            # UNLEDGERED pre-existing target: a batch=retract<k> dir
+            # written by pre-ledger code (or a bypassing caller). An
+            # explicit id may only RETRY a ledgered retraction —
+            # overwriting this dir would silently un-cancel whatever
+            # the old negated partial cancelled. Refuse; the caller
+            # either picks a fresh id or backfills the ledger by hand.
+            _, jtarget = _hadoop(spark, target)
+            if fs.exists(jtarget):
+                raise ValueError(
+                    f"retraction_id {k} names an existing {target} with "
+                    "no matching ledger entry (written by pre-ledger "
+                    "code?) — explicit ids can only retry LEDGERED "
+                    "retractions; use retraction_id=None for a fresh "
+                    "retraction, or backfill the ledger entry for "
+                    "retract" f"{k} if that dir is a real retraction"
+                )
     ids.coalesce(1).write.mode("overwrite").parquet(
         posixpath.join(ledger_root, f"retract{k}")
     )
@@ -416,9 +445,22 @@ def _stream_batch_base(
         out.write(bytearray(str(base).encode()))
     finally:
         out.close()
-    if not fs.rename(jtmp, jmarker):
-        # lost the publication race (or a marker already exists):
-        # drop the temp and adopt the winner's value
+    # NOTE on rename semantics: HDFS rename fails onto an existing
+    # destination, but RawLocalFileSystem delegates to POSIX rename(2)
+    # which silently REPLACES it — so the `not rename` branch never
+    # fires on local FS and a lost race can overwrite the winner's
+    # marker. That overwrite is benign ONLY because every racer under
+    # the same checkpoint computes the identical base (same roots, and
+    # the stores are single-writer by contract) — pinned by
+    # test_marker_publication_race_equal_bases. The pre-rename exists
+    # check below narrows the window on local FS; the post-rename
+    # re-read below it is what callers actually consume.
+    if fs.exists(jmarker):
+        # a winner already published while we were writing the temp:
+        # drop the temp and adopt its value (never rename over it)
+        fs.delete(jtmp, False)
+    elif not fs.rename(jtmp, jmarker):
+        # HDFS-semantics race loss: drop the temp, adopt the winner
         fs.delete(jtmp, False)
     return int(_read_marker(fs, jmarker))
 

@@ -553,3 +553,70 @@ def test_marker_publication_is_crash_atomic(spark, tmp_path):
     assert [p.name for p in ckpt.iterdir() if p.name.startswith(".__batch_base__.tmp.")] == [
         ".__batch_base__.tmp.deadbeef"  # pre-existing foreign residue untouched
     ]
+
+
+def test_marker_publication_race_equal_bases(spark, tmp_path, monkeypatch):
+    """Local-FS rename(2) REPLACES an existing destination (unlike HDFS),
+    so the lost-race branch can't rely on rename failing. The pre-rename
+    exists check must make a racer that finds a freshly-published marker
+    ADOPT it (delete its own temp, return the winner's value) rather
+    than rename over it — pinned here by injecting a winner that
+    publishes between the top-of-function check and the temp write."""
+    import evm_indexer_spark.streaming.dedup_stream as ds
+
+    ckpt = tmp_path / "ckpt"
+    marker = ckpt / "__batch_base__"
+    real_hw = ds._high_water_base
+
+    def winner_publishes_first(spark_, roots):
+        # the racing winner lands its marker while we compute our base
+        ckpt.mkdir(exist_ok=True)
+        marker.write_text("7")
+        return real_hw(spark_, roots)
+
+    monkeypatch.setattr(ds, "_high_water_base", winner_publishes_first)
+    base = ds._stream_batch_base(spark, str(ckpt), [str(tmp_path / "ix")])
+    assert base == 7  # adopted the winner's value, not our own
+    assert marker.read_text() == "7"  # never renamed over the winner
+    # and our own temp was cleaned up
+    assert not [p for p in ckpt.iterdir() if ".__batch_base__.tmp." in p.name]
+
+
+def test_retraction_explicit_id_refuses_unledgered_dir(spark, tmp_path):
+    """An explicit retraction_id may only RETRY a ledgered retraction:
+    if batch=retract<k> already exists on disk with NO matching ledger
+    entry (pre-ledger code wrote it), overwriting would un-cancel that
+    old retraction's counts — the guard must refuse (round-12 advice)."""
+    from evm_indexer_spark.streaming.dedup_stream import _retraction_guard
+
+    root = tmp_path / "store"
+    # a pre-ledger negated partial, no _retracted/retract3 ledger entry
+    old = spark.createDataFrame([("docA", -2)], "id string, n long")
+    old.coalesce(1).write.parquet(str(root / "batch=retract3"))
+
+    ids = spark.createDataFrame([("docB",)], "id string")
+    with pytest.raises(ValueError, match="no matching ledger entry"):
+        _retraction_guard(spark, str(root), ids, retraction_id=3)
+    # nothing was written: the old partial is intact, no ledger entry
+    assert not (root / "_retracted" / "retract3").exists()
+    assert spark.read.parquet(str(root / "batch=retract3")).count() == 1
+    # a fresh auto-assigned retraction still works and skips k=3
+    target = _retraction_guard(spark, str(root), ids, retraction_id=None)
+    assert target.endswith("batch=retract4")
+
+
+def test_retraction_rejection_names_ledger_entry(spark, tmp_path):
+    """A double-retract rejection must NAME the ledger entry holding the
+    duplicate id, so an ambiguous failure on the auto-assigned path is
+    recoverable by retrying with that retraction_id (round-12 advice)."""
+    from evm_indexer_spark.streaming.dedup_stream import _retraction_guard
+
+    root = tmp_path / "store"
+    ids = spark.createDataFrame([("docA",)], "id string")
+    target = _retraction_guard(spark, str(root), ids, retraction_id=None)
+    k = target.rsplit("retract", 1)[1]
+    with pytest.raises(ValueError, match=f"retraction_id={k}"):
+        _retraction_guard(spark, str(root), ids, retraction_id=None)
+    # and retrying with the named id is accepted as idempotent
+    again = _retraction_guard(spark, str(root), ids, retraction_id=int(k))
+    assert again == target

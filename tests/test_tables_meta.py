@@ -64,10 +64,36 @@ class TestFooterMeta:
             f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
         ).fetchone()[0]  # last token of each doc has no separator byte
 
-    def test_column_bytes_missing_returns_none_or_zero(self):
+    def test_column_bytes_missing_returns_none(self):
         assert table_column_bytes(SF, "no_such_table", "text") is None
-        # a present table with an absent column sums nothing
-        assert table_column_bytes(SF, "documents", "no_such_col") == 0
+        # a present table with an ABSENT column must be None, not 0 —
+        # 0 would let a caller footer-"prove" broadcast-safety from
+        # zero evidence (round-12 advice); integers are reserved for
+        # columns actually present in the footers
+        assert table_column_bytes(SF, "documents", "no_such_col") is None
+
+    def test_footer_caches_invalidate_on_fixture_regeneration(
+        self, spark, tmp_path
+    ):
+        # a fixture REGENERATED in-process (adversarial twins,
+        # scale_testdata) must not be served the old file's stats —
+        # the cache key carries the file's (mtime_ns, size) stamp
+        import os
+        import time
+
+        p = tmp_path / "t.parquet"
+        spark.range(0, 10).withColumnRenamed("id", "k").coalesce(
+            1
+        ).write.parquet(str(p))
+        assert table_rowcount(str(tmp_path), "t") == 10
+        spark.range(0, 25).withColumnRenamed("id", "k").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(p))
+        # same path, new content: ensure the stamp actually moved even
+        # on coarse-mtime filesystems
+        for f in os.listdir(p):
+            os.utime(p / f, ns=(time.time_ns(), time.time_ns()))
+        assert table_rowcount(str(tmp_path), "t") == 25
 
     def test_eval_small_hint_footer_proven_at_gate_sf(self):
         # at every gate SF the hint must be footer-proven True (zero
@@ -85,6 +111,37 @@ class TestFooterMeta:
                 WHERE doc_id % 10 = 0"""
         ).fetchone()[0]
         assert total * 8 <= 2_000_000  # the probe would also say True
+
+    def test_eval_hint_tier2_aborts_on_dictionary_lie(
+        self, tmp_path, monkeypatch
+    ):
+        # a duplicate-heavy corpus dictionary-encodes: footer bytes run
+        # far below logical bytes, so tier 2's driver read must abort
+        # at its materialized-bytes cap and return None (live probe
+        # decides) instead of materializing the whole column
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from evm_indexer_spark import driver_queries as dq
+
+        # 5k rows of ONE 2KB string: logical ~10MB, dict footer ~ KBs
+        text = "lorem ipsum " * 170
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(5000), pa.int64()),
+                "text": pa.array([text] * 5000),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        footer = table_column_bytes(str(tmp_path), "documents", "text")
+        logical = 5000 * len(text)
+        assert footer is not None and footer < logical / 10  # the lie
+        # tier 1 must NOT fire from the lying footer when the distinct
+        # bound is slack; force tier 2 by a variants factor, and cap
+        # the read low enough that the true logical volume trips it
+        monkeypatch.setattr(dq, "_TIER2_ABORT_BYTES", 1024 * 1024)
+        variants = (2_000_000 * 2) // footer + 1  # tier-1 bound > 2M
+        assert dq._eval_small_hint(str(tmp_path), variants=variants) is None
 
     def test_directory_parquet_sums_part_files(self, spark, tmp_path):
         # Spark-written tables are DIRECTORIES of part files — the
