@@ -1203,16 +1203,11 @@ def semantic_dedup(
         if not local_corpus:
             raise ValueError("cannot dedup an empty corpus")
         ids = np.array([int(p[0]) for p in local_corpus], dtype=np.int64)
-        qm = np.stack(
-            [
-                _quantize_query_half_up([float(x) for x in p[1]], scale)
-                for p in local_corpus
-            ]
-        ).astype(np.int64)
         vm = np.array(
             [[float(x) for x in p[1]] for p in local_corpus],
             dtype=np.float64,
         )
+        qm = _quantize_query_half_up(vm, scale)
     else:
         probe = (
             df.select(
@@ -1318,15 +1313,39 @@ def _spark_quantize(col: Column, scale: int) -> Column:
     )
 
 
-def _quantize_query_half_up(vals: list[float], scale: int) -> np.ndarray:
-    """Driver-side twin of ``_spark_quantize`` for a single query
-    vector. Mirrors F.round's exact semantics — Java's
+def _quantize_half_up_np(s: np.ndarray) -> np.ndarray:
+    """Vectorized HALF_UP (half-away-from-zero) integer rounding of a
+    float64 array, bit-identical to F.round / ``BigDecimal.valueOf``:
+
+    The Decimal twin below compares the double's SHORTEST DECIMAL
+    string against the .5 boundary; this kernel compares the BINARY
+    value. They agree for every double: ``k + 0.5`` is itself exactly
+    representable (|s| < 2^52, above which fractions are 0 anyway), so
+    ``binary(s) >= k + 0.5  ⟺  shortest_decimal(s) >= k + 0.5`` — a
+    shortest round-tripping decimal on the other side of an exactly
+    representable boundary would parse back to a different double.
+    The fraction ``f - floor(f)`` is computed exactly in float64
+    (dropping the integer bits never needs more significand).
+    Property-pinned against the Decimal reference in
+    test_similarity (random + adversarial near-.5 ulp neighbors)."""
+    f = np.abs(s)
+    fl = np.floor(f)
+    mag = (fl + (f - fl >= 0.5)).astype(np.int64)
+    return np.where(s >= 0, mag, -mag)
+
+
+def _quantize_half_up_decimal(vals: list[float], scale: int) -> np.ndarray:
+    """Decimal-string REFERENCE twin of ``_quantize_half_up_np`` —
+    mirrors F.round's exact semantics (Java's
     ``BigDecimal.valueOf(double)`` parses ``Double.toString`` and
-    rounds HALF_UP — via ``Decimal(repr(s))``: both languages print a
+    rounds HALF_UP) via ``Decimal(repr(s))``: both languages print a
     round-tripping decimal of the SAME double, and two round-tripping
     strings of one double can never straddle a .5 boundary (k + 0.5 is
     itself a representable double), so integer HALF_UP rounding agrees
-    for every input."""
+    for every input. Kept as the test oracle the vectorized kernel is
+    property-pinned against; production paths use the kernel (the
+    per-element Decimal loop was q77/q79's driver-tier hot spot —
+    ~1 s per 256k elements)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     out = [
@@ -1338,6 +1357,15 @@ def _quantize_query_half_up(vals: list[float], scale: int) -> np.ndarray:
         for v in vals
     ]
     return np.array(out, dtype=np.int64)
+
+
+def _quantize_query_half_up(vals, scale: int) -> np.ndarray:
+    """Driver-side twin of ``_spark_quantize``: HALF_UP integer
+    rounding of ``v * scale``. Accepts a 1-D vector or a 2-D matrix
+    (rows = vectors); the multiply runs in float64, the same IEEE op
+    Spark's codegen performs before ``BigDecimal.valueOf``."""
+    s = np.asarray(vals, dtype=np.float64) * scale
+    return _quantize_half_up_np(s)
 
 
 def pq_train(
@@ -1390,12 +1418,11 @@ def pq_train(
         if not pairs:
             raise ValueError("cannot train a quantizer on an empty corpus")
         ids = [int(p[0]) for p in pairs]
-        qm = np.stack(
-            [
-                _quantize_query_half_up([float(x) for x in p[1]], scale)
-                for p in pairs
-            ]
-        ).astype(np.int64)
+        qm = _quantize_query_half_up(
+            np.array([[float(x) for x in p[1]] for p in pairs],
+                     dtype=np.float64),
+            scale,
+        )
     else:
         q = _spark_quantize(F.col(vec_col), scale)
         rows = (

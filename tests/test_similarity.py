@@ -506,6 +506,40 @@ def test_pq_quantization_matches_spark_round(spark):
     assert similarity._quantize_query_half_up([ulp], 1).tolist() == [0]
 
 
+def test_quantize_vectorized_kernel_equals_decimal_reference():
+    """The vectorized HALF_UP kernel (production: q77/q79 driver tiers)
+    must agree with the Decimal-string reference (the pinned
+    BigDecimal.valueOf twin) on EVERY double — discriminating inputs:
+    exact .5 grid ties (both signs), ulp-neighbors of ties in both
+    directions at several magnitudes, zero, subnormal-adjacent, and a
+    broad random sweep."""
+    import numpy as np
+
+    from evm_indexer_spark.operators import similarity
+
+    adversarial = [0.0, -0.0, 0.5, -0.5, 1.5, -1.5, 24.5, -24.5]
+    for k in (0.5, 1.5, 24.5, 1023.5, 2.0**30 + 0.5):
+        for sign in (1.0, -1.0):
+            v = sign * k
+            adversarial += [v, np.nextafter(v, 0), np.nextafter(v, v * 2)]
+    adversarial += [0.49999999999999994, -0.49999999999999994,
+                    5e-324, -5e-324, 1e-300, 0.25, -0.75]
+    rng = np.random.default_rng(13)
+    rand = np.concatenate([
+        rng.uniform(-100, 100, 20000),
+        rng.uniform(-1, 1, 20000),
+        np.floor(rng.uniform(-50, 50, 5000)) + 0.5,  # dense exact ties
+    ])
+    for scale in (1, 1000):
+        vals = np.concatenate([np.array(adversarial), rand])
+        fast = similarity._quantize_query_half_up(vals, scale)
+        ref = similarity._quantize_half_up_decimal(vals.tolist(), scale)
+        mism = np.flatnonzero(fast != ref)
+        assert mism.size == 0, (
+            f"scale={scale}: {[(vals[i], fast[i], ref[i]) for i in mism[:5]]}"
+        )
+
+
 def test_pq_train_sample_cap_hash_equal_below_cap(spark, emb):
     # q79's gate entry trains with sample_rows=20_000; at every gate SF
     # the corpus is smaller than the cap, so the deterministic
