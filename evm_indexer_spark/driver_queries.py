@@ -2640,9 +2640,18 @@ def q79(spark, sf):
     regime that produced it (no size routing, no bare cutoff — the
     round-10 advice fix):
 
-    * ``total`` — shortlist = corpus size, so retrieval is provably
-      total and the output is the exact cosine top-10 (data-dependent,
-      checked verbatim against q33's oracle).
+    * ``total`` — the exact cosine top-10 (data-dependent, checked
+      verbatim against q33's oracle), STRATEGY-ROUTED to the exact
+      scan at every SF: a shortlist >= corpus degenerates the PQ
+      pipeline to exactly this scan (the pytest-pinned degeneration
+      theorem, test_pq_refine_total_equals_exact), so running the
+      corpus-sized ADC + TakeOrdered + broadcast re-join first
+      computed the SAME rows while paying a second full retrieve
+      pipeline per invocation (~40% of the entry's warm cost in r12)
+      and, above 100k, a corpus-sized driver TakeOrdered. One labeled
+      plan at all sizes — no size routing of the ANSWER, only of the
+      provably-identical strategy (the q34 pattern, previously applied
+      here only above 100k).
     * ``selective_planted`` — the honest 4·k shortlist (40 of n+10
       rows, selective at every gate SF) over the corpus AUGMENTED with
       10 exact copies of the query vector at ids -10..-1. Planted rows
@@ -2655,8 +2664,10 @@ def q79(spark, sf):
       unique maximum ties only with vec_id 0, which their smaller ids
       beat. A wrong ADC table, a broken tie-break, or a shortlist that
       drops rows all surface as a hash mismatch, while the answer
-      stays closed-form: ids -10..-1, score 1.0. Selective recall on
-      UNplanted data is additionally pinned in tests/test_similarity.py.
+      stays closed-form: ids -10..-1, score 1.0. This regime is the
+      one exercising the FULL train→encode→ADC→re-rank pipeline at
+      every SF; selective recall on UNplanted data is additionally
+      pinned in tests/test_similarity.py.
     """
     emb = load_table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
@@ -2697,45 +2708,45 @@ def q79(spark, sf):
         emb, "vec_id", "embedding", n_subspaces=8, sample_rows=20_000,
         local_sample=local,
     )
-    planted = spark.createDataFrame(
-        [(i, qv) for i in range(-10, 0)],
-        schema="vec_id long, embedding array<double>",
-    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    # JVM-native planted rows: spark.range + a literal array column. A
+    # createDataFrame(list) here parallelizes PICKLED python rows over
+    # default parallelism (32 slices for 10 rows), and every consumer
+    # of the union then pays a serial Python-worker round trip per
+    # slice — measured ~140ms each, ~4.5s per action once coalesced.
+    # Range is a single JVM partition; the literal array evaluates in
+    # codegen. Values are identical: the same driver doubles, the same
+    # cast to float.
+    planted = spark.range(-10, 0, 1, 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in qv])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
     aug = emb.select("vec_id", "embedding").unionByName(planted)
-    # ONE encode pass (the corpus-scale Arrow stage) serves both
-    # regimes; each retrieve filters it to exactly its own ids (see
-    # pq_refine_topk's encoded contract — a superset would let planted
-    # rows occupy total-regime shortlist slots). The cache is
-    # per-invocation and bounded at (id, 8 codes) per vector; a
-    # long-lived session re-running the entry accumulates caches until
-    # spark.catalog.clearCache() (bench.py clears after each entry).
+    # ONE retrieve pipeline: the selective regime's encode feeds its
+    # ADC scan exactly once, so there is nothing to persist or share —
+    # r12 ran a second corpus-sized ADC + TakeOrdered + re-join for
+    # the total regime whose output is PROVABLY q33's exact scan
+    # (degeneration theorem), plus a persist both consumed; the exact
+    # scan now serves total directly at every SF.
+    small = n <= 100_000
+    if small:
+        # local[32] slices even a one-row-group file into 32 byte-range
+        # tasks (leaf parallelism), so every consumer of aug paid ~33
+        # near-empty Python-runner launches; folding aug ONCE bounds
+        # encode, re-rank probe and total scan to a handful of tasks
+        # each. Above the cap the natural partitioning stands — at real
+        # corpus sizes the tasks are full and the floors amortized.
+        aug = aug.coalesce(min(8, n // 25_000 + 1))
     encoded = similarity.pq_encode(aug, "vec_id", "embedding", books)
-    if n <= 100_000:
-        # a code row is ~10 bytes — at gate corpus sizes the natural
-        # scan partitioning leaves 33 near-empty cached partitions that
-        # every downstream job re-pays as task-launch floors; fold the
-        # cache to a handful. Above the cap the natural partitioning
-        # stands (coalesce would narrow the encode pass itself).
-        encoded = encoded.coalesce(8)
-    encoded = encoded.persist()
-    if n <= 100_000:
-        total = similarity.pq_refine_topk(
-            emb, "vec_id", "embedding", books, qv,
-            k=10, n_candidates=n, round_digits=4,
-            encoded=encoded.filter(F.col("id") >= 0),
-        )
-    else:
-        # STRATEGY routing, not answer routing (the q34 pattern): a
-        # corpus-sized shortlist is a corpus-sized TakeOrdered through
-        # the driver + a corpus-sized broadcast — past this cap the
-        # provably-identical exact scan computes the SAME rows
-        # (n_candidates >= corpus degenerates to exact top-k, the
-        # pytest-pinned theorem), so the oracle holds at any SF while
-        # the plan stays driver-safe.
-        total = similarity.cosine_topk(
-            emb, "vec_id", "embedding", qv, k=10, round_digits=4
-        )
-    total = total.select(F.lit("total").alias("regime"), "vec_id", "score")
+    # the planted ids are negative BY CONSTRUCTION (the same invariant
+    # the selective regime's closed form rests on), so filtering the
+    # folded aug is value-identical to scanning emb and reuses the
+    # single coalesced scan shape instead of a second 33-task pass
+    total_src = aug.filter(F.col("vec_id") >= 0) if small else emb
+    total = similarity.cosine_topk(
+        total_src, "vec_id", "embedding", qv, k=10, round_digits=4
+    ).select(F.lit("total").alias("regime"), "vec_id", "score")
     selective = similarity.pq_refine_topk(
         aug, "vec_id", "embedding", books, qv,
         k=10, n_candidates=40, round_digits=4, encoded=encoded,

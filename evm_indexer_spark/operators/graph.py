@@ -136,6 +136,17 @@ def connected_components(
                 [(r[0], r[1]) for r in probe], node_type
             )
             e_cached.unpersist()
+            if labeled:
+                # Arrow-backed local result: createDataFrame(pandas)
+                # decodes JVM-side; a python LIST parallelizes pickled
+                # rows costing a Python-worker round trip per slice on
+                # every downstream action (the q79 planted-rows find)
+                import pandas as pd
+
+                return edges.sparkSession.createDataFrame(
+                    pd.DataFrame(labeled, columns=["node", "component"]),
+                    schema,
+                )
             return edges.sparkSession.createDataFrame(labeled, schema)
 
     sym = e.unionByName(

@@ -1109,8 +1109,17 @@ def kmeans_grid(
         ids = [r["id"] for r in probe]
         qm = np.array([r["q"] for r in probe], dtype=np.int64)
         a, _ = _np_lloyd(ids, qm, k, iters)
+        # Arrow-backed local result: createDataFrame(pandas) decodes
+        # JVM-side (ArrowConverters); a python LIST here parallelizes
+        # pickled rows that cost one Python-worker round trip per
+        # slice on EVERY downstream action (the q79 planted-rows find)
         return df.sparkSession.createDataFrame(
-            [(int(i), int(c)) for i, c in zip(ids, a)],
+            pd.DataFrame(
+                {
+                    "id": np.asarray(ids, dtype=np.int64),
+                    "cluster": a.astype(np.int32),
+                }
+            ),
             "id long, cluster int",
         )
     seeds = (
@@ -1243,11 +1252,15 @@ def semantic_dedup(
                 for r in range(lo, hi):
                     if (s[r - lo, :r] >= threshold).any():
                         dropped[sel[r]] = True
+        # Arrow-backed local result (see kmeans_grid's driver tier)
         return df.sparkSession.createDataFrame(
-            [
-                (int(i), int(c), bool(d))
-                for i, c, d in zip(ids, a, dropped)
-            ],
+            pd.DataFrame(
+                {
+                    "id": ids.astype(np.int64),
+                    "cluster": a.astype(np.int32),
+                    "is_dropped": dropped,
+                }
+            ),
             "id long, cluster int, is_dropped boolean",
         )
 
@@ -1578,11 +1591,18 @@ def pq_refine_topk(
     if encoded is None:
         encoded = pq_encode(df, id_col, vec_col, codebooks, scale)
     shortlist = pq_topk(encoded, codebooks, query, k=n_candidates, scale=scale)
-    # the shortlist is k-bounded and tiny relative to the corpus —
-    # broadcast it so the re-rank never shuffles the raw vectors
+    # The shortlist is k-bounded and tiny relative to the corpus —
+    # broadcast it so the re-rank never shuffles the raw vectors. An
+    # INNER join, not a semi: Catalyst pushes LeftSemi joins through a
+    # Union probe side (q79's corpus ∪ planted), DUPLICATING the
+    # broadcast build — i.e. the whole encode→ADC→TakeOrdered pipeline
+    # ran once per union branch. No such rule fires for inner joins,
+    # and the two are row-identical here because the build side is
+    # unique ids (one (id, adc_dist) row per encoded id), so every
+    # probe row matches at most once.
     kept = df.join(
         F.broadcast(shortlist.select(F.col("id").alias(id_col))),
         id_col,
-        "left_semi",
-    )
+        "inner",
+    ).select(df.columns)
     return cosine_topk(kept, id_col, vec_col, query, k, round_digits=round_digits)
