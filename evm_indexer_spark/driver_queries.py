@@ -2883,3 +2883,91 @@ def q81(spark, sf):
         train, ev, "doc_id", "text", n=8,
         eval_small=_eval_small_hint(sf, variants=8),
     )
+
+
+@register(
+    "q82_contamination_on_arrival",
+    # decontamination-on-arrival (skipgram mode): the upper-id half of
+    # the TRAIN split arrives against the indexed eval gram set — the
+    # stats the streaming pipeline must report are exactly the q81
+    # batch truth restricted to the arriving ids (the q76 pattern).
+    # Same tokenization, masking and split as q81; the arrival split
+    # is (min+max+1)//2 over doc_id, computed identically both sides.
+    """
+    WITH bounds AS (
+      SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS split FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    tw AS (
+      SELECT doc_id, i AS pos, t[i:i+7] AS w
+      FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE doc_id % 10 <> 0 AND doc_id >= (SELECT split FROM bounds)
+        AND len(t) >= 8 AND t[1] <> ''
+    ),
+    tk AS (
+      SELECT doc_id, pos,
+             array_to_string(list_transform(w, (x, k) ->
+                 CASE WHEN k = j THEN chr(1) ELSE x END), ' ') AS key
+      FROM tw, UNNEST(generate_series(1, 8)) AS v(j)
+    ),
+    ek AS (
+      SELECT DISTINCT array_to_string(list_transform(t[i:i+7], (x, k) ->
+                 CASE WHEN k = j THEN chr(1) ELSE x END), ' ') AS key
+      FROM toks,
+           UNNEST(generate_series(1, len(t) - 7)) AS u(i),
+           UNNEST(generate_series(1, 8)) AS v(j)
+      WHERE doc_id % 10 = 0 AND len(t) >= 8 AND t[1] <> ''
+    ),
+    win AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 AND t[1] <> '' THEN len(t) - 7
+                  ELSE 0 END AS n_windows
+      FROM toks
+      WHERE doc_id % 10 <> 0 AND doc_id >= (SELECT split FROM bounds)
+    ),
+    hits AS (
+      SELECT tk.doc_id, count(DISTINCT tk.pos) AS n_contaminated
+      FROM tk JOIN ek USING (key) GROUP BY 1
+    )
+    SELECT w.doc_id AS id, CAST(w.n_windows AS BIGINT) AS n_windows,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           coalesce(h.n_contaminated, 0) >= 1 AS contaminated
+    FROM win w LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q82(spark, sf):
+    """Decontamination-on-arrival (``streaming/contam_stream``): the
+    eval suite's masked skip-gram keys are the indexed probe side, the
+    upper-id half of the train split ARRIVES, and the stream's scoring
+    plan (``contamination_against`` — the exact plan
+    ``EvalGramIndex.contamination_for`` runs per micro-batch) reports
+    each arriving doc's one-substitution contamination. O(batch)
+    tokenization — history text is never re-scanned; the arrival
+    contract is the q81 batch truth restricted to arriving ids,
+    exactly as q76 pins the dupwin arrival contract. Split and routing
+    hints read from parquet footers (zero plan-build jobs)."""
+    from .streaming.contam_stream import contamination_against, mode_keys
+
+    doc = load_table(spark, sf, "documents")
+    rng = table_column_range(sf, "documents", "doc_id")
+    if rng is None:
+        row = doc.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        rng = (row.lo, row.hi)
+    split = (int(rng[0]) + int(rng[1]) + 1) // 2
+    ev = doc.filter(F.col("doc_id") % 10 == 0)
+    batch = doc.filter(
+        (F.col("doc_id") % 10 != 0) & (F.col("doc_id") >= split)
+    )
+    grams = (
+        mode_keys(ev, "text", 8, "skipgram").select("gram").distinct()
+    )
+    return contamination_against(
+        batch, grams, "doc_id", "text", n=8, mode="skipgram",
+        eval_small=_eval_small_hint(sf, variants=8),
+    )

@@ -65,6 +65,105 @@ GRAM_SCHEMA = StructType(
 )
 
 
+def mode_keys(
+    docs: DataFrame, text_col: str, n: int, mode: str, *keep
+) -> DataFrame:
+    """(*keep*, gram) rows under *mode* — ``"ngram"`` emits the verbatim
+    space-joined windows (the q80 key space), ``"skipgram"`` the n
+    masked one-substitution variants per window (the q81 key space;
+    also carries ``__pos`` so a window matching via several variants
+    can be collapsed back to one). Shared by the index and the batch
+    q82 entry, so both tokenize identically by construction."""
+    if mode == "ngram":
+        return docs.select(
+            *keep, F.explode(gram_array(text_col, n)).alias("gram")
+        )
+    win = skipgram_windows(docs, text_col, n, *keep)
+    return skipgram_keys(win, n, *keep, "__pos").withColumnRenamed(
+        "__key", "gram"
+    )
+
+
+def contamination_against(
+    docs: DataFrame,
+    grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    mode: str = "ngram",
+    min_hits: int = 1,
+    eval_small: bool | None = None,
+    broadcast_below: int = 2_000_000,
+) -> DataFrame:
+    """Per-doc contamination of *docs* against an eval gram set given
+    as a one-column DataFrame (``gram``) — the scoring plan shared by
+    ``EvalGramIndex.contamination_for`` (which passes its persisted,
+    retraction-aware gram set) and the q82 catalog entry (which builds
+    the grams in-plan from the eval split). Output contract is
+    ``corpus.ngram_contamination``'s: (id, n_windows, n_contaminated,
+    contaminated), exact integers.
+
+    ``eval_small`` picks the probe plan (broadcast vs shuffle hash);
+    None falls back to an EAGER count over *grams* at call time —
+    index callers decide from their slim partials and entry callers
+    from parquet footers precisely to avoid that job."""
+    if min_hits < 1:
+        raise ValueError("min_hits must be positive")
+    if mode not in ("ngram", "skipgram"):
+        raise ValueError(f"unknown mode {mode!r}")
+    spread = spread_small_scan(docs).select(
+        F.col(id_col).alias("id"), text_col
+    )
+    if eval_small is None:
+        eval_small = (grams.count() or 0) <= broadcast_below
+    probe = grams.select("gram").withColumn("__hit", F.lit(1))
+    probe = F.broadcast(probe) if eval_small else probe.hint("shuffle_hash")
+    if mode == "ngram":
+        exploded = mode_keys(spread, text_col, n, mode, "id")
+        per_doc = (
+            exploded.join(probe, "gram", "left")
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_windows"),
+                F.sum(
+                    F.coalesce("__hit", F.lit(0))
+                ).alias("n_contaminated"),
+            )
+        )
+    else:
+        # skipgram: a window matching via SEVERAL masked variants
+        # counts once — collapse the n keyed rows back to one per
+        # (id, window) first (two-level hash agg, map-side partial
+        # on both levels; the q81 shape, no Expand node)
+        keyed = mode_keys(spread, text_col, n, mode, "id")
+        per_doc = (
+            keyed.join(probe, "gram", "left")
+            .groupBy("id", "__pos")
+            .agg(
+                F.max(
+                    F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+                ).alias("__h")
+            )
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_windows"),
+                F.sum("__h").alias("n_contaminated"),
+            )
+        )
+    base = docs.select(F.col(id_col).alias("id")).distinct()
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)) >= min_hits
+            ).alias("contaminated"),
+        )
+    )
+
+
 class EvalGramIndex:
     """Parquet-backed summed (gram, occ) partials of an eval corpus's
     n-token windows — the persisted probe side of decontamination.
@@ -103,16 +202,8 @@ class EvalGramIndex:
     # -- eval-side maintenance (the small, slowly-changing side) --------
 
     def _keys(self, docs: DataFrame, text_col: str, *keep) -> DataFrame:
-        """(*keep*, gram) rows under this index's mode — for skipgram,
-        n masked variants per window (also keeps __pos when asked)."""
-        if self.mode == "ngram":
-            return docs.select(
-                *keep, F.explode(gram_array(text_col, self.n)).alias("gram")
-            )
-        win = skipgram_windows(docs, text_col, self.n, *keep)
-        return skipgram_keys(win, self.n, *keep, "__pos").withColumnRenamed(
-            "__key", "gram"
-        )
+        """(*keep*, gram) rows under this index's mode (``mode_keys``)."""
+        return mode_keys(docs, text_col, self.n, self.mode, *keep)
 
     def _partial(self, eval_docs: DataFrame, text_col: str) -> DataFrame:
         return (
@@ -190,11 +281,6 @@ class EvalGramIndex:
         broadcasts when small, otherwise the probe is a shuffled hash
         join. The routing probe here is a store-side sum over the slim
         (gram, occ) partials — it never touches document text."""
-        if min_hits < 1:
-            raise ValueError("min_hits must be positive")
-        spread = spread_small_scan(docs).select(
-            F.col(id_col).alias("id"), text_col
-        )
         if eval_small is None:
             # occurrence total >= distinct grams: an upper bound, errs
             # only toward the safe shuffle plan (the q80 probe rule),
@@ -203,51 +289,9 @@ class EvalGramIndex:
                 F.sum(F.greatest("occ", F.lit(0))).alias("__n")
             ).first()["__n"]
             eval_small = (total or 0) <= broadcast_below
-        probe = self.grams().withColumn("__hit", F.lit(1))
-        probe = F.broadcast(probe) if eval_small else probe.hint("shuffle_hash")
-        if self.mode == "ngram":
-            exploded = self._keys(spread, text_col, "id")
-            per_doc = (
-                exploded.join(probe, "gram", "left")
-                .groupBy("id")
-                .agg(
-                    F.count(F.lit(1)).alias("n_windows"),
-                    F.sum(
-                        F.coalesce("__hit", F.lit(0))
-                    ).alias("n_contaminated"),
-                )
-            )
-        else:
-            # skipgram: a window matching via SEVERAL masked variants
-            # counts once — collapse the n keyed rows back to one per
-            # (id, window) first (two-level hash agg, map-side partial
-            # on both levels; the q81 shape, no Expand node)
-            keyed = self._keys(spread, text_col, "id")
-            per_doc = (
-                keyed.join(probe, "gram", "left")
-                .groupBy("id", "__pos")
-                .agg(
-                    F.max(
-                        F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
-                    ).alias("__h")
-                )
-                .groupBy("id")
-                .agg(
-                    F.count(F.lit(1)).alias("n_windows"),
-                    F.sum("__h").alias("n_contaminated"),
-                )
-            )
-        base = docs.select(F.col(id_col).alias("id")).distinct()
-        return (
-            base.join(per_doc, "id", "left")
-            .select(
-                "id",
-                F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-                F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-                (
-                    F.coalesce("n_contaminated", F.lit(0)) >= min_hits
-                ).alias("contaminated"),
-            )
+        return contamination_against(
+            docs, self.grams(), id_col, text_col, self.n, self.mode,
+            min_hits, eval_small, broadcast_below,
         )
 
     def compact(self, coalesce_n: int = 1) -> int:
