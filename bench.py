@@ -105,6 +105,141 @@ def bench_ingest(spark) -> tuple[float, float, int]:
     return times[0], times[1], n
 
 
+def main_serving() -> None:
+    """Steady-state ANN serving benchmark (``bench.py --serving``):
+    the per-query-retrain critique of q79 is answered by
+    ``IvfServingIndex`` — build once, serve many — and this mode turns
+    that claim into a committed number. Build + load an IVF-PQ index
+    at $SPARK_GRAFT_SERVING_SF_DIR (default the sf1 fixture, 20k x 64
+    vectors), then measure: per-query topk / topk_pq latency (p50/p95
+    over a seeded batch of perturbed-corpus queries, collect()
+    included — the realistic serving action), append / delete
+    throughput, compact time, and a post-maintenance correctness spot
+    (deleted ids absent, k rows returned). Prints ONE JSON line
+    (commit as BENCH_serving_r<N>.json)."""
+    import shutil
+    import statistics
+
+    import numpy as np
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SERVING_SF_DIR", "/root/repo/testdata_sf1"
+    )
+    n_queries = int(os.environ.get("SPARK_GRAFT_SERVING_QUERIES", "50"))
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg_start = None
+    spark = get_spark(
+        "evm-indexer-spark-bench-serving",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    root = tempfile.mkdtemp(prefix="bench_serving_")
+    try:
+        from pyspark.sql import functions as F
+
+        from evm_indexer_spark.operators.similarity import IvfServingIndex
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        n_corpus = emb.count()
+        path = os.path.join(root, "ivf")
+
+        t0 = time.perf_counter()
+        idx = IvfServingIndex.build(
+            emb, "vec_id", "embedding", path, n_lists=16, pq_subspaces=8
+        )
+        build_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        idx = IvfServingIndex.load(spark, path)
+        load_s = time.perf_counter() - t0
+
+        # seeded query batch: perturbed corpus vectors (realistic: near
+        # but not equal to stored rows)
+        rng = np.random.default_rng(13)
+        base = (
+            emb.orderBy("vec_id").limit(n_queries).collect()
+        )
+        queries = [
+            (np.array(r["embedding"], dtype=np.float64)
+             + rng.normal(0, 0.05, len(r["embedding"]))).tolist()
+            for r in base
+        ]
+        # warmup: the first query pays Python-runner/codegen startup
+        idx.topk(queries[0], k=10).collect()
+        idx.topk_pq(queries[0], k=10).collect()
+
+        lat_exact, lat_pq = [], []
+        for q in queries:
+            t0 = time.perf_counter()
+            rows = idx.topk(q, k=10, nprobe=4).collect()
+            lat_exact.append(time.perf_counter() - t0)
+            assert len(rows) == 10
+            t0 = time.perf_counter()
+            rows = idx.topk_pq(q, k=10, nprobe=4).collect()
+            lat_pq.append(time.perf_counter() - t0)
+            assert len(rows) == 10
+
+        def pct(xs, p):
+            xs = sorted(xs)
+            return round(xs[min(len(xs) - 1, int(p * len(xs)))], 4)
+
+        # arrival throughput: one appended batch of new ids
+        n_append = min(5000, n_corpus)
+        arrivals = emb.limit(n_append).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        t0 = time.perf_counter()
+        idx.append(arrivals, "vec_id", "embedding", batch_id=1)
+        append_s = time.perf_counter() - t0
+
+        # retraction: tombstone 1000 of the appended ids, prove they
+        # stop serving, then compact and re-check
+        dels = [10_000_000 + i for i in range(1000)]
+        t0 = time.perf_counter()
+        idx.delete(dels)
+        delete_s = time.perf_counter() - t0
+        served = idx.topk(queries[0], k=10, nprobe=16).collect()
+        assert all(r["id"] not in set(dels[:50]) for r in served)
+        t0 = time.perf_counter()
+        folded = idx.compact()
+        compact_s = time.perf_counter() - t0
+        post = idx.topk_pq(queries[0], k=10, nprobe=4).collect()
+        assert len(post) == 10
+
+        metrics = {
+            "metric": "ann_serving",
+            "sf_dir": sf_dir,
+            "corpus_rows": n_corpus,
+            "n_lists": 16,
+            "pq_subspaces": 8,
+            "build_sec": round(build_s, 3),
+            "load_sec": round(load_s, 4),
+            "n_queries": n_queries,
+            "topk_p50_sec": pct(lat_exact, 0.50),
+            "topk_p95_sec": pct(lat_exact, 0.95),
+            "topk_pq_p50_sec": pct(lat_pq, 0.50),
+            "topk_pq_p95_sec": pct(lat_pq, 0.95),
+            "append_rows": n_append,
+            "append_rows_per_sec": round(n_append / append_s, 1),
+            "delete_ids": len(dels),
+            "delete_sec": round(delete_s, 3),
+            "compact_sec": round(compact_s, 3),
+            "compact_folded_batches": folded,
+        }
+        try:
+            metrics["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        if loadavg_start is not None:
+            metrics["loadavg_start"] = loadavg_start
+        print()
+        print(json.dumps(metrics, separators=(",", ":")), flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     # loadavg BEFORE the bench's own 32 threads inflate it — the value
     # that actually proves a quiet window from the committed artifact
@@ -261,4 +396,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--serving" in sys.argv[1:]:
+        main_serving()
+    else:
+        main()
