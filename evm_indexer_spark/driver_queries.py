@@ -522,13 +522,17 @@ def q26(spark, sf):
     """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(
-        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+') AS t
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ), sh AS (
+      -- contentless docs (t = ['']) contribute NO shingles: dedup
+      -- claims need content evidence (mirrors shingle_rows)
       SELECT DISTINCT doc_id,
         CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
              ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+      WHERE t[1] <> ''
     ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -1111,13 +1115,17 @@ def q39(spark, sf):
     """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(
-        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+') AS t
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g')), ' ') AS t
       FROM documents WHERE doc_id < 500
     ), sh AS (
+      -- contentless docs (t = ['']) contribute NO shingles: dedup
+      -- claims need content evidence (mirrors shingle_rows)
       SELECT DISTINCT doc_id,
         CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
              ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+      WHERE t[1] <> ''
     ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -1593,13 +1601,17 @@ def q59(spark, sf):
     """
     WITH RECURSIVE toks AS (
       SELECT doc_id, regexp_split_to_array(
-        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+') AS t
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g')), ' ') AS t
       FROM documents WHERE doc_id < 500
     ), sh AS (
+      -- contentless docs (t = ['']) contribute NO shingles: dedup
+      -- claims need content evidence (mirrors shingle_rows)
       SELECT DISTINCT doc_id,
         CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
              ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+      WHERE t[1] <> ''
     ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -1797,13 +1809,17 @@ def q65(spark, sf):
       SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS s FROM documents
     ), toks AS (
       SELECT doc_id, regexp_split_to_array(
-        regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+') AS t
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ), sh AS (
+      -- contentless docs (t = ['']) contribute NO shingles: dedup
+      -- claims need content evidence (mirrors shingle_rows)
       SELECT DISTINCT doc_id,
         CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
              ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+      WHERE t[1] <> ''
     ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -42,8 +42,20 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     pipeline; this stays for ad-hoc single-column use.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = _norm_tokens(c)
-    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    toks = F.split(norm, " ")
+    # a doc with NO normalized content contributes NO shingles — the
+    # adversarial-fixture find: the old whole-norm fallback gave every
+    # contentless doc the same '' shingle, pairing all of them at
+    # jaccard 1.0 (and forming one quadratic bucket at scale); dedup
+    # claims need content evidence (see shingle_rows, _py_shingles)
+    return F.when(norm == "", F.array().cast("array<string>")).when(
+        F.size(toks) < n, F.array(norm)
+    ).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
@@ -82,7 +94,15 @@ def shingle_rows(
     pat = r"(?<= )(?=(" + r"(\S+)" + (r" (\S+)" * (n - 1)) + r"))"
     grams = F.regexp_extract_all(F.concat(F.lit(" "), norm), F.lit(pat), 1)
     sh = F.when(F.size(grams) == 0, F.array(norm)).otherwise(grams)
-    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s"))
+    # contentless docs (empty after normalization: whitespace-only,
+    # punctuation-only, non-latin scripts under the a-z0-9 filter)
+    # contribute NO shingles — the whole-norm fallback used to give
+    # them all the identical '' shingle, pairing every such doc at
+    # jaccard 1.0 AND concentrating them into one quadratic LSH bucket
+    # at corpus scale (adversarial-fixture find, round 13)
+    out = df.filter(norm != "").select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("s")
+    )
     return out.distinct() if distinct else out
 
 
@@ -196,9 +216,12 @@ def exact_duplicates(
 
 def _py_shingles(norm: str, n: int) -> list[str]:
     """Shingle list matching ``shingle_rows`` on ALREADY-normalized
-    text: word n-grams, or the whole normalized text (possibly '')
-    when shorter than n tokens."""
+    text: word n-grams, the whole normalized text when shorter than n
+    tokens, or NOTHING when the normalized text is empty (contentless
+    docs make no dedup claims — see shingle_rows)."""
     toks = norm.split(" ") if norm else []
+    if not toks:
+        return []
     if len(toks) < n:
         return [norm]
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
@@ -278,6 +301,8 @@ def _minhash_banded_pandas(
                         continue  # the JVM explode drops null-text docs
                     norm = ws.sub(" ", strip.sub("", t.lower())).strip()
                     sh = set(_py_shingles(norm, shingle_n))
+                    if not sh:
+                        continue  # contentless doc: no signature rows
                     base = np.array(
                         [
                             int.from_bytes(
@@ -738,6 +763,8 @@ def minhash_pairs_onetask(
                         continue  # the JVM explode drops null-text docs
                     norm = ws.sub(" ", strip.sub("", t.lower())).strip()
                     sh = set(_py_shingles(norm, shingle_n))
+                    if not sh:
+                        continue  # contentless doc: no signature rows
                     sets[doc_id] = sh
                     flags[doc_id] = bool(fl)
                     base = np.array(

@@ -115,17 +115,30 @@ def percentile_sketch_check(
     value_col: str,
     percentiles: Sequence[float] = (0.5, 0.9, 0.99),
     accuracy: int = 10000,
-    rel_tol: float = 0.05,
     digits: int = 4,
 ) -> DataFrame:
     """Exact percentiles beside their ``approx_percentile`` sketch
-    estimates, folded into per-percentile ``ok`` booleans (relative
-    error ≤ *rel_tol*).
+    estimates, folded into per-percentile ``ok`` booleans stating the
+    sketch's ACTUAL contract: Greenwald-Khanna guarantees RANK error
+    (the returned value is a sample whose rank sits within
+    ``n/accuracy`` of the target rank) — NOT value proximity. The
+    original form of this check asserted relative VALUE error, which
+    heavy-tailed / tie-dense distributions violate while the sketch is
+    working exactly as specified (found by the round-13 adversarial
+    fixture: a rank-correct sample can sit far from the interpolated
+    exact quantile when neighboring order statistics differ wildly).
 
-    The sketch (Greenwald-Khanna, fixed-size mergeable buffer bounded
-    by *accuracy*) is the 100 TB path — exact ``percentile`` buffers
-    every group value. The booleans are deterministic: the sketch is a
-    deterministic function of the data, so the check is oracle-stable
+    ``ok`` is therefore: the sketch value lies between the order
+    statistics at ranks ``floor((p - eps) * n)`` and
+    ``ceil((p + eps) * n) + 1`` (eps = 1/accuracy, ±1 slack for rank
+    rounding conventions, clamped to [1, n]).
+
+    The sketch (fixed-size mergeable buffer bounded by *accuracy*) is
+    the 100 TB path — exact ``percentile`` buffers every group value,
+    and the rank-band bound buffers the sorted values the same way, so
+    this CHECK is gate-scale tooling; production code uses the sketch
+    alone. The booleans are deterministic (the sketch is a
+    deterministic function of the data), so the check is oracle-stable
     (the ANSI twin emits literal TRUE)."""
     arr = ", ".join(str(p) for p in percentiles)
     agg = df.groupBy(key).agg(
@@ -133,14 +146,25 @@ def percentile_sketch_check(
         F.expr(
             f"approx_percentile({value_col}, array({arr}), {accuracy})"
         ).alias("__a"),
+        F.expr(f"sort_array(collect_list({value_col}))").alias("__v"),
     )
+    n = F.size("__v")
     cols = [F.col(key)]
     for i, p in enumerate(percentiles):
         label = f"p{p * 100:g}".replace(".", "_")
         exact = F.col("__e")[i]
         approx = F.col("__a")[i]
+        eps = 1.0 / accuracy
+        lo_rank = F.greatest(
+            F.lit(1), F.floor(F.lit(p - eps) * n).cast("int")
+        )
+        hi_rank = F.least(
+            n, (F.ceil(F.lit(p + eps) * n) + 1).cast("int")
+        )
+        lo = F.element_at("__v", lo_rank)
+        hi = F.element_at("__v", hi_rank)
         cols.append(F.round(exact, digits).alias(label))
         cols.append(
-            (F.abs(approx - exact) <= rel_tol * F.abs(exact)).alias(f"{label}_ok")
+            ((approx >= lo) & (approx <= hi)).alias(f"{label}_ok")
         )
     return agg.select(*cols)
