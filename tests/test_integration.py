@@ -678,11 +678,34 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
         ]
         assert set(got_pq) == set(range(7)) and got_pq[0] == 0
 
-        # 9. reorg retraction: the reorged block's vector is TOMBSTONED
-        #    out of serving (the reorg handler's delete), both probe
-        #    paths stop returning it immediately, and compact() makes
-        #    the retraction physical while preserving every other answer
-        idx.delete([2])
+        # 9+10. ONE reorg event -> every derived store forgets the doc,
+        #     in the SAME handler invocation: the vector leaves BOTH
+        #     bucket and SERVED indexes while the doc's n-gram / window
+        #     / vocab contributions leave the three summed-counter
+        #     stores — the derived-state completion of the reference's
+        #     cascade delete (app/db/block.go:44-58), fired from the
+        #     point that DETECTED the reorg (the publish consumer saw a
+        #     known number re-arrive with a new hash in leg 2)
+        from evm_indexer_spark.streaming.retraction import (
+            retract_document_everywhere,
+        )
+
+        reorged = sorted(
+            p["number"]
+            for p in payloads2
+            if stored_text[p["number"]] != doc_text(p)
+        )
+        assert reorged == [2]  # the consumer's reorg detection
+        gone = docs_df.filter(F.col("doc_id") == 2)
+        surviving_df = docs_df.filter(F.col("doc_id") != 2)
+        retract_document_everywhere(
+            spark, 2, stored_text[2],
+            retraction_id=2,  # deterministic: derived from the doc id
+            ngram_store=stats, dupwin_index=dw_index, vocab_store=vstore,
+            dedup_index=index, embed_index=e_index, serving_index=idx,
+        )
+        # serving: both probe paths stop returning it immediately, and
+        # compact() makes the retraction physical, answers preserved
         assert 2 not in {
             r["id"] for r in idx.topk(q_vec, k=7, nprobe=2).collect()
         }
@@ -697,29 +720,18 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
         assert 2 not in {
             r["id"] for r in idx.topk(q_vec, k=7, nprobe=2).collect()
         }
-
-        # 10. counter retraction: the same reorged doc's n-gram /
-        #     window / vocab contributions are retracted from all three
-        #     summed-counter stores and every streamed aggregate
-        #     re-converges to the batch truth over the SURVIVING corpus
-        #     — the derived-state completion of the reference's cascade
-        #     delete (app/db/block.go:44-58): leg 9 proved the vector
-        #     stops being SERVED, this leg proves the statistics stop
-        #     COUNTING it
-        from evm_indexer_spark.operators.corpus import _ngram_counts_pandas
-
-        gone = docs_df.filter(F.col("doc_id") == 2)
-        surviving_df = docs_df.filter(F.col("doc_id") != 2)
-        stats.retract(
-            _ngram_counts_pandas(gone, "text", 3).select(
-                "ngram",
-                F.col("n_occurrences").alias("occ"),
-                F.col("n_docs").alias("docs"),
-            ),
-            gone.select("doc_id"),
+        # bucket indexes: the doc pairs with nothing anymore
+        assert index.live_buckets().filter(F.col("id") == 2).count() == 0
+        assert e_index.live_buckets().filter(F.col("id") == 2).count() == 0
+        # crash-recovery: re-running the WHOLE handler with the SAME
+        # retraction_id is an idempotent retry — every store converges
+        # to the same state, nothing double-cancels
+        retract_document_everywhere(
+            spark, 2, stored_text[2],
+            retraction_id=2,
+            ngram_store=stats, dupwin_index=dw_index, vocab_store=vstore,
+            dedup_index=index, embed_index=e_index, serving_index=idx,
         )
-        dw_index.retract(gone, "doc_id", "text")
-        vstore.retract(gone, "text")
         want_after = {
             (r["ngram"], r["n_occurrences"], r["n_docs"])
             for r in corpus.top_ngrams(
@@ -753,7 +765,17 @@ def test_full_stack_soak_ingest_dedup_audit(spark, tmp_path):
             surviving_df, "text", num_merges=4
         )
         # the at-most-once contract holds END-TO-END: a second reorg
-        # handler firing for the same doc is rejected, state unchanged
+        # handler firing for the same doc under a FRESH id is rejected
+        # by the first ledgered store it reaches — before any tombstone
+        # work — with the original ledger entry named for the operator
+        with pytest.raises(ValueError, match="retract2"):
+            retract_document_everywhere(
+                spark, 2, stored_text[2],
+                retraction_id=99,
+                ngram_store=stats, dupwin_index=dw_index,
+                vocab_store=vstore, dedup_index=index,
+                embed_index=e_index, serving_index=idx,
+            )
         with pytest.raises(ValueError, match="already retracted"):
             dw_index.retract(gone, "doc_id", "text")
         # compaction folds the retractions physically; answers hold

