@@ -1597,11 +1597,14 @@ def pq_refine_topk(
     # Union probe side (q79's corpus ∪ planted), DUPLICATING the
     # broadcast build — i.e. the whole encode→ADC→TakeOrdered pipeline
     # ran once per union branch. No such rule fires for inner joins,
-    # and the two are row-identical here because the build side is
-    # unique ids (one (id, adc_dist) row per encoded id), so every
-    # probe row matches at most once.
+    # and the two are row-identical when the build side is unique ids —
+    # the distinct() enforces that (one row per encoded id already;
+    # 40-ish rows, free) so a caller passing duplicate ids can never
+    # turn the inner join into a row multiplier.
     kept = df.join(
-        F.broadcast(shortlist.select(F.col("id").alias(id_col))),
+        F.broadcast(
+            shortlist.select(F.col("id").alias(id_col)).distinct()
+        ),
         id_col,
         "inner",
     ).select(df.columns)

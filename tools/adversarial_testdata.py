@@ -9,8 +9,8 @@ rewritten into deterministic adversarial classes (tabs, runs of
 spaces, leading/trailing whitespace, empty and whitespace-only docs,
 window-boundary token counts, CJK with no separators, Cyrillic/Greek
 case pairs, NBSP and zero-width characters INSIDE tokens, emoji,
-uppercase twins, planted exact duplicates) while every other table is
-copied verbatim — so the text-family catalog entries can run through
+uppercase twins, planted near-duplicate clusters) while every other
+table is copied verbatim — so the text-family entries can run through
 ``gate_replica.py`` against it, Spark vs DuckDB, each round
 (``GATE_SF_DIR=<out> python tools/gate_replica.py <text entries>``).
 
@@ -86,7 +86,8 @@ def adversarial_text(doc_id: int, base: str) -> str:
     if cls == 12:
         return "🚀 " + " ".join(words[:10]) + " ✨🎉 emoji🧵tail"
     if cls == 13:
-        # planted exact duplicates: consecutive ids share one text
+        # planted near-duplicate cluster: all class-13 docs share the
+        # 13-token body and differ only in the cluster-number token
         return f"duplicate cluster {doc_id - (doc_id % 2)} body " + " ".join(
             ["token%d" % i for i in range(12)]
         )
