@@ -240,6 +240,35 @@ def main_serving() -> None:
         spark.stop()
 
 
+def _cpu_jiffies() -> list[int] | None:
+    """First /proc/stat line (user nice system idle iowait irq softirq
+    steal ...). Basis for the in-run STEAL measurement: this box is a
+    VM whose host oversubscription (round-13 find: 8.7% steal under a
+    full-width burst while loadavg read 0.02) inflates both engines
+    20-40% with NO loadavg signature — the only way to prove a clean
+    run from the committed artifact is to record the steal fraction
+    across the run itself."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return None
+
+
+def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
+    """Steal as % of DEMANDED cpu (non-idle, non-iowait jiffies) over
+    the interval — >~3% means the host was contended and absolute
+    timings from the run are inflated."""
+    if not a or not b or len(a) < 8 or len(b) < 8:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    demanded = sum(d) - d[3] - d[4]  # minus idle, iowait
+    # a near-idle interval has a degenerate denominator (2 stolen of 3
+    # demanded jiffies reads as 66%); the metric is only meaningful
+    # over a CPU-heavy interval like the bench run itself
+    return round(100.0 * d[7] / demanded, 2) if demanded >= 500 else None
+
+
 def main() -> None:
     # loadavg BEFORE the bench's own 32 threads inflate it — the value
     # that actually proves a quiet window from the committed artifact
@@ -248,6 +277,7 @@ def main() -> None:
         loadavg_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         loadavg_start = None
+    jiffies_start = _cpu_jiffies()
     # the console progress bar interleaves \r frames with stdout, which
     # is what corrupted the driver-parsed JSON line in BENCH_r01-r03
     spark = get_spark(
@@ -345,6 +375,9 @@ def main() -> None:
             pass
         if loadavg_start is not None:
             metrics["loadavg_start"] = loadavg_start
+        steal = _steal_pct(jiffies_start, _cpu_jiffies())
+        if steal is not None:
+            metrics["cpu_steal_pct"] = steal
         line = json.dumps(metrics)
         # the driver keeps only the LAST 2000 CHARS of stdout and
         # json-parses them — the full metrics object is ~5 KB, so every
@@ -376,6 +409,8 @@ def main() -> None:
             pass
         if loadavg_start is not None:
             compact["loadavg_start"] = loadavg_start
+        if steal is not None:
+            compact["cpu_steal_pct"] = steal
         compact_line = json.dumps(compact, separators=(",", ":"))
         if len(compact_line) > 1900:  # keep headroom under the 2000-char tail
             # flag the drop so a scraped record with no per-query data

@@ -62,6 +62,7 @@ def aggregate(runs: list[dict]) -> dict:
             "warm_vs_duckdb_ratio": r.get("warm_vs_duckdb_ratio"),
             "loadavg_start": r.get("loadavg_start"),
             "loadavg_end": r.get("loadavg"),
+            "cpu_steal_pct": r.get("cpu_steal_pct"),
             "ingest_blocks_per_sec": r.get("ingest_blocks_per_sec"),
         }
         for r in runs

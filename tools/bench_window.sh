@@ -40,7 +40,30 @@ for i in 1 2 3; do
       # passes the short gates while the box is still loaded (r12's
       # 2.30-ratio outlier started at 15-min loadavg 3.66)
       ok=$(python3 -c "print(1 if float('$load') < 1.5 and float('$load5') < 3.0 and float('$load15') < 2.0 else 0)")
-      [ "$ok" = "1" ] && break
+      if [ "$ok" = "1" ]; then
+        # loadavg can read 0.02 while the HOST is oversubscribed (this
+        # is a VM: round 13 measured 8.7% steal under a burst at idle
+        # loadavg, inflating both engines 20-40%). Probe steal with a
+        # 2s full-width burst; require < 3% of demanded CPU stolen.
+        steal=$(python3 -c "
+import multiprocessing as mp, time
+def burn(e):
+    t0=time.time()
+    x=0
+    while time.time()-t0 < 2.0: x ^= 1
+def snap():
+    return [int(v) for v in open('/proc/stat').readline().split()[1:]]
+a=snap()
+ps=[mp.Process(target=burn,args=(None,)) for _ in range(16)]
+[p.start() for p in ps]; [p.join() for p in ps]
+b=snap()
+d=[y-x for x,y in zip(a,b)]
+dem=sum(d)-d[3]-d[4]
+print(round(100.0*d[7]/dem,2) if dem>0 else 0.0)")
+        inquiet=$(python3 -c "print(1 if float('$steal') < 3.0 else 0)")
+        [ "$inquiet" = "1" ] && break
+        echo "STEAL: run $i gate held at steal ${steal}% (load $load/$load5/$load15)" >> "$LOG"
+      fi
       sleep 60; waited=$((waited+1))
       [ $waited -ge 40 ] && echo "WARN: run $i proceeding at load $load/$load5/$load15 after 40min" >> "$LOG" && break
     done
