@@ -72,6 +72,18 @@ print(round(100.0*d[7]/dem,2) if dem>0 else 0.0)")
     rc=$?  # capture BEFORE the $(cat ...) substitution overwrites $?
     cp "$HERE/../bench_out.json" /tmp/bench_full_run$i.json 2>/dev/null
     echo "=== run $i attempt $attempt end load: $(cat /proc/loadavg) exit=$rc" >> "$LOG"
+    # in-run steal check first: the pre-run probe can pass and the
+    # host contend seconds later (observed 20% stolen across a run
+    # whose probe read 0%); the in-artifact fraction is ground truth
+    rsteal=$(python3 -c "
+import json
+try: print(json.load(open('/tmp/bench_full_run$i.json')).get('cpu_steal_pct', 0) or 0)
+except Exception: print(0)")
+    stole=$(python3 -c "print(1 if float('$rsteal') > 5.0 else 0)")
+    if [ "$stole" = "1" ]; then
+      echo "STEAL: run $i measured ${rsteal}% in-run steal — retrying" >> "$LOG"
+      continue
+    fi
     [ "$DUCK_BAND" = "off" ] && break
     duck=$(python3 -c "
 import json,sys
