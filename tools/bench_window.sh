@@ -96,8 +96,8 @@ try:
 except Exception:
     print('nan')")
     inband=$(python3 -c "
-lo,hi='$DUCK_BAND'.split(':')
-try: print(1 if float('$lo') <= float('$duck') <= float('$hi') else 0)
+lo, hi = '$DUCK_BAND'.split(':')  # python vars — NOT shell-interpolated
+try: print(1 if float(lo) <= float('$duck') <= float(hi) else 0)
 except ValueError: print(0)")
     [ "$inband" = "1" ] && break
     echo "SPIKE: run $i duck total ${duck}s outside band $DUCK_BAND — retrying" >> "$LOG"
