@@ -9,7 +9,7 @@
 # hang a round.
 #
 # DuckDB-total sanity band: on a truly quiet box the sf0.1 oracle total
-# sits ~17-21s for the 68-entry catalog (the 67-entry r12 range was
+# sits ~16.5-21s for the 68-entry catalog (the 67-entry r12 range was
 # 16.5-19.5; q82 adds ~0.4s and the sf0.01 replica pins the rest of
 # the oracle cost unchanged); a run whose duck total lands outside the
 # band was ambient-loaded no matter what loadavg said at the start, so
@@ -31,7 +31,7 @@ HERE="$(cd "$(dirname "$0")" && pwd)"
 DUCK_BAND=${DUCK_BAND:-auto}
 if [ "$DUCK_BAND" = "auto" ]; then
   case "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" in
-    */sf0.1|*/sf0.1/) DUCK_BAND="17.0:21.0" ;;
+    */sf0.1|*/sf0.1/) DUCK_BAND="16.5:21.0" ;;
     *) DUCK_BAND="off" ;;
   esac
 fi
