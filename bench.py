@@ -31,6 +31,24 @@ INGEST_BLOCKS = int(os.environ.get("SPARK_GRAFT_INGEST_BLOCKS", "8000"))
 # steady runs (3 total keeps one outlier from defining the number).
 REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
+# self-labeling contamination threshold: the same 5% in-run steal
+# bench_window.sh retries on. A one-off (driver-run, non-protocol)
+# artifact carries its own verdict instead of requiring the reader to
+# know the threshold (round-13: BENCH_r13.json had cpu_steal_pct 13.12
+# and no in-file flag).
+STEAL_CONTAMINATION_PCT = 5.0
+
+
+def contamination_verdict(steal_pct: float | None) -> bool:
+    """True iff the run's own measured hypervisor steal exceeds the
+    protocol threshold — the run's timings (BOTH engines) are then not
+    comparable across rounds. None (no /proc/stat, non-Linux) stays
+    False: absence of evidence is reported as absence of the field
+    upstream, not as contamination."""
+    return bool(
+        steal_pct is not None and steal_pct > STEAL_CONTAMINATION_PCT
+    )
+
 
 def bench_duckdb_oracles() -> tuple[float, dict[str, float]]:
     """Time the DuckDB oracle SQLs over the same parquet — the practical
@@ -378,6 +396,10 @@ def main() -> None:
         steal = _steal_pct(jiffies_start, _cpu_jiffies())
         if steal is not None:
             metrics["cpu_steal_pct"] = steal
+        metrics["steal_contamination_threshold_pct"] = (
+            STEAL_CONTAMINATION_PCT
+        )
+        metrics["contaminated"] = contamination_verdict(steal)
         line = json.dumps(metrics)
         # the driver keeps only the LAST 2000 CHARS of stdout and
         # json-parses them — the full metrics object is ~5 KB, so every
@@ -411,6 +433,7 @@ def main() -> None:
             compact["loadavg_start"] = loadavg_start
         if steal is not None:
             compact["cpu_steal_pct"] = steal
+        compact["contaminated"] = metrics["contaminated"]
         compact_line = json.dumps(compact, separators=(",", ":"))
         if len(compact_line) > 1900:  # keep headroom under the 2000-char tail
             # flag the drop so a scraped record with no per-query data

@@ -116,53 +116,68 @@ def percentile_sketch_check(
     percentiles: Sequence[float] = (0.5, 0.9, 0.99),
     accuracy: int = 10000,
     digits: int = 4,
+    rel_tol: float | None = None,
 ) -> DataFrame:
     """Exact percentiles beside their ``approx_percentile`` sketch
     estimates, folded into per-percentile ``ok`` booleans stating the
     sketch's ACTUAL contract: Greenwald-Khanna guarantees RANK error
     (the returned value is a sample whose rank sits within
-    ``n/accuracy`` of the target rank) — NOT value proximity. The
-    original form of this check asserted relative VALUE error, which
-    heavy-tailed / tie-dense distributions violate while the sketch is
-    working exactly as specified (found by the round-13 adversarial
-    fixture: a rank-correct sample can sit far from the interpolated
-    exact quantile when neighboring order statistics differ wildly).
+    ``n/accuracy`` of the target rank) — NOT value proximity. A
+    VALUE-relative tolerance is not a property the sketch promises:
+    heavy-tailed / tie-dense distributions violate it while the sketch
+    works exactly as specified (found by the round-13 adversarial
+    fixture). *rel_tol* is therefore accepted but DEPRECATED and
+    ignored — kept so pre-round-13 callers don't ``TypeError``.
 
-    ``ok`` is therefore: the sketch value lies between the order
-    statistics at ranks ``floor((p - eps) * n)`` and
-    ``ceil((p + eps) * n) + 1`` (eps = 1/accuracy, ±1 slack for rank
-    rounding conventions, clamped to [1, n]).
+    ``ok`` is a bounded-memory consequence of the rank contract: by
+    G-K, the sketch sample at percentile ``q`` has rank within
+    ``eps*n`` of ``q*n`` (eps = 1/accuracy), so along the SORTED group
+    values the probes at ``p - 2*eps`` and ``p + 2*eps`` bracket the
+    rank window of the probe at ``p`` — rank monotonicity makes
+    ``probe(p-2eps) <= probe(p) <= probe(p+2eps)`` an unconditional
+    invariant (never a false failure), and every probe is additionally
+    sandwiched by the group min/max (true order statistics). The
+    earlier form materialized ``sort_array(collect_list(value))`` per
+    group to read the band's order statistics directly — an exact-rank
+    check, but an OOM surface on large groups beyond the exact
+    ``percentile`` cost (round-13 ADVICE); the probe band costs one
+    extra fixed-size sketch buffer instead.
 
     The sketch (fixed-size mergeable buffer bounded by *accuracy*) is
     the 100 TB path — exact ``percentile`` buffers every group value,
-    and the rank-band bound buffers the sorted values the same way, so
-    this CHECK is gate-scale tooling; production code uses the sketch
-    alone. The booleans are deterministic (the sketch is a
+    so the exact COLUMNS are gate-scale tooling; production code uses
+    the sketch alone. The booleans are deterministic (the sketch is a
     deterministic function of the data), so the check is oracle-stable
     (the ANSI twin emits literal TRUE)."""
+    del rel_tol  # deprecated: value tolerance is not the G-K contract
+    eps = 1.0 / accuracy
     arr = ", ".join(str(p) for p in percentiles)
+    # ONE approx_percentile call carrying (p, p-2eps, p+2eps) for every
+    # requested percentile: the probes must be read off the SAME G-K
+    # summary for the monotonicity invariant to be unconditional, and a
+    # single call builds one sketch buffer instead of three
+    k = len(percentiles)
+    probe_pts = (
+        [str(p) for p in percentiles]
+        + [str(max(0.0, p - 2 * eps)) for p in percentiles]
+        + [str(min(1.0, p + 2 * eps)) for p in percentiles]
+    )
     agg = df.groupBy(key).agg(
         F.expr(f"percentile({value_col}, array({arr}))").alias("__e"),
         F.expr(
-            f"approx_percentile({value_col}, array({arr}), {accuracy})"
+            f"approx_percentile({value_col}, "
+            f"array({', '.join(probe_pts)}), {accuracy})"
         ).alias("__a"),
-        F.expr(f"sort_array(collect_list({value_col}))").alias("__v"),
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
     )
-    n = F.size("__v")
     cols = [F.col(key)]
     for i, p in enumerate(percentiles):
         label = f"p{p * 100:g}".replace(".", "_")
         exact = F.col("__e")[i]
         approx = F.col("__a")[i]
-        eps = 1.0 / accuracy
-        lo_rank = F.greatest(
-            F.lit(1), F.floor(F.lit(p - eps) * n).cast("int")
-        )
-        hi_rank = F.least(
-            n, (F.ceil(F.lit(p + eps) * n) + 1).cast("int")
-        )
-        lo = F.element_at("__v", lo_rank)
-        hi = F.element_at("__v", hi_rank)
+        lo = F.greatest(F.col("__a")[k + i], F.col("__mn"))
+        hi = F.least(F.col("__a")[2 * k + i], F.col("__mx"))
         cols.append(F.round(exact, digits).alias(label))
         cols.append(
             ((approx >= lo) & (approx <= hi)).alias(f"{label}_ok")

@@ -425,17 +425,42 @@ def _stream_batch_base(
     else:
         base = _high_water_base(spark, roots)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(checkpoint_dir))
-    # CRASH-ATOMIC publication: write the value to a hidden temp file,
-    # then rename onto the marker path. A crash mid-write leaves only
-    # the temp (the marker either doesn't exist or holds a complete
-    # value — never a half-written one), and rename-onto-existing
-    # fails, so a lost race cleans up and reads the winner's value.
-    # This closes the one resume ambiguity the bare create() left: a
-    # marker that exists but is empty/truncated. The marker is written
-    # strictly BEFORE stream start (offsets/ creation) — the ordering
-    # invariant test_marker_exists_before_first_epoch_commits pins.
+    # CRASH-ATOMIC + RACE-ATOMIC publication. Two hazards, two
+    # mechanisms:
+    #   1. crash mid-write → the value goes to a hidden temp file and
+    #      is RENAMED onto the marker path, so the marker either
+    #      doesn't exist or holds a complete value, never a truncated
+    #      one;
+    #   2. two concurrent publishers → rename-onto-existing silently
+    #      REPLACES on local FS (POSIX rename(2)), so the rename alone
+    #      cannot arbitrate. A CLAIM file created with a genuinely
+    #      exclusive primitive (java.io.File.createNewFile → O_EXCL on
+    #      local paths; namenode-atomic create(path, overwrite=false)
+    #      on HDFS) gates the rename: only the claim winner ever
+    #      renames onto the marker, so a published marker can no
+    #      longer be replaced by a racer (round-13 ADVICE — the
+    #      equal-bases invariant is now enforced, not assumed).
+    # A loser waits briefly for the winner's marker; if it never lands
+    # (the winner crashed inside the claim→rename window — under the
+    # single-writer contract that "loser" is the same writer's own
+    # restart), it completes the publish itself. Both computed the
+    # identical base (same roots), pinned by
+    # test_marker_publication_race_equal_bases.
+    # The marker is written strictly BEFORE stream start (offsets/
+    # creation) — the ordering invariant
+    # test_marker_exists_before_first_epoch_commits pins.
+    import time
     import uuid
 
+    claim = posixpath.join(checkpoint_dir, ".__batch_base__.claim")
+    if not _exclusive_create(jvm, fs, claim):
+        for _ in range(50):  # ~5s: the claim holder is publishing now
+            if fs.exists(jmarker):
+                return int(_read_marker(fs, jmarker))
+            time.sleep(0.1)
+        if fs.exists(jmarker):
+            return int(_read_marker(fs, jmarker))
+        # stale claim: holder crashed before renaming — complete it
     tmp = posixpath.join(
         checkpoint_dir, f".__batch_base__.tmp.{uuid.uuid4().hex}"
     )
@@ -445,24 +470,38 @@ def _stream_batch_base(
         out.write(bytearray(str(base).encode()))
     finally:
         out.close()
-    # NOTE on rename semantics: HDFS rename fails onto an existing
-    # destination, but RawLocalFileSystem delegates to POSIX rename(2)
-    # which silently REPLACES it — so the `not rename` branch never
-    # fires on local FS and a lost race can overwrite the winner's
-    # marker. That overwrite is benign ONLY because every racer under
-    # the same checkpoint computes the identical base (same roots, and
-    # the stores are single-writer by contract) — pinned by
-    # test_marker_publication_race_equal_bases. The pre-rename exists
-    # check below narrows the window on local FS; the post-rename
-    # re-read below it is what callers actually consume.
     if fs.exists(jmarker):
-        # a winner already published while we were writing the temp:
-        # drop the temp and adopt its value (never rename over it)
+        # published while we wrote the temp (stale-claim completion
+        # racing a slow-but-alive holder): drop the temp, adopt it
         fs.delete(jtmp, False)
     elif not fs.rename(jtmp, jmarker):
         # HDFS-semantics race loss: drop the temp, adopt the winner
         fs.delete(jtmp, False)
     return int(_read_marker(fs, jmarker))
+
+
+def _exclusive_create(jvm, fs, path: str) -> bool:
+    """Atomically create *path* iff absent; True means THIS caller
+    created it. Local paths use ``java.io.File.createNewFile`` —
+    O_CREAT|O_EXCL, a real kernel-level exclusive create — because
+    Hadoop's ``FileSystem.createNewFile``/``create(overwrite=false)``
+    on RawLocalFileSystem is exists()-then-create (check-then-act, the
+    exact race this guards against). Non-local schemes use
+    ``create(path, overwrite=false)``, which HDFS arbitrates atomically
+    at the namenode."""
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    scheme = jpath.toUri().getScheme()
+    if scheme in (None, "file"):
+        f = jvm.java.io.File(jpath.toUri().getPath())
+        parent = f.getParentFile()
+        if parent is not None:
+            parent.mkdirs()
+        return bool(f.createNewFile())
+    try:
+        fs.create(jpath, False).close()
+        return True
+    except Exception:
+        return False
 
 
 def _high_water_base(spark: SparkSession, roots: list[str]) -> int:

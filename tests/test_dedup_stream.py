@@ -582,6 +582,49 @@ def test_marker_publication_race_equal_bases(spark, tmp_path, monkeypatch):
     assert not [p for p in ckpt.iterdir() if ".__batch_base__.tmp." in p.name]
 
 
+def test_marker_claim_is_exclusive_and_gates_the_rename(spark, tmp_path):
+    """Round-13 ADVICE: the pre-rename exists check NARROWED the
+    local-FS replace window but left correctness resting on the
+    equal-bases invariant. The publish is now gated by a genuinely
+    atomic exclusive create (O_EXCL via java.io.File on local paths):
+    only the claim winner renames onto the marker, so a published
+    marker can no longer be silently replaced by a racer."""
+    import evm_indexer_spark.streaming.dedup_stream as ds
+
+    fs, _ = ds._hadoop(spark, str(tmp_path))
+    claim = str(tmp_path / ".claim")
+    assert ds._exclusive_create(spark._jvm, fs, claim) is True
+    # second creator must LOSE — this is the arbitration the bare
+    # rename could not provide on POSIX
+    assert ds._exclusive_create(spark._jvm, fs, claim) is False
+    assert (tmp_path / ".claim").exists()
+
+
+def test_marker_stale_claim_is_completed_by_restart(
+    spark, tmp_path, monkeypatch
+):
+    """A publisher that crashed INSIDE the claim→rename window leaves a
+    claim with no marker. Under the single-writer contract the next
+    starter is that writer's own restart: it waits briefly for the
+    phantom winner, then completes the publish itself."""
+    import time as _time
+
+    import evm_indexer_spark.streaming.dedup_stream as ds
+
+    ix = MinHashBucketIndex(spark, str(tmp_path / "ix"), num_hashes=64, bands=64)
+    ix.append(
+        spark.createDataFrame([(0, BASE)], "id long, text string"),
+        "id", "text", batch_id=4,
+    )
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / ".__batch_base__.claim").touch()  # crash residue
+    monkeypatch.setattr(_time, "sleep", lambda _s: None)  # skip the wait
+    base = ds._stream_batch_base(spark, str(ckpt), [str(tmp_path / "ix")])
+    assert base == 5  # high-water over batch=4, published despite the claim
+    assert (ckpt / "__batch_base__").read_text() == "5"
+
+
 def test_retraction_explicit_id_refuses_unledgered_dir(spark, tmp_path):
     """An explicit retraction_id may only RETRY a ledgered retraction:
     if batch=retract<k> already exists on disk with NO matching ledger

@@ -84,6 +84,52 @@ def test_percentile_sketch_check_all_ok(spark):
         assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"]
 
 
+def test_percentile_sketch_check_rel_tol_deprecated_not_typeerror(spark):
+    # round-13 ADVICE: the rank-band rewrite dropped the public
+    # rel_tol kwarg, breaking pre-round-13 callers with a TypeError;
+    # it is accepted (and ignored — value tolerance is not the G-K
+    # contract) so old call sites keep working
+    df = spark.range(0, 1000).select(
+        F.lit("k").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    rows = stats.percentile_sketch_check(df, "k", "v", rel_tol=0.05).collect()
+    assert rows and all(r["p50_ok"] for r in rows)
+
+
+def test_percentile_sketch_check_bounded_memory_plan(spark):
+    # round-13 ADVICE: the rank-band check materialized
+    # sort_array(collect_list(value)) per group — an OOM surface on
+    # large groups. The band is now read off G-K probe points (one
+    # extra fixed-size sketch buffer); no per-group value buffering
+    # beyond the exact `percentile` columns themselves.
+    df = spark.range(0, 100).select(
+        F.lit("k").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    out = stats.percentile_sketch_check(df, "k", "v")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    assert "sort_array" not in plan
+
+
+def test_percentile_sketch_check_heavy_tail_and_ties_still_ok(spark):
+    # the adversarial shapes that broke the value-tolerance form:
+    # tie-dense (all-equal) groups and a heavy tail where neighboring
+    # order statistics differ by 12 orders of magnitude — the G-K
+    # monotonic probe band is unconditional, so ok must stay TRUE
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 2 == 0, "ties").otherwise("tail").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.lit(7.0))
+        .otherwise(
+            F.when(F.col("id") < 9_990, F.lit(1e-6)).otherwise(F.lit(1e12))
+        )
+        .alias("v"),
+    )
+    rows = stats.percentile_sketch_check(df, "k", "v").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"]
+
+
 def test_string_keys_take_generic_boundary_path(spark):
     """Non-numeric leading keys use the sampled lexicographic-boundary
     path (width_bucket only handles numerics) — same contract."""

@@ -95,6 +95,40 @@ class TestFooterMeta:
             os.utime(p / f, ns=(time.time_ns(), time.time_ns()))
         assert table_rowcount(str(tmp_path), "t") == 25
 
+    def test_directory_stamp_sees_part_removal_and_rewrite(self, tmp_path):
+        # round-13 ADVICE: a directory stamp taking only the MAX
+        # (mtime, size) across parts misses a regeneration that removes
+        # or rewrites parts while the max-mtime file survives; the
+        # stamp now folds in part COUNT and TOTAL size. mtimes are
+        # pinned with utime so the test proves the count/size terms
+        # carry the change, not an incidental mtime tick.
+        import os
+
+        from evm_indexer_spark.sources.tables import fixture_stamp
+
+        d = tmp_path / "t.parquet"
+        d.mkdir()
+        t0 = 1_700_000_000_000_000_000
+        (d / "part-0.parquet").write_bytes(b"a" * 10)
+        (d / "part-1.parquet").write_bytes(b"b" * 20)
+        os.utime(d / "part-0.parquet", ns=(t0, t0))
+        os.utime(d / "part-1.parquet", ns=(t0 + 5, t0 + 5))
+        s1 = fixture_stamp(str(tmp_path), "t")
+        # remove a NON-max-mtime part: max survives, stamp must move
+        (d / "part-0.parquet").unlink()
+        s2 = fixture_stamp(str(tmp_path), "t")
+        assert s1 != s2
+        # rewrite a part to a different size at the SAME pinned mtime
+        # (the coarse-mtime filesystem case): total size carries it
+        (d / "part-0.parquet").write_bytes(b"c" * 30)
+        os.utime(d / "part-0.parquet", ns=(t0, t0))
+        s3 = fixture_stamp(str(tmp_path), "t")
+        assert s3 != s1 and s3 != s2
+        # swap bytes BETWEEN parts at pinned mtimes/sizes: same count,
+        # same total, same max-mtime — acknowledged residual blindness,
+        # pinned so a future stamp change is a conscious decision
+        assert fixture_stamp(str(tmp_path), "t") == s3
+
     def test_eval_small_hint_footer_proven_at_gate_sf(self):
         # at every gate SF the hint must be footer-proven True (zero
         # plan-build Spark jobs for q80/q81) and must agree with the

@@ -63,10 +63,27 @@ def aggregate(runs: list[dict]) -> dict:
             "loadavg_start": r.get("loadavg_start"),
             "loadavg_end": r.get("loadavg"),
             "cpu_steal_pct": r.get("cpu_steal_pct"),
+            "contaminated": r.get("contaminated"),
             "ingest_blocks_per_sec": r.get("ingest_blocks_per_sec"),
         }
         for r in runs
     ]
+    # symmetric cross-run outlier flags (round-13 ADVICE: the window's
+    # duck-only retry band filtered one side of the measurement; here
+    # BOTH engine totals are checked against the window median, so a
+    # run whose contention hit mainly the Spark half is flagged too).
+    # Flag-only: the committer re-runs a flagged slot, the fold itself
+    # stays a pure function of its inputs.
+    for key, flag in (
+        ("warm_total_sec", "warm_outlier"),
+        ("duckdb_oracle_total_sec", "duck_outlier"),
+    ):
+        vals = [r[key] for r in per_run if r[key] is not None]
+        if len(vals) >= 2:
+            m = statistics.median(vals)
+            for r in per_run:
+                if r[key] is not None and m and abs(r[key] - m) / m > 0.20:
+                    r[flag] = True
     return {
         "metric": "catalog_window_medians",
         "unit": "sec",
@@ -112,13 +129,28 @@ def aggregate(runs: list[dict]) -> dict:
 
 def main() -> None:
     paths = sys.argv[1:] or [f"/tmp/bench_full_run{i}.json" for i in (1, 2, 3)]
-    runs = []
+    runs, payloads = [], []
     for p in paths:
+        # a missing or unparseable artifact is a HARD error (round-13
+        # ADVICE medium): silently skipping let a crashed slot shrink
+        # the window — or, before bench_window.sh deleted stale copies,
+        # fold a previous run's artifact in as a duplicate
         try:
             with open(p) as fh:
-                runs.append(json.loads(fh.read().strip()))
-        except (OSError, json.JSONDecodeError) as e:
-            print(f"skipping {p}: {e}", file=sys.stderr)
+                text = fh.read().strip()
+        except OSError as e:
+            raise SystemExit(f"run artifact {p} missing: {e}")
+        try:
+            runs.append(json.loads(text))
+        except json.JSONDecodeError as e:
+            raise SystemExit(f"run artifact {p} unparseable: {e}")
+        if text in payloads:
+            raise SystemExit(
+                f"run artifact {p} is byte-identical to an earlier run — "
+                "a stale bench_out.json was copied for a crashed slot; "
+                "re-run the window"
+            )
+        payloads.append(text)
     print(json.dumps(aggregate(runs), indent=1))
 
 

@@ -9,15 +9,15 @@
 # hang a round.
 #
 # DuckDB-total sanity band: on a truly quiet box the sf0.1 oracle total
-# sits ~16.5-21s for the 68-entry catalog (the 67-entry r12 range was
-# 16.5-19.5; q82 adds ~0.4s and the sf0.01 replica pins the rest of
-# the oracle cost unchanged); a run whose duck total lands outside the
-# band was ambient-loaded no matter what loadavg said at the start, so
-# the run is logged as SPIKE and retried (once per slot). Override or
-# disable with DUCK_BAND=lo:hi / DUCK_BAND=off — it auto-disables when
-# SPARK_GRAFT_SF_DIR points anywhere but the default sf0.1. The
-# in-run cpu_steal_pct check (below) is the primary contamination
-# detector; the band is the coarse backstop.
+# sits ~16.5-21s for the 68-entry catalog. Since round 14 the band is
+# LOG-ONLY (an out-of-band run is logged as SPIKE but kept): retrying
+# on the oracle total alone was asymmetric — contention that hit
+# mainly the Spark half was kept while slow-duck runs were retried,
+# biasing the ratio (round-13 ADVICE). The in-run cpu_steal_pct retry
+# is the symmetric contamination gate; bench_median.py flags cross-run
+# outliers on BOTH totals in the committed artifact. Override with
+# DUCK_BAND=lo:hi / DUCK_BAND=off — it auto-disables when
+# SPARK_GRAFT_SF_DIR points anywhere but the default sf0.1.
 #
 # Outputs /tmp/bench_run{1,2,3}.json (compact lines),
 # /tmp/bench_full_run{1,2,3}.json (full per-query artifacts) and a
@@ -36,6 +36,10 @@ if [ "$DUCK_BAND" = "auto" ]; then
   esac
 fi
 for i in 1 2 3; do
+  # a slot whose every attempt fails must be MISSING, not a leftover
+  # from an earlier window — bench_median.py hard-errors on missing
+  # or duplicate run artifacts rather than silently folding stale data
+  rm -f /tmp/bench_full_run$i.json
   for attempt in 1 2; do
     waited=0
     while :; do
@@ -72,10 +76,19 @@ print(round(100.0*d[7]/dem,2) if dem>0 else 0.0)")
       [ $waited -ge 40 ] && echo "WARN: run $i proceeding at load $load/$load5/$load15 after 40min" >> "$LOG" && break
     done
     echo "=== run $i attempt $attempt start load: $(cat /proc/loadavg)" >> "$LOG"
+    # delete the previous artifact FIRST: a crashed run must not let a
+    # stale bench_out.json masquerade as this run (round-13 ADVICE
+    # medium — the stale copy passed every gate and was folded into
+    # the window medians as a silent duplicate)
+    rm -f "$HERE/../bench_out.json"
     python "$HERE/../bench.py" > /tmp/bench_run$i.json 2>/tmp/bench_run$i.err
     rc=$?  # capture BEFORE the $(cat ...) substitution overwrites $?
-    cp "$HERE/../bench_out.json" /tmp/bench_full_run$i.json 2>/dev/null
     echo "=== run $i attempt $attempt end load: $(cat /proc/loadavg) exit=$rc" >> "$LOG"
+    if [ $rc -ne 0 ] || [ ! -f "$HERE/../bench_out.json" ]; then
+      echo "FAIL: run $i exit=$rc artifact=$([ -f "$HERE/../bench_out.json" ] && echo present || echo missing) — retrying slot" >> "$LOG"
+      continue
+    fi
+    cp "$HERE/../bench_out.json" /tmp/bench_full_run$i.json
     # in-run steal check first: the pre-run probe can pass and the
     # host contend seconds later (observed 20% stolen across a run
     # whose probe read 0%); the in-artifact fraction is ground truth
@@ -88,19 +101,28 @@ except Exception: print(0)")
       echo "STEAL: run $i measured ${rsteal}% in-run steal — retrying" >> "$LOG"
       continue
     fi
-    [ "$DUCK_BAND" = "off" ] && break
-    duck=$(python3 -c "
+    # duck band is LOG-ONLY since round 14 (ADVICE: retrying on the
+    # oracle total alone was an asymmetric filter — a run whose
+    # contention hit mainly the Spark half was kept while only
+    # slow-duck runs were retried, biasing the committed ratio). The
+    # in-run steal retry above is the symmetric physical gate;
+    # bench_median.py additionally flags BOTH totals' cross-run
+    # outliers in the committed artifact so a suspect slot is visible
+    # and re-runnable.
+    if [ "$DUCK_BAND" != "off" ]; then
+      duck=$(python3 -c "
 import json,sys
 try:
     print(json.load(open('/tmp/bench_full_run$i.json'))['duckdb_oracle_total_sec'])
 except Exception:
     print('nan')")
-    inband=$(python3 -c "
+      inband=$(python3 -c "
 lo, hi = '$DUCK_BAND'.split(':')  # python vars — NOT shell-interpolated
 try: print(1 if float(lo) <= float('$duck') <= float(hi) else 0)
 except ValueError: print(0)")
-    [ "$inband" = "1" ] && break
-    echo "SPIKE: run $i duck total ${duck}s outside band $DUCK_BAND — retrying" >> "$LOG"
+      [ "$inband" != "1" ] && echo "SPIKE: run $i duck total ${duck}s outside band $DUCK_BAND (log-only)" >> "$LOG"
+    fi
+    break
   done
 done
 python "$HERE/bench_median.py" /tmp/bench_full_run1.json /tmp/bench_full_run2.json /tmp/bench_full_run3.json > /tmp/bench_window_median.json 2>> "$LOG"
