@@ -432,8 +432,18 @@ def q21(spark, sf):
 
 @register(
     "q23_json_extract",  # F8/F9: JSON shaping of rows
+    # TRY_CAST, not CAST: '$.k' can extract a non-scalar (an object /
+    # array) or a non-numeric string from hostile props, and an ANSI
+    # cast then kills the whole query — one malformed doc must yield
+    # one NULL, not fail a 100 TB job. The json_valid guard mirrors a
+    # second engine boundary: Spark's get_json_object returns NULL on
+    # malformed JSON while DuckDB's json_extract_string THROWS (both
+    # found by the round-14 adversarial events fixture).
     """
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    SELECT event_id,
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) AS prop_k
     FROM events WHERE event_id < 500
     """,
 )
@@ -441,7 +451,9 @@ def q23(spark, sf):
     ev = load_table(spark, sf, "events")
     return ev.filter(F.col("event_id") < 500).select(
         "event_id",
-        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("prop_k"),
+        F.get_json_object(F.col("props"), "$.k")
+        .try_cast("bigint")
+        .alias("prop_k"),
     )
 
 
@@ -1223,8 +1235,15 @@ def q43(spark, sf):
 
 @register(
     "q44_json_props",
+    # TRY_CAST + json_valid for the same reasons as q23: hostile props
+    # must degrade to NULL (excluded from avg in both engines), never
+    # crash the job; DuckDB's extractor throws on malformed JSON where
+    # Spark's returns NULL
     """
-    SELECT event_type, round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k
+    SELECT event_type,
+           round(avg(TRY_CAST(CASE WHEN json_valid(props)
+                                   THEN props->>'k' END AS BIGINT)), 4)
+               AS avg_k
     FROM events GROUP BY event_type
     """,
 )
@@ -1232,7 +1251,7 @@ def q44(spark, sf):
     ev = load_table(spark, sf, "events")
     return ev.groupBy("event_type").agg(
         F.round(
-            F.avg(F.get_json_object("props", "$.k").cast("long")), 4
+            F.avg(F.get_json_object("props", "$.k").try_cast("long")), 4
         ).alias("avg_k")
     )
 
@@ -2444,8 +2463,16 @@ def _kmeans_oracle_sql(iters: int, dims: int, scale: int, tau: float) -> str:
                          CAST(embedding AS DOUBLE[])[2:])
       FROM embeddings
     ), qv0 AS (
+      -- the TOTAL grid quantizer (similarity._spark_quantize's SQL
+      -- twin): NaN -> 0, clamp to +/-1e6 after rounding, so hostile
+      -- NaN/Inf dimensions quantize instead of failing the cast and
+      -- every distance term stays exactly representable
       SELECT id, v,
-             list_transform(v, x -> CAST(round(x * {scale}) AS BIGINT)) AS q
+             list_transform(v, x -> CAST(
+               CASE WHEN isnan(x) THEN 0.0
+                    ELSE least(1000000.0,
+                               greatest(-1000000.0, round(x * {scale})))
+               END AS BIGINT)) AS q
       FROM corpus
     ), qv AS (
       -- |q|^2 precomputed: dist = |q|^2 - 2 q.c + |c|^2 keeps every
@@ -2983,7 +3010,11 @@ def q82(spark, sf):
     grams = (
         mode_keys(ev, "text", 8, "skipgram").select("gram").distinct()
     )
+    # eval windows enable the pigeonhole prefilter on the batch side
+    # (broadcast regime; exact — see skipgram_keys_prefiltered)
+    ev_win = corpus.skipgram_windows(ev.select("text"), "text", 8)
     return contamination_against(
         batch, grams, "doc_id", "text", n=8, mode="skipgram",
         eval_small=_eval_small_hint(sf, variants=8),
+        eval_windows=ev_win,
     )

@@ -579,13 +579,7 @@ def skipgram_contamination(
     t_win = skipgram_windows(
         spread.select(F.col(id_col).alias("id"), text_col), text_col, n, "id"
     )
-    t_keys = skipgram_keys(t_win, n, "id", "__pos")
-    eval_keys = (
-        skipgram_keys(skipgram_windows(eval_df.select(text_col), text_col, n), n)
-        .select("__key")
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
+    eval_win = skipgram_windows(eval_df.select(text_col), text_col, n)
     if eval_small is None:
         # same upper-bound probe as ngram_contamination, scaled by the
         # n masked variants each window emits
@@ -595,27 +589,39 @@ def skipgram_contamination(
             ).alias("__n")
         ).first()["__n"]
         eval_small = (total or 0) <= broadcast_below
-    probe_side = (
-        F.broadcast(eval_keys) if eval_small else eval_keys.hint("shuffle_hash")
-    )
     # ONE tokenize+mask pass feeds both aggregates (the q80 lesson —
     # at corpus scale the text pass IS the cost). Two-level hash agg
     # instead of count-distincts: collapsing the n keyed rows back to
     # one row per (id, window) gets map-side partial aggregation and
     # avoids the Expand node two DISTINCT aggregates would plan
-    per_doc = (
-        t_keys.join(probe_side, "__key", "left")
-        .groupBy("id", "__pos")
-        .agg(
-            F.max(
-                F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
-            ).alias("__h")
+    if eval_small:
+        # broadcast regime: pigeonhole-prefiltered window hits — the
+        # n-variant emission runs only for candidate windows, and the
+        # eval side tokenizes ONCE into a single shared broadcast
+        # (see skipgram_window_hits)
+        win_hits = skipgram_window_hits(t_win, eval_win, n, "id")
+    else:
+        # shuffle regime: full-key emission, shuffled hash join —
+        # half sets would be as unbroadcastable as the keys
+        eval_keys = (
+            skipgram_keys(eval_win, n)
+            .select("__key")
+            .distinct()
+            .withColumn("__hit", F.lit(1))
         )
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum("__h").alias("n_contaminated"),
+        win_hits = (
+            skipgram_keys(t_win, n, "id", "__pos")
+            .join(eval_keys.hint("shuffle_hash"), "__key", "left")
+            .groupBy("id", "__pos")
+            .agg(
+                F.max(
+                    F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+                ).alias("__h")
+            )
         )
+    per_doc = win_hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("__h").alias("n_contaminated"),
     )
     return (
         spread.select(F.col(id_col).alias("id"))
@@ -663,13 +669,13 @@ def skipgram_windows(df: DataFrame, text_col: str, n: int, *keep) -> DataFrame:
     )
 
 
-def skipgram_keys(win: DataFrame, n: int, *keep) -> DataFrame:
-    """The n masked one-substitution variants of each window row:
-    (*keep*, __key) — position j replaced by the ``\\x01`` placeholder
-    (a control byte no natural-language token contains; see
-    ``skipgram_contamination`` for the caveat on corpora embedding
-    literal \\x01 bytes)."""
-    variants = F.array(
+def masked_variants(n: int):
+    """Column: array of the n masked one-substitution variants of the
+    ``__w`` window column — position j replaced by the ``\\x01``
+    placeholder. Shared by ``skipgram_keys`` (full emission) and the
+    pigeonhole-prefiltered path (emission only for candidate
+    windows)."""
+    return F.array(
         *[
             F.concat_ws(
                 " ",
@@ -682,7 +688,126 @@ def skipgram_keys(win: DataFrame, n: int, *keep) -> DataFrame:
             for j in range(n)
         ]
     )
-    return win.select(*keep, F.explode(variants).alias("__key"))
+
+
+def window_halves(n: int):
+    """(first-half, second-half) space-joined string Columns of the
+    ``__w`` window column, split at ``ceil(n/2)``. The pigeonhole
+    behind the skip-gram prefilter: ONE substitution falls in exactly
+    one half, so the other half is VERBATIM equal between any two
+    windows differing in ≤ 1 position — the same halving argument
+    Manku et al. use for Hamming neighbors in SimHash dedup
+    (dedup.simhash_near_duplicates)."""
+    n2 = (n + 1) // 2
+    h1 = F.concat_ws(
+        " ", *[F.element_at("__w", k + 1) for k in range(n2)]
+    )
+    h2 = F.concat_ws(
+        " ", *[F.element_at("__w", k + 1) for k in range(n2, n)]
+    )
+    return h1, h2
+
+
+def skipgram_keys(win: DataFrame, n: int, *keep) -> DataFrame:
+    """The n masked one-substitution variants of each window row:
+    (*keep*, __key) — position j replaced by the ``\\x01`` placeholder
+    (a control byte no natural-language token contains; see
+    ``skipgram_contamination`` for the caveat on corpora embedding
+    literal \\x01 bytes)."""
+    return win.select(*keep, F.explode(masked_variants(n)).alias("__key"))
+
+
+def skipgram_window_hits(
+    win: DataFrame, eval_win: DataFrame, n: int, *keep
+) -> DataFrame:
+    """(*keep*, __pos, __h) — one row per window of *win*, ``__h`` = 1
+    iff the window matches some window of *eval_win* with ≤ 1 token
+    substitution. The broadcast-regime engine of the skip-gram
+    contamination family (q81/q82).
+
+    Two structural moves over the naive n-masked-variant join:
+
+    1. **Pigeonhole prefilter** (``window_halves``): a substitution
+       falls in exactly one half of the window, so a candidate's OTHER
+       half appears VERBATIM among the eval windows' halves — a
+       necessary condition testable with two ~n/2-token probes per
+       window. Only survivors (6.6% of train windows on the sf0.1
+       fixture) pay the n-variant emission, which is the pipeline's
+       dominant map volume at corpus scale (n strings of n tokens per
+       window ≈ n²× the text bytes).
+    2. **One tagged broadcast set**: the eval masked keys and both
+       half-sets are emitted from a SINGLE eval tokenize pass as
+       tag-prefixed strings (``k\\x02``/``1\\x02``/``2\\x02`` — the
+       categories cannot cross-collide since every entry's category is
+       its first byte) and broadcast ONCE; the half probes and the
+       variant verify are three joins against the same exchange
+       (ReusedExchange — pinned by the plan test), where separate
+       half/key frames would tokenize the eval side three times.
+
+    Exactness: the half test is necessary, survivors still verify
+    against the full masked-key category, so results are identical to
+    the unfiltered path (pinned by tests/test_corpus.py parity tests).
+    Broadcast-regime only by construction: callers route here when the
+    eval side is broadcast-small (the benchmark-suite regime); the
+    corpus-sized-eval regime shuffles full keys instead, where half
+    sets would be as unbroadcastable as the keys themselves."""
+    if n < 2:
+        # a 1-token window with 1 substitution allowed matches
+        # anything — halves degenerate; full-key path
+        keyed = skipgram_keys(win, n, *keep, "__pos")
+        probe = (
+            skipgram_keys(eval_win, n)
+            .select("__key")
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        return (
+            keyed.join(F.broadcast(probe), "__key", "left")
+            .groupBy(*keep, "__pos")
+            .agg(
+                F.max(
+                    F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+                ).alias("__h")
+            )
+        )
+    h1x, h2x = window_halves(n)
+    tag_half1 = F.concat(F.lit("1\x02"), h1x)
+    tag_half2 = F.concat(F.lit("2\x02"), h2x)
+    tag_keys = F.transform(
+        masked_variants(n), lambda s: F.concat(F.lit("k\x02"), s)
+    )
+    probe = (
+        eval_win.select(
+            F.explode(
+                F.concat(F.array(tag_half1, tag_half2), tag_keys)
+            ).alias("__e")
+        )
+        .distinct()
+    )
+    e1, e2, ek = probe.alias("e1"), probe.alias("e2"), probe.alias("ek")
+    cand = F.col("e1.__e").isNotNull() | F.col("e2.__e").isNotNull()
+    keyed = (
+        win.withColumn("__th1", tag_half1)
+        .withColumn("__th2", tag_half2)
+        .join(F.broadcast(e1), F.col("__th1") == F.col("e1.__e"), "left")
+        .join(F.broadcast(e2), F.col("__th2") == F.col("e2.__e"), "left")
+        .select(
+            *keep,
+            "__pos",
+            # explode_outer keeps pruned windows as one NULL-key row
+            # (null joins nothing), preserving per-doc window counts
+            F.explode_outer(F.when(cand, tag_keys)).alias("__key"),
+        )
+    )
+    return (
+        keyed.join(F.broadcast(ek), F.col("__key") == F.col("ek.__e"), "left")
+        .groupBy(*keep, "__pos")
+        .agg(
+            F.max(
+                F.when(F.col("ek.__e").isNotNull(), 1).otherwise(0)
+            ).alias("__h")
+        )
+    )
 
 
 def gram_array(text_col: str, n: int):

@@ -1091,10 +1091,7 @@ def kmeans_grid(
     distributed loop."""
     from pyspark.sql.types import IntegralType
 
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * scale).cast("long"),
-    )
+    q = _spark_quantize(F.col(vec_col), scale)
     base = df.select(F.col(id_col).alias("id"), q.alias("q"))
     # the driver tier materializes ids as int64 and orders them by
     # md5(str(id)), which only reproduces Spark's string cast for
@@ -1202,10 +1199,7 @@ def semantic_dedup(
     corpora take the distributed path."""
     from pyspark.sql.types import IntegralType
 
-    quant = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * scale).cast("long"),
-    )
+    quant = _spark_quantize(F.col(vec_col), scale)
     integral_id = isinstance(df.schema[id_col].dataType, IntegralType)
     ids = qm = vm = None
     if local_corpus is not None:
@@ -1311,19 +1305,41 @@ def semantic_dedup(
 # -- product quantization (the compressed-vector ANN tier) --------------------
 
 
+# the TOTAL grid's cell bound: NaN quantizes to 0, everything else
+# clamps to ±GRID_CLAMP after rounding — the quantizer must be total
+# (a single hostile NaN/Inf dimension crashed the whole q77/q79 plan
+# under ANSI casts, found by the round-14 adversarial embeddings
+# fixture) and the bound keeps EVERY grid arithmetic term exact:
+# squared distances sum to ≤ 64·(2e6)² ≈ 2.6e14 < 2^53, so the
+# oracle's double-space inner products and the int64 numpy kernels
+# stay bit-exact at the extremes
+GRID_CLAMP = 1_000_000
+
+
 def _spark_quantize(col: Column, scale: int) -> Column:
     """The ONE grid-quantization expression every PQ stage shares:
-    ``round(x * scale)`` as int64, evaluated by Spark. Training,
-    encoding, and the oracle all quantize through this same expression,
-    so the grid is identical by construction — no float-rounding mirror
-    to keep in sync. (An earlier numpy mirror using
-    ``floor(|s| + 0.5)`` diverged from F.round's BigDecimal HALF_UP
-    for doubles one ulp below a .5 tie: numpy's ``s + 0.5`` rounds to
-    1.0 at s = 0.49999999999999994 while BigDecimal.valueOf sees the
-    decimal string and returns 0.)"""
-    return F.transform(
-        col, lambda x: F.round(x.cast("double") * scale).cast("long")
-    )
+    ``round(x * scale)`` as int64, evaluated by Spark — TOTALIZED:
+    NaN → 0, then clamped to ±GRID_CLAMP (±Inf and overflow land on
+    the bound). Training, encoding, and the oracle all quantize
+    through this same expression, so the grid is identical by
+    construction — no float-rounding mirror to keep in sync. (An
+    earlier numpy mirror using ``floor(|s| + 0.5)`` diverged from
+    F.round's BigDecimal HALF_UP for doubles one ulp below a .5 tie:
+    numpy's ``s + 0.5`` rounds to 1.0 at s = 0.49999999999999994
+    while BigDecimal.valueOf sees the decimal string and returns 0.)"""
+    b = float(GRID_CLAMP)
+
+    def q(x):
+        xd = x.cast("double")
+        return (
+            F.when(F.isnan(xd), F.lit(0.0))
+            .otherwise(
+                F.least(F.lit(b), F.greatest(F.lit(-b), F.round(xd * scale)))
+            )
+            .cast("long")
+        )
+
+    return F.transform(col, q)
 
 
 def _quantize_half_up_np(s: np.ndarray) -> np.ndarray:
@@ -1341,10 +1357,16 @@ def _quantize_half_up_np(s: np.ndarray) -> np.ndarray:
     (dropping the integer bits never needs more significand).
     Property-pinned against the Decimal reference in
     test_similarity (random + adversarial near-.5 ulp neighbors)."""
+    s = np.where(np.isnan(s), 0.0, s)
     f = np.abs(s)
     fl = np.floor(f)
-    mag = (fl + (f - fl >= 0.5)).astype(np.int64)
-    return np.where(s >= 0, mag, -mag)
+    # rounding in FLOAT space, clamp, then the int64 cast: an astype
+    # of ±Inf / out-of-range floats is undefined (wraps to INT64_MIN),
+    # so the totalization (NaN→0, clamp ±GRID_CLAMP — the Spark twin's
+    # rule) must happen before the cast
+    magf = fl + (f - fl >= 0.5)
+    out = np.where(s >= 0, magf, -magf)
+    return np.clip(out, -GRID_CLAMP, GRID_CLAMP).astype(np.int64)
 
 
 def _quantize_half_up_decimal(vals: list[float], scale: int) -> np.ndarray:
@@ -1358,17 +1380,25 @@ def _quantize_half_up_decimal(vals: list[float], scale: int) -> np.ndarray:
     for every input. Kept as the test oracle the vectorized kernel is
     property-pinned against; production paths use the kernel (the
     per-element Decimal loop was q77/q79's driver-tier hot spot —
-    ~1 s per 256k elements)."""
+    ~1 s per 256k elements). Carries the same TOTALIZATION as the
+    production rule (NaN → 0, clamp ±GRID_CLAMP) so the property pin
+    covers the hostile classes too."""
+    import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    out = [
-        int(
-            Decimal(repr(float(v) * scale)).quantize(
-                Decimal(1), rounding=ROUND_HALF_UP
-            )
+    out = []
+    for v in vals:
+        s = float(v) * scale
+        if math.isnan(s):
+            out.append(0)
+            continue
+        if math.isinf(s):
+            out.append(GRID_CLAMP if s > 0 else -GRID_CLAMP)
+            continue
+        r = int(
+            Decimal(repr(s)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
         )
-        for v in vals
-    ]
+        out.append(max(-GRID_CLAMP, min(GRID_CLAMP, r)))
     return np.array(out, dtype=np.int64)
 
 

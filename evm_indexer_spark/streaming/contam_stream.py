@@ -44,7 +44,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.corpus import gram_array, skipgram_keys, skipgram_windows
+from ..operators.corpus import (
+    gram_array,
+    skipgram_keys,
+    skipgram_window_hits,
+    skipgram_windows,
+)
 from ..operators.partitioning import spread_small_scan
 from .dedup_stream import (
     _assert_counters_nonnegative,
@@ -94,6 +99,7 @@ def contamination_against(
     min_hits: int = 1,
     eval_small: bool | None = None,
     broadcast_below: int = 2_000_000,
+    eval_windows: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc contamination of *docs* against an eval gram set given
     as a one-column DataFrame (``gram``) — the scoring plan shared by
@@ -106,7 +112,20 @@ def contamination_against(
     ``eval_small`` picks the probe plan (broadcast vs shuffle hash);
     None falls back to an EAGER count over *grams* at call time —
     index callers decide from their slim partials and entry callers
-    from parquet footers precisely to avoid that job."""
+    from parquet footers precisely to avoid that job.
+
+    ``eval_windows`` (skipgram mode, broadcast regime only): the eval
+    split's window rows (``corpus.skipgram_windows`` shape) — when
+    given, the scoring routes through the pigeonhole-prefiltered
+    tagged-broadcast engine (``corpus.skipgram_window_hits``: exact,
+    results unchanged, n-variant emission only for candidate windows).
+    ``eval_windows`` MUST be the window set whose masked keys equal
+    *grams* (the scoring then reads the eval side from the windows,
+    not from *grams* — passing inconsistent frames answers for the
+    windows). Callers holding only the masked GRAM set (the persisted
+    ``EvalGramIndex``) omit it: half sets are not derivable from
+    masked keys when raw text can embed literal ``\\x01`` tokens, so
+    the index path keeps the full-volume emission."""
     if min_hits < 1:
         raise ValueError("min_hits must be positive")
     if mode not in ("ngram", "skipgram"):
@@ -135,20 +154,23 @@ def contamination_against(
         # counts once — collapse the n keyed rows back to one per
         # (id, window) first (two-level hash agg, map-side partial
         # on both levels; the q81 shape, no Expand node)
-        keyed = mode_keys(spread, text_col, n, mode, "id")
-        per_doc = (
-            keyed.join(probe, "gram", "left")
-            .groupBy("id", "__pos")
-            .agg(
-                F.max(
-                    F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
-                ).alias("__h")
+        if eval_windows is not None and eval_small:
+            win = skipgram_windows(spread, text_col, n, "id")
+            win_hits = skipgram_window_hits(win, eval_windows, n, "id")
+        else:
+            win_hits = (
+                mode_keys(spread, text_col, n, mode, "id")
+                .join(probe, "gram", "left")
+                .groupBy("id", "__pos")
+                .agg(
+                    F.max(
+                        F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+                    ).alias("__h")
+                )
             )
-            .groupBy("id")
-            .agg(
-                F.count(F.lit(1)).alias("n_windows"),
-                F.sum("__h").alias("n_contaminated"),
-            )
+        per_doc = win_hits.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("__h").alias("n_contaminated"),
         )
     base = docs.select(F.col(id_col).alias("id")).distinct()
     return (

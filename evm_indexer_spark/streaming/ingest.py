@@ -90,6 +90,7 @@ def start_ingest_stream(
     checkpoint_dir: str,
     config: EngineConfig = DEFAULT_CONFIG,
     publish=None,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """File-source streaming ingest: JSON block docs dropped into
     *landing_dir* flow through ``process_raw_batch`` under a checkpoint.
@@ -117,10 +118,14 @@ def start_ingest_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         process_raw_batch(store, batch_df, batch_id, on_fresh=publish)
 
+    # default trigger drains what's there and stops (the backfill /
+    # test shape); a live sync loop passes e.g.
+    # trigger={"processingTime": "0 seconds"} to keep polling the
+    # landing dir — the reference's continuously running listener
     return (
         raw_stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

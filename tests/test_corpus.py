@@ -408,6 +408,60 @@ def test_ngram_contamination_big_eval_routing(spark):
         assert got == base, kwargs
 
 
+def test_skipgram_prefilter_parity_with_full_emission(spark):
+    """The pigeonhole half-set prefilter (broadcast regime) must be
+    result-identical to the unfiltered full-volume emission (shuffle
+    regime) — the halves test is a NECESSARY condition, never a
+    filter on true matches. Parity is checked on the real sf0.001
+    documents fixture under the q81 split, where both pruned and
+    surviving windows occur."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    pre = {
+        tuple(r)
+        for r in corpus.skipgram_contamination(
+            train, ev, "doc_id", "text", n=8, eval_small=True
+        ).collect()
+    }
+    full = {
+        tuple(r)
+        for r in corpus.skipgram_contamination(
+            train, ev, "doc_id", "text", n=8, eval_small=False
+        ).collect()
+    }
+    assert pre == full
+    assert any(r[2] > 0 for r in pre)  # fixture has real contamination
+
+
+def test_skipgram_prefilter_survivor_without_match_is_clean(spark):
+    """A train window sharing a verbatim HALF with an eval window but
+    differing in ≥ 2 positions overall must survive the prefilter and
+    then be rejected by the exact masked-key join — the prefilter is a
+    candidate generator, not the verdict."""
+    ev = spark.createDataFrame(
+        [(0, "alpha bravo charlie delta echo foxtrot golf hotel")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # first half verbatim, second half 2 subs: candidate, clean
+            (1, "alpha bravo charlie delta echo foxtrot kilo india"),
+            # no half matches: pruned, clean, window still counted
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_windows"], r["n_contaminated"], r["contaminated"])
+        for r in corpus.skipgram_contamination(
+            train, ev, "doc_id", "text", n=8, eval_small=True
+        ).collect()
+    }
+    assert got[1] == (1, 0, False)
+    assert got[2] == (1, 0, False)
+
+
 def test_skipgram_contamination_one_substitution_tolerance(spark):
     """A train window matching an eval window with EXACTLY one token
     changed is contaminated; two changes is not; verbatim still is; a

@@ -506,6 +506,45 @@ def test_pq_quantization_matches_spark_round(spark):
     assert similarity._quantize_query_half_up([ulp], 1).tolist() == [0]
 
 
+def test_quantize_total_on_hostile_values(spark):
+    """The grid quantizer is TOTAL (round-14 adversarial embeddings
+    find: a single NaN dimension crashed q77/q79 under ANSI casts):
+    NaN → 0, ±Inf and out-of-range magnitudes clamp to ±GRID_CLAMP —
+    and the Spark expression and the numpy driver-tier kernel agree
+    exactly on every hostile class."""
+    import math
+
+    import numpy as np
+
+    from evm_indexer_spark.operators import similarity
+
+    hostile = [
+        float("nan"), float("inf"), float("-inf"),
+        1e308, -1e308, 2e3, -2e3, 0.0, -0.0, 1e-42, 0.4995,
+        similarity.GRID_CLAMP / 1000.0 + 1.0,  # just past the clamp
+    ]
+    df = spark.createDataFrame(
+        [([float(x) for x in hostile],)], "v array<double>"
+    )
+    spark_side = df.select(
+        similarity._spark_quantize(F.col("v"), 1000).alias("q")
+    ).collect()[0]["q"]
+    driver_side = similarity._quantize_query_half_up(
+        np.array(hostile), 1000
+    ).tolist()
+    assert spark_side == driver_side
+    B = similarity.GRID_CLAMP
+    assert spark_side[0] == 0                      # NaN
+    assert spark_side[1] == B and spark_side[2] == -B  # Inf clamps
+    assert spark_side[3] == B and spark_side[4] == -B  # overflow clamps
+    assert spark_side[5] == B and spark_side[6] == -B  # 2e3*1000 > B
+    # in-range values are untouched by totalization
+    assert spark_side[7] == 0 and spark_side[10] == 500
+    # every grid distance term stays exact at the extremes:
+    # 64 * (2B)^2 < 2^53
+    assert 64 * (2 * B) ** 2 < 2**53
+
+
 def test_quantize_vectorized_kernel_equals_decimal_reference():
     """The vectorized HALF_UP kernel (production: q77/q79 driver tiers)
     must agree with the Decimal-string reference (the pinned
