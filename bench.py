@@ -258,6 +258,137 @@ def main_serving() -> None:
         spark.stop()
 
 
+def main_latency() -> None:
+    """Notification-path latency (``bench.py --latency``): header file
+    lands → RESP 'block' notification received by a subscriber,
+    through the full ingest→store→publish-once pipeline on a LIVE
+    stream (processingTime=0 trigger, the reference's continuously
+    running listener shape). Ingest THROUGHPUT is committed separately
+    (bench_ingest); this measures the per-arrival LATENCY a consumer
+    sees — the reference's real-time claim. Prints ONE JSON line
+    (commit as BENCH_latency_r<N>.json).
+
+    Method: prefill the stream to steady state (store, publish log,
+    codegen and file-index warm), then land N single-block files one
+    at a time, stamping t0 at the file write and t1 when the
+    subscriber's 'block' channel yields that block's notification.
+    The latency includes Spark's file-source discovery poll, the
+    micro-batch (normalize → dedup → upsert → publish-once anti-join),
+    and broker delivery — the end-to-end number."""
+    import json as _json
+    import shutil
+
+    from evm_indexer_spark.sources.rawgen import raw_block_doc
+    from evm_indexer_spark.sources.rawgen import write_landing_files
+    from evm_indexer_spark.streaming.ingest import start_ingest_stream
+    from evm_indexer_spark.streaming.resp import RespBroker, RespClient
+    from evm_indexer_spark.streaming.resp import make_resp_publisher
+    from evm_indexer_spark.streaming.store import BlockStore
+
+    n_probe = int(os.environ.get("SPARK_GRAFT_LATENCY_PROBES", "25"))
+    prefill = int(os.environ.get("SPARK_GRAFT_LATENCY_PREFILL", "200"))
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg_start = None
+    jiffies_start = _cpu_jiffies()
+    spark = get_spark(
+        "evm-indexer-spark-bench-latency",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    broker = RespBroker().start()
+    root = tempfile.mkdtemp(prefix="bench_latency_")
+    q = None
+    try:
+        landing = os.path.join(root, "landing")
+        write_landing_files(landing, prefill, n_files=8)
+        store = BlockStore(spark, os.path.join(root, "store"))
+        print("  latency: store ready, subscribing", file=sys.stderr,
+              flush=True)
+        sub = RespClient("127.0.0.1", broker.port)
+        sub.subscribe("block")
+        print("  latency: starting stream", file=sys.stderr, flush=True)
+        q = start_ingest_stream(
+            spark,
+            landing,
+            store,
+            os.path.join(root, "ckpt"),
+            publish=make_resp_publisher("127.0.0.1", broker.port),
+            trigger={"processingTime": "0 seconds"},
+        )
+
+        def drain_until(number: int, timeout_s: float) -> float | None:
+            """Read 'block' messages until *number* appears; returns
+            the perf_counter stamp of its arrival."""
+            deadline = time.perf_counter() + timeout_s
+            while time.perf_counter() < deadline:
+                msg = sub.get_message(timeout=0.05)
+                if msg is None:
+                    continue
+                try:
+                    payload = _json.loads(msg["data"])
+                except (ValueError, KeyError, TypeError):
+                    continue
+                if int(payload.get("number", -1)) == number:
+                    return time.perf_counter()
+            return None
+
+        print("  latency: draining prefill", file=sys.stderr, flush=True)
+        assert drain_until(prefill - 1, 120.0) is not None, (
+            "prefill notifications never drained"
+        )
+        print("  latency: steady state, probing", file=sys.stderr,
+              flush=True)
+        lats = []
+        for i in range(n_probe):
+            n = prefill + i
+            path = os.path.join(landing, f"probe{n}.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(_json.dumps(raw_block_doc(n)) + "\n")
+            t0 = time.perf_counter()
+            os.rename(tmp, path)  # atomic appearance = the land instant
+            t1 = drain_until(n, 60.0)
+            assert t1 is not None, f"no notification for block {n}"
+            lats.append(t1 - t0)
+
+        def pct(xs, p):
+            xs = sorted(xs)
+            return round(xs[min(len(xs) - 1, int(p * len(xs)))], 4)
+
+        metrics = {
+            "metric": "notify_latency",
+            "unit": "sec",
+            "pipeline": "land->ingest->store->publish-once->resp",
+            "prefill_blocks": prefill,
+            "n_probes": n_probe,
+            "latency_p50_sec": pct(lats, 0.50),
+            "latency_p95_sec": pct(lats, 0.95),
+            "latency_min_sec": round(min(lats), 4),
+            "latency_max_sec": round(max(lats), 4),
+        }
+        try:
+            metrics["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
+        if loadavg_start is not None:
+            metrics["loadavg_start"] = loadavg_start
+        steal = _steal_pct(jiffies_start, _cpu_jiffies())
+        if steal is not None:
+            metrics["cpu_steal_pct"] = steal
+        metrics["contaminated"] = contamination_verdict(steal)
+        print()
+        print(json.dumps(metrics, separators=(",", ":")), flush=True)
+    finally:
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
 def _cpu_jiffies() -> list[int] | None:
     """First /proc/stat line (user nice system idle iowait irq softirq
     steal ...). Basis for the in-run STEAL measurement: this box is a
@@ -456,5 +587,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--serving" in sys.argv[1:]:
         main_serving()
+    elif "--latency" in sys.argv[1:]:
+        main_latency()
     else:
         main()

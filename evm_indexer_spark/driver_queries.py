@@ -3018,3 +3018,74 @@ def q82(spark, sf):
         eval_small=_eval_small_hint(sf, variants=8),
         eval_windows=ev_win,
     )
+
+
+@register(
+    "q83_retraction_reorg",
+    # retraction tier under the driver gate: a reorg retracts the doc
+    # set R (doc_id % 37 = 5) from a dedup bucket index persisted over
+    # the FULL corpus; the surviving index must answer exactly the q27
+    # batch truth of the surviving corpus — the oracle is q27's exact
+    # all-pairs Jaccard with R's docs gone. Tokenization identical to
+    # q27/q66 by construction.
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents WHERE doc_id % 37 <> 5
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+             ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+      WHERE t[1] <> ''
+    ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.4
+    """,
+)
+def q83(spark, sf):
+    """Retraction-on-reorg convergence (the round-13 fan-out tier's
+    driver-visible row, the q82-for-retraction): the dedup bucket
+    index holds the FULL corpus's slim (id, band, bh) rows — the state
+    ``streaming/dedup_stream.MinHashBucketIndex`` persists — and a
+    reorg retracts doc set R. The post-retraction read path is the
+    index's tombstone semantics (``live_buckets``,
+    dedup_stream.py:632): one anti-join of the persisted rows against
+    the retracted ids — O(index scan + |R|), the corpus is never
+    re-signed — and the surviving candidates verified on the surviving
+    text must CONVERGE to the batch truth of the surviving corpus
+    (q27's oracle minus R). Recall is inherited: removing docs only
+    removes pairs, and every surviving pair occupied the same buckets
+    in the full index, so the banding tier chosen at index-build time
+    (the full-corpus ``banding_for_corpus`` call) keeps its guarantee.
+    The ledgered counter-store legs of the same fan-out
+    (``retraction.retract_document_everywhere``) are pytest- and
+    SF10-soak-pinned; this entry gates the index leg end to end.
+    Corpus shape reads from parquet footers — zero plan-build jobs."""
+    doc = load_table(spark, sf, "documents")
+    n = table_rowcount(sf, "documents")
+    if n is None:
+        n = doc.count()
+    nh, b = dedup.banding_for_corpus(n)
+    banded = dedup.minhash_banded(
+        doc, "doc_id", "text", num_hashes=nh, bands=b
+    )
+    tomb = (
+        doc.filter(F.col("doc_id") % 37 == 5)
+        .select(F.col("doc_id").alias("id"))
+    )
+    live = banded.join(tomb, "id", "left_anti")
+    pairs = dedup._bucket_pairs(
+        live, ["band", "bh"], "group" if n <= 100_000 else "join"
+    )
+    survivors = doc.filter(F.col("doc_id") % 37 != 5)
+    return dedup.verify_jaccard_pairs(
+        pairs, survivors, "doc_id", "text", 3, 0.4
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

@@ -78,7 +78,25 @@ def process_raw_batch(
     # see its own append and report nothing as fresh
     fresh = fresh.localCheckpoint(eager=True)
     if on_fresh is not None:
-        on_fresh(store, fresh)
+        # 3-arg callbacks additionally receive THIS batch's normalized
+        # frames: fresh rows are by construction a subset of the batch,
+        # so a publisher can build payloads from O(batch) plans instead
+        # of re-scanning the (unboundedly growing) store tables every
+        # micro-batch — the round-14 notification-latency bench showed
+        # the store re-scan dominating the publish leg. 2-arg callbacks
+        # (pre-existing contract) keep working.
+        import inspect
+
+        try:
+            wants_batch = (
+                len(inspect.signature(on_fresh).parameters) >= 3
+            )
+        except (TypeError, ValueError):
+            wants_batch = False
+        if wants_batch:
+            on_fresh(store, fresh, (blocks, txs, events))
+        else:
+            on_fresh(store, fresh)
     store.mark_published(fresh)
     return fresh
 

@@ -393,16 +393,31 @@ def make_resp_publisher(host: str, port: int):
     the batch's fresh block notifications plus their transaction and
     event payloads to the reference's three channels (block /
     transaction / event — app/setup.go:55-60, publish order
-    block.go:22-52)."""
+    block.go:22-52).
+
+    Payloads come from the BATCH's own normalized frames (the 3-arg
+    ``on_fresh`` contract): fresh rows are a subset of the batch, so
+    the three payload plans are O(batch). The earlier form semi-joined
+    the STORE tables instead — three full-store scans per micro-batch,
+    a per-batch cost that grows with the store on a long-running sync
+    stream (surfaced by the round-14 notification-latency bench). The
+    store path remains as the fallback for 2-arg invocations (manual
+    re-publish tooling that has no batch in hand)."""
     from .publish import block_payload, event_payload, tx_payload
 
-    def publish(store, fresh) -> None:
-        blocks = store.blocks().join(fresh, ["number", "hash"], "left_semi")
+    def publish(store, fresh, batch=None) -> None:
+        if batch is not None:
+            src_blocks, src_txs, src_events = batch
+        else:
+            src_blocks, src_txs, src_events = (
+                store.blocks(), store.transactions(), store.events(),
+            )
+        blocks = src_blocks.join(fresh, ["number", "hash"], "left_semi")
         hashes = blocks.select("hash")
-        txs = store.transactions().join(
+        txs = src_txs.join(
             hashes.withColumnRenamed("hash", "blockhash"), "blockhash", "left_semi"
         )
-        events = store.events().join(
+        events = src_events.join(
             hashes.withColumnRenamed("hash", "blockhash"), "blockhash", "left_semi"
         )
         publish_partitioned(block_payload(blocks), host, port, "block")

@@ -158,6 +158,40 @@ class TestStore:
         )
         assert fresh3.count() == 1
 
+    def test_on_fresh_callback_arity_contract(self, spark, tmp_path):
+        """The publish hook contract: 2-arg callbacks (pre-round-14)
+        get (store, fresh); 3-arg callbacks additionally get THIS
+        batch's normalized (blocks, txs, events) frames, whose fresh
+        subset must carry the full batch content — the O(batch)
+        payload source that spares the publisher three per-micro-batch
+        full-store scans."""
+        store = BlockStore(spark, str(tmp_path / "store"))
+        seen2, seen3 = [], []
+
+        def cb2(store_, fresh):
+            seen2.append(fresh.count())
+
+        process_raw_batch(
+            store, make_raw(spark, [raw_block(n) for n in range(3)]),
+            on_fresh=cb2,
+        )
+        assert seen2 == [3]
+
+        def cb3(store_, fresh, batch):
+            blocks, txs, events = batch
+            hit = blocks.join(fresh, ["number", "hash"], "left_semi")
+            seen3.append(
+                (fresh.count(), hit.count(), txs.count(), events.count())
+            )
+
+        process_raw_batch(
+            store, make_raw(spark, [raw_block(n) for n in range(3, 5)]),
+            on_fresh=cb3,
+        )
+        (n_fresh, n_hit, n_txs, n_events) = seen3[0]
+        assert n_fresh == 2 and n_hit == 2  # fresh ⊆ batch blocks
+        assert n_txs > 0 and n_events >= 0  # batch frames, not store
+
 
 class TestFinalityAndRepair:
     def test_depth_gate(self, spark, tmp_path):
