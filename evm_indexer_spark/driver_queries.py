@@ -3010,13 +3010,13 @@ def q82(spark, sf):
     grams = (
         mode_keys(ev, "text", 8, "skipgram").select("gram").distinct()
     )
-    # eval windows enable the pigeonhole prefilter on the batch side
-    # (broadcast regime; exact — see skipgram_keys_prefiltered)
-    ev_win = corpus.skipgram_windows(ev.select("text"), "text", 8)
+    # the pigeonhole-prefilter path (eval_windows=...) is deliberately
+    # NOT engaged: on this fixture the eval split scales with the
+    # corpus, the half-sets densify, and the prefilter measured slower
+    # at every graded SF (round-14 A/B — see skipgram_window_hits)
     return contamination_against(
         batch, grams, "doc_id", "text", n=8, mode="skipgram",
         eval_small=_eval_small_hint(sf, variants=8),
-        eval_windows=ev_win,
     )
 
 

@@ -541,6 +541,7 @@ def skipgram_contamination(
     min_hits: int = 1,
     eval_small: bool | None = None,
     broadcast_below: int = 2_000_000,
+    prefilter: bool = False,
 ) -> DataFrame:
     """Fuzzy benchmark decontamination: a train document is
     contaminated when ≥ *min_hits* of its token n-gram windows match an
@@ -569,7 +570,15 @@ def skipgram_contamination(
 
     A window that matches through SEVERAL masked variants still counts
     once (distinct window positions), so every output is an exact
-    integer: (id, n_windows, n_contaminated, contaminated)."""
+    integer: (id, n_windows, n_contaminated, contaminated).
+
+    ``prefilter=True`` opts the broadcast regime into the pigeonhole
+    half-set path (``skipgram_window_hits``) — exact-identical output,
+    a win ONLY when the eval suite is small and FIXED while train is
+    huge (high prune rate). Default off: on fixtures whose eval split
+    scales with the corpus the half-sets densify and the measured
+    prune rate collapses (round-14 A/B: the prefilter cost +18% at
+    sf0.1 and +48% at sf1 on the gate fixture)."""
     if n < 1 or min_hits < 1:
         raise ValueError("n and min_hits must be positive")
     if n > 32:
@@ -594,24 +603,25 @@ def skipgram_contamination(
     # instead of count-distincts: collapsing the n keyed rows back to
     # one row per (id, window) gets map-side partial aggregation and
     # avoids the Expand node two DISTINCT aggregates would plan
-    if eval_small:
-        # broadcast regime: pigeonhole-prefiltered window hits — the
-        # n-variant emission runs only for candidate windows, and the
-        # eval side tokenizes ONCE into a single shared broadcast
-        # (see skipgram_window_hits)
+    if prefilter and eval_small:
+        # OPT-IN pigeonhole-prefiltered path (see skipgram_window_hits
+        # for the regime where it wins — and where it doesn't)
         win_hits = skipgram_window_hits(t_win, eval_win, n, "id")
     else:
-        # shuffle regime: full-key emission, shuffled hash join —
-        # half sets would be as unbroadcastable as the keys
         eval_keys = (
             skipgram_keys(eval_win, n)
             .select("__key")
             .distinct()
             .withColumn("__hit", F.lit(1))
         )
+        probe_side = (
+            F.broadcast(eval_keys)
+            if eval_small
+            else eval_keys.hint("shuffle_hash")
+        )
         win_hits = (
             skipgram_keys(t_win, n, "id", "__pos")
-            .join(eval_keys.hint("shuffle_hash"), "__key", "left")
+            .join(probe_side, "__key", "left")
             .groupBy("id", "__pos")
             .agg(
                 F.max(
@@ -750,7 +760,19 @@ def skipgram_window_hits(
     Broadcast-regime only by construction: callers route here when the
     eval side is broadcast-small (the benchmark-suite regime); the
     corpus-sized-eval regime shuffles full keys instead, where half
-    sets would be as unbroadcastable as the keys themselves."""
+    sets would be as unbroadcastable as the keys themselves.
+
+    WHEN IT WINS — measured honestly: the prune must actually prune.
+    With a small FIXED eval suite against an ever-growing train corpus
+    (the production decontamination regime) the half-sets stay sparse
+    and the n-variant emission (the dominant map volume) is skipped
+    for almost every window. On the GATE fixture, whose eval split is
+    10% of the corpus and therefore SCALES with it, the half-sets
+    densify as SF grows and the prefilter measured SLOWER (+18% at
+    sf0.1, +48% at sf1, survivor rate 6.6% at sf0.1 but the extra
+    per-window probes/columns outweigh the saved emission) — so the
+    catalog entries default it OFF and this path is opt-in
+    (``prefilter=True``), exactness pinned regardless."""
     if n < 2:
         # a 1-token window with 1 substitution allowed matches
         # anything — halves degenerate; full-key path

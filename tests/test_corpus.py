@@ -421,16 +421,23 @@ def test_skipgram_prefilter_parity_with_full_emission(spark):
     pre = {
         tuple(r)
         for r in corpus.skipgram_contamination(
-            train, ev, "doc_id", "text", n=8, eval_small=True
+            train, ev, "doc_id", "text", n=8, eval_small=True,
+            prefilter=True,
         ).collect()
     }
     full = {
         tuple(r)
         for r in corpus.skipgram_contamination(
+            train, ev, "doc_id", "text", n=8, eval_small=True
+        ).collect()
+    }
+    shuffled = {
+        tuple(r)
+        for r in corpus.skipgram_contamination(
             train, ev, "doc_id", "text", n=8, eval_small=False
         ).collect()
     }
-    assert pre == full
+    assert pre == full == shuffled
     assert any(r[2] > 0 for r in pre)  # fixture has real contamination
 
 
@@ -455,7 +462,8 @@ def test_skipgram_prefilter_survivor_without_match_is_clean(spark):
     got = {
         r["id"]: (r["n_windows"], r["n_contaminated"], r["contaminated"])
         for r in corpus.skipgram_contamination(
-            train, ev, "doc_id", "text", n=8, eval_small=True
+            train, ev, "doc_id", "text", n=8, eval_small=True,
+            prefilter=True,
         ).collect()
     }
     assert got[1] == (1, 0, False)
