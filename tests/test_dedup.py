@@ -474,6 +474,40 @@ def test_minhash_onetask_matches_distributed(spark, corpus):
     assert len(one) > 0
 
 
+def test_retraction_antijoin_equals_filter_then_sign(spark, corpus):
+    """q83's degeneration identity: a doc's banded rows are a pure
+    function of its OWN text, so anti-joining retracted ids out of the
+    full-corpus bucket rows, producing pairs, and verifying on the
+    survivors must equal the one-task filter-then-sign plan over the
+    survivors. This pins the strategy route's correctness in-repo (the
+    sf1 replica gates the anti-join branch against the oracle; this
+    pins the two branches against EACH OTHER at any size)."""
+    retracted = F.col("doc_id") % 3 == 0
+    survivors = corpus.filter(~retracted)
+    banded = dedup.minhash_banded(
+        corpus, "doc_id", "text", num_hashes=64, bands=64
+    )
+    tomb = corpus.filter(retracted).select(F.col("doc_id").alias("id"))
+    live = banded.join(tomb, "id", "left_anti")
+    pairs = dedup._bucket_pairs(live, ["band", "bh"], "group")
+    anti = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 4))
+        for r in dedup.verify_jaccard_pairs(
+            pairs, survivors, "doc_id", "text", 3, 0.4
+        ).collect()
+    )
+    one = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 4))
+        for r in dedup.minhash_pairs_onetask(
+            survivors, "doc_id", "text",
+            num_hashes=64, bands=64, jaccard_threshold=0.4,
+        ).collect()
+    )
+    assert anti == one
+    # the retraction actually removed claims: no retracted id appears
+    assert all(a % 3 != 0 and b % 3 != 0 for a, b, _ in anti)
+
+
 def test_minhash_onetask_flagged_matches_incremental(spark):
     # the flagged one-task form must equal incremental_minhash_pairs
     # (pairs touching the new half only)
