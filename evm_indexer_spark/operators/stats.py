@@ -117,6 +117,8 @@ def percentile_sketch_check(
     accuracy: int = 10000,
     digits: int = 4,
     rel_tol: float | None = None,
+    exact_band: bool = True,
+    _sketch_override: DataFrame | None = None,
 ) -> DataFrame:
     """Exact percentiles beside their ``approx_percentile`` sketch
     estimates, folded into per-percentile ``ok`` booleans stating the
@@ -148,15 +150,85 @@ def percentile_sketch_check(
     so the exact COLUMNS are gate-scale tooling; production code uses
     the sketch alone. The booleans are deterministic (the sketch is a
     deterministic function of the data), so the check is oracle-stable
-    (the ANSI twin emits literal TRUE)."""
+    (the ANSI twin emits literal TRUE).
+
+    Two band modes (round-15 ADVICE: the prior probe band read lo/hi
+    off the SAME ``approx_percentile`` call, which is monotone in ``p``
+    by construction — a sketch returning wrong VALUES, e.g. always the
+    group min, still passed; the check could not detect a broken
+    sketch):
+
+    - ``exact_band=True`` (default, the gate/tooling mode): a real
+      RANK check against the data itself. A second conditional-count
+      pass computes the rank interval the sketch value actually
+      occupies in its group — ``[#(v < a) + 1, #(v <= a)]`` (an
+      interval, so tie-dense groups are exact) — and asserts it
+      intersects the G-K target window ``p*n ± (eps*n + 1)`` (±1 rank
+      absorbs ceil-vs-floor target-rank rounding). Bounded memory (two
+      hash aggregations and a |keys|-row join, never a per-group value
+      buffer); a sketch that always returned the group min would now
+      FAIL whenever the min's tie run sits below the target window.
+    - ``exact_band=False`` (the production, no-exact mode): the
+      single-pass sketch-probe band (monotonicity + group min/max
+      sandwich) — no second data pass, but only a self-consistency
+      check of the sketch, kept for jobs that cannot afford the exact
+      ``percentile`` columns either."""
     del rel_tol  # deprecated: value tolerance is not the G-K contract
     eps = 1.0 / accuracy
     arr = ", ".join(str(p) for p in percentiles)
-    # ONE approx_percentile call carrying (p, p-2eps, p+2eps) for every
-    # requested percentile: the probes must be read off the SAME G-K
-    # summary for the monotonicity invariant to be unconditional, and a
-    # single call builds one sketch buffer instead of three
     k = len(percentiles)
+    if exact_band:
+        # _sketch_override is a TEST seam: inject a deliberately lying
+        # sketch frame (key, __a array<double>) to prove the rank check
+        # actually rejects wrong values — the tautology regression pin
+        sk = (
+            _sketch_override
+            if _sketch_override is not None
+            else df.groupBy(key).agg(
+                F.expr(
+                    f"approx_percentile({value_col}, array({arr}), "
+                    f"{accuracy})"
+                ).alias("__a")
+            )
+        )
+        v = F.col(value_col)
+        agg_cols = [
+            F.expr(f"percentile({value_col}, array({arr}))").alias("__e"),
+            F.count(v).alias("__n"),
+        ]
+        for i in range(k):
+            a_i = F.col("__a")[i]
+            agg_cols.append(
+                F.sum((v <= a_i).cast("long")).alias(f"__le{i}")
+            )
+            agg_cols.append(
+                F.sum((v < a_i).cast("long")).alias(f"__lt{i}")
+            )
+        agg = (
+            df.join(sk, key)
+            .groupBy(key)
+            .agg(*agg_cols, F.first("__a").alias("__a"))
+        )
+        cols = [F.col(key)]
+        for i, p in enumerate(percentiles):
+            label = f"p{p * 100:g}".replace(".", "_")
+            n = F.col("__n")
+            target_lo = F.lit(p) * n - (F.lit(eps) * n + F.lit(1.0))
+            target_hi = F.lit(p) * n + (F.lit(eps) * n + F.lit(1.0))
+            rank_lo = F.col(f"__lt{i}") + F.lit(1)
+            rank_hi = F.col(f"__le{i}")
+            ok = (rank_lo <= target_hi) & (rank_hi >= target_lo)
+            cols.append(F.round(F.col("__e")[i], digits).alias(label))
+            # an all-NULL / empty group has no rank to check: vacuous ok
+            cols.append(
+                F.coalesce(ok, F.col("__a")[i].isNull()).alias(
+                    f"{label}_ok"
+                )
+            )
+        return agg.select(*cols)
+    # production (no-exact) mode: sketch self-consistency probes only —
+    # (p, p-2eps, p+2eps) read off ONE G-K summary so the monotonicity
+    # invariant is unconditional, sandwiched by true group min/max
     probe_pts = (
         [str(p) for p in percentiles]
         + [str(max(0.0, p - 2 * eps)) for p in percentiles]

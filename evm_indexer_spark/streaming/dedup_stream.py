@@ -488,11 +488,20 @@ def _exclusive_create(jvm, fs, path: str) -> bool:
     on RawLocalFileSystem is exists()-then-create (check-then-act, the
     exact race this guards against). Non-local schemes use
     ``create(path, overwrite=false)``, which HDFS arbitrates atomically
-    at the namenode."""
+    at the namenode.
+
+    Locality is decided from the FILESYSTEM, not the raw path string: a
+    scheme-less path resolves against ``fs.defaultFS``, so on an
+    HDFS-default deployment it is NOT local — classifying it by the
+    path's (absent) URI scheme would create the claim on each driver's
+    local disk, every racer would win its own claim, and the O_EXCL
+    gate would silently degrade to check-then-act (round-15 ADVICE).
+    ``fs.makeQualified`` pins both the scheme and the working-directory
+    resolution the filesystem itself would use."""
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    scheme = jpath.toUri().getScheme()
-    if scheme in (None, "file"):
-        f = jvm.java.io.File(jpath.toUri().getPath())
+    qualified = fs.makeQualified(jpath)
+    if qualified.toUri().getScheme() == "file":
+        f = jvm.java.io.File(qualified.toUri().getPath())
         parent = f.getParentFile()
         if parent is not None:
             parent.mkdirs()

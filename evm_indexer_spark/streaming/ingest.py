@@ -36,6 +36,33 @@ from ..sources.normalize import (
 from .store import BlockStore
 
 
+def _accepts_batch_arg(cb) -> bool:
+    """True iff *cb* can take the batch-frames tuple as a THIRD
+    POSITIONAL argument. Counting ``signature().parameters`` alone
+    miscounts ``def cb(store, fresh, *, batch=None)`` (3 params, but
+    the third is keyword-only) and ``(store, fresh, **kw)`` — both
+    would then TypeError at publish time (round-15 ADVICE). Only
+    POSITIONAL_OR_KEYWORD / POSITIONAL_ONLY slots count, and one
+    ``*args`` accepts any arity. Unsignaturable callables (some
+    builtins / partials over them) fall back to the 2-arg contract."""
+    import inspect
+
+    try:
+        params = inspect.signature(cb).parameters.values()
+    except (TypeError, ValueError):
+        return False
+    positional = 0
+    for p in params:
+        if p.kind in (
+            inspect.Parameter.POSITIONAL_ONLY,
+            inspect.Parameter.POSITIONAL_OR_KEYWORD,
+        ):
+            positional += 1
+        elif p.kind is inspect.Parameter.VAR_POSITIONAL:
+            return True
+    return positional >= 3
+
+
 def process_raw_batch(
     store: BlockStore, raw: DataFrame, batch_id: int = 0, on_fresh=None
 ) -> DataFrame:
@@ -85,15 +112,7 @@ def process_raw_batch(
         # micro-batch — the round-14 notification-latency bench showed
         # the store re-scan dominating the publish leg. 2-arg callbacks
         # (pre-existing contract) keep working.
-        import inspect
-
-        try:
-            wants_batch = (
-                len(inspect.signature(on_fresh).parameters) >= 3
-            )
-        except (TypeError, ValueError):
-            wants_batch = False
-        if wants_batch:
+        if _accepts_batch_arg(on_fresh):
             on_fresh(store, fresh, (blocks, txs, events))
         else:
             on_fresh(store, fresh)

@@ -283,3 +283,55 @@ def test_probe_routing_is_plan_pinned(spark, tmp_path):
     b = sorted(map(tuple, index.contamination_for(
         train, "doc_id", "text", eval_small=False).collect()))
     assert a == b
+
+
+def test_contamination_against_eval_windows_parity(spark):
+    """The ``eval_windows`` prefilter routing in ``contamination_against``
+    must answer identically to the grams-only path (round-15 ADVICE: the
+    branch previously shipped with no caller and no test). The frames
+    MUST be consistent — grams = the masked keys of exactly the windows
+    passed as eval_windows — which this test builds the way a real
+    caller would, from one eval frame through the shared helpers."""
+    from evm_indexer_spark.streaming.contam_stream import (
+        contamination_against,
+        mode_keys,
+    )
+
+    ev_rows = [
+        (100, "the quick brown fox jumps over the lazy dog near the river"),
+        (110, "a completely different benchmark sentence that nobody copied yet"),
+    ]
+    tr_rows = [
+        # verbatim copy: contaminated under both paths
+        (0, "prefix words then the quick brown fox jumps over the lazy dog"),
+        # one substitution (fox→cat): skipgram-contaminated
+        (1, "x the quick brown cat jumps over the lazy dog near the it y"),
+        # two substitutions: clean
+        (2, "x the quick brown cat naps over the lazy dog near the it y"),
+        (3, "too short"),
+    ]
+    ev = spark.createDataFrame(ev_rows, ["doc_id", "text"])
+    train = spark.createDataFrame(tr_rows, ["doc_id", "text"])
+    grams = mode_keys(ev, "text", 8, "skipgram").select("gram").distinct()
+    win = corpus.skipgram_windows(ev, "text", 8)
+    base = contamination_against(
+        train, grams, "doc_id", "text", n=8, mode="skipgram",
+        eval_small=True,
+    )
+    pre = contamination_against(
+        train, grams, "doc_id", "text", n=8, mode="skipgram",
+        eval_small=True, eval_windows=win,
+    )
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, pre.collect()))
+    assert a == b
+    by_id = {r[0]: r for r in b}
+    assert by_id[0][3] is True and by_id[1][3] is True
+    assert by_id[2][3] is False and by_id[3][3] is False
+    # shuffle-hash regime ignores eval_windows (broadcast-only engine):
+    # still identical answers
+    shuffled = contamination_against(
+        train, grams, "doc_id", "text", n=8, mode="skipgram",
+        eval_small=False, eval_windows=win,
+    )
+    assert sorted(map(tuple, shuffled.collect())) == a

@@ -203,3 +203,56 @@ def test_null_keys_generic_string_path(spark):
     assert null_ids == [1, 2, 3]
     nonnull = sorted((r["k"], r["row_id"]) for r in rows if r["k"] is not None)
     assert [rid for _, rid in nonnull] == list(range(4, 121))
+
+
+def test_percentile_sketch_check_detects_lying_sketch(spark):
+    """Round-15 ADVICE (medium): the probe band read lo/hi off the SAME
+    approx_percentile call — monotone in p by construction — so a sketch
+    returning wrong VALUES still passed. The default exact_band mode now
+    rank-checks the sketch value against the data itself: a sketch that
+    always answers the group min must FAIL at p50/p90/p99."""
+    df = spark.range(0, 10_000).select(
+        F.lit("k").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    lying = spark.range(1).select(
+        F.lit("k").alias("k"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)).alias("__a"),
+    )
+    rows = stats.percentile_sketch_check(
+        df, "k", "v", _sketch_override=lying
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert not r["p50_ok"] and not r["p90_ok"] and not r["p99_ok"]
+    # and the exact percentile columns are untouched by the lie
+    assert r["p50"] == 4999.5
+
+
+def test_percentile_sketch_check_small_groups_no_false_failure(spark):
+    """The rank window carries ±1 rank of slack for ceil-vs-floor
+    target rounding: tiny groups (where interpolated exact percentiles
+    sit BETWEEN the order statistics a sketch can return) must not
+    false-fail."""
+    rows = [("a", float(i)) for i in range(10)] + [("b", 1.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = stats.percentile_sketch_check(df, "k", "v").collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"]
+
+
+def test_percentile_sketch_check_production_sketch_only_mode(spark):
+    """exact_band=False keeps the single-pass sketch-probe form (the
+    no-second-data-pass production mode): same schema, ok all TRUE on
+    honest data, and NO join in the plan."""
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 2).cast("string").alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = stats.percentile_sketch_check(df, "k", "v", exact_band=False)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    rows = out.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"]

@@ -192,6 +192,46 @@ class TestStore:
         assert n_fresh == 2 and n_hit == 2  # fresh ⊆ batch blocks
         assert n_txs > 0 and n_events >= 0  # batch frames, not store
 
+    def test_on_fresh_arity_counts_positional_slots_only(self, spark, tmp_path):
+        """Round-15 ADVICE: param COUNT alone misclassifies callbacks
+        whose third slot cannot take a positional arg — (store, fresh,
+        *, batch=None) and (store, fresh, **kw) have ≥3 parameters but
+        must get the 2-arg call (a 3-positional call would TypeError at
+        publish time); *args callbacks take the 3-arg form; a partial
+        binding the first arg leaves a 2-positional callable."""
+        import functools
+
+        from evm_indexer_spark.streaming.ingest import _accepts_batch_arg
+
+        def kwonly(store_, fresh, *, batch=None):
+            pass
+
+        def kwargs_only(store_, fresh, **kw):
+            pass
+
+        def varargs(*args):
+            pass
+
+        def three(store_, fresh, batch):
+            pass
+
+        assert not _accepts_batch_arg(kwonly)
+        assert not _accepts_batch_arg(kwargs_only)
+        assert _accepts_batch_arg(varargs)
+        assert _accepts_batch_arg(three)
+        assert not _accepts_batch_arg(functools.partial(three, None))
+
+        store = BlockStore(spark, str(tmp_path / "store"))
+        calls = []
+
+        def cb(store_, fresh, *, batch=None):
+            calls.append(batch)
+
+        process_raw_batch(
+            store, make_raw(spark, [raw_block(0)]), on_fresh=cb
+        )
+        assert calls == [None]  # 2-arg path taken, no TypeError
+
 
 class TestFinalityAndRepair:
     def test_depth_gate(self, spark, tmp_path):

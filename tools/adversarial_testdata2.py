@@ -174,10 +174,17 @@ def main() -> None:
         elif t == "events":
             tbl = pq.read_table(src)
             cols = {f.name: tbl.column(f.name).to_pylist() for f in tbl.schema}
-            ts_us = [
-                int(v.timestamp() * 1e6) if hasattr(v, "timestamp") else v
-                for v in cols["ts"]
-            ]
+            # read the arrow timestamp column's integer representation
+            # directly: datetime.timestamp() interprets naive values in
+            # the BOX's local timezone (and the float multiply can be
+            # off by a microsecond), which would make "deterministic
+            # regeneration" TZ-dependent (round-15 ADVICE)
+            ts_us = (
+                tbl.column("ts")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_pylist()
+            )
             n = len(ts_us)
             rows = []
             for i in range(n):
