@@ -1682,12 +1682,16 @@ def q61(spark, sf):
 
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
     # footer row count routes small inputs to the one-task window tier;
-    # above the tier (sf1's 6M rows and beyond) the two-phase
-    # range-partition plan runs — zero plan-build Spark jobs either way
+    # above the tier (sf1's 6M rows and beyond) the two-phase bucketed
+    # plan runs fully lazily — the footer (min, max) of the leading key
+    # replaces the build-time range aggregate, so BOTH tiers build with
+    # zero Spark jobs (round 15: the numbering is now a per-bucket JVM
+    # row_number window instead of an Arrow mapInPandas walk)
     return order.global_row_number(
         li,
         ["l_orderkey", "l_linenumber"],
         n_rows_hint=table_rowcount(sf, "lineitem"),
+        key_range_hint=table_column_range(sf, "lineitem", "l_orderkey"),
     )
 
 

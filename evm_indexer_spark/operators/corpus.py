@@ -441,6 +441,7 @@ def ngram_contamination(
     min_hits: int = 1,
     eval_small: bool | None = None,
     broadcast_below: int = 2_000_000,
+    keys: str = "string",
 ) -> DataFrame:
     """Benchmark decontamination by verbatim n-gram overlap — the
     GPT-3-style check: a training document is contaminated when ≥
@@ -475,59 +476,82 @@ def ngram_contamination(
     to drift between engines, and both regimes are value-identical by
     construction.
 
+    ``keys`` picks the join key space: ``"string"`` (default) joins on
+    the byte-exact space-joined gram strings; ``"fp64"`` joins on
+    64-bit window fingerprints instead (see the fingerprint key-space
+    block above) — kept as a MEASURED NEGATIVE: Spark's higher-order
+    functions evaluate interpreted, and the per-element lambda overhead
+    costs ~4× the codegen'd regexp gram pass at sf0.1 (round-15 A/B:
+    fp verbatim rows 1.18s vs gram strings 0.30s), so the smaller keys
+    never pay for themselves on this engine. Parity-pinned either way.
+
     Returns (id, n_windows, n_contaminated, contaminated) for every
     train document, zero-filled where nothing matched."""
     if n < 1 or min_hits < 1:
         raise ValueError("n and min_hits must be positive")
+    if keys not in ("fp64", "string"):
+        raise ValueError(f"unknown keys {keys!r}")
     grams = gram_array(text_col, n)
     spread = spread_small_scan(train)
+    if eval_small is None:
+        total = eval_df.select(
+            F.sum(F.size(grams)).alias("__n")
+        ).first()["__n"]
+        eval_small = (total or 0) <= broadcast_below
+    if keys == "fp64":
+        rows = fp_window_rows(spread, id_col, text_col, n, variants=False)
+        probe = fp_eval_keys(eval_df, text_col, n, variants=False)
+        probe = probe.withColumn("__hit", F.lit(1))
+        probe = (
+            F.broadcast(probe) if eval_small else probe.hint("shuffle_hash")
+        )
+        return (
+            rows.join(probe, rows["__fp"] == probe["__k"], "left")
+            .groupBy("id")
+            .agg(
+                F.count("__i").alias("n_windows"),
+                F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+            )
+            .select(
+                "id",
+                "n_windows",
+                "n_contaminated",
+                (F.col("n_contaminated") >= min_hits).alias("contaminated"),
+            )
+        )
     # ONE regexp pass over the train text: window counts and hit counts
-    # both aggregate from the same exploded stream. (A size()-based
-    # variant re-ran the extraction in a second scan — identical time
-    # at gate SF where scheduling floors dominate, ~1.4s warm sf0.1
-    # either way, but at corpus scale the text pass IS the cost and
-    # this shape makes exactly one.)
+    # both aggregate from the same exploded stream, and the explode is
+    # OUTER — a windowless doc (< n tokens) emits one NULL-gram row
+    # that joins nothing and counts zero windows, so the zero-fill
+    # restore join (a second pruned scan + broadcast join per entry
+    # through round 14) disappears; the per-doc aggregate is the plan's
+    # only exchange in the broadcast regime.
     exploded = spread.select(F.col(id_col).alias("id"), grams.alias("__g")).select(
-        "id", F.explode("__g").alias("__gram")
+        "id", F.posexplode_outer("__g").alias("__i", "__gram")
     )
     eval_grams = (
         eval_df.select(F.explode(grams).alias("__gram"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    if eval_small is None:
-        # Upper-bound probe: total occurrences >= distinct grams, one
-        # map pass + scalar agg (no gram strings leave the executors).
-        total = eval_df.select(
-            F.sum(F.size(grams)).alias("__n")
-        ).first()["__n"]
-        eval_small = (total or 0) <= broadcast_below
     # big regime: pin a shuffled hash join (eval side builds per-
     # partition maps) so a low size ESTIMATE can't re-broadcast a side
     # the probe just measured as too big.
     probe_side = (
         F.broadcast(eval_grams) if eval_small else eval_grams.hint("shuffle_hash")
     )
-    per_doc = (
+    return (
         exploded.join(probe_side, "__gram", "left")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
+            F.count("__i").alias("n_windows"),
             F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
         )
-    )
-    # zero-window docs (< n tokens) never reach the explode — restore
-    # them from an id-only projection (column pruning: no regexp runs)
-    return (
-        spread.select(F.col(id_col).alias("id"))
-        .join(per_doc, "id", "left")
         .select(
             "id",
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            (F.coalesce("n_contaminated", F.lit(0)) >= min_hits).alias(
-                "contaminated"
-            ),
+            "n_windows",
+            "n_contaminated",
+            (F.col("n_contaminated") >= min_hits).alias("contaminated"),
         )
     )
 
@@ -542,6 +566,7 @@ def skipgram_contamination(
     eval_small: bool | None = None,
     broadcast_below: int = 2_000_000,
     prefilter: bool = False,
+    keys: str = "string",
 ) -> DataFrame:
     """Fuzzy benchmark decontamination: a train document is
     contaminated when ≥ *min_hits* of its token n-gram windows match an
@@ -578,17 +603,33 @@ def skipgram_contamination(
     huge (high prune rate). Default off: on fixtures whose eval split
     scales with the corpus the half-sets densify and the measured
     prune rate collapses (round-14 A/B: the prefilter cost +18% at
-    sf0.1 and +48% at sf1 on the gate fixture)."""
+    sf0.1 and +48% at sf1 on the gate fixture).
+
+    Join topology (round 15): in the broadcast regime the n variant
+    probes are n BroadcastHashJoins against ONE reused exchange,
+    pipelined in a single codegen stage over WINDOW rows — the n×
+    variant-row explosion, the per-window (id, pos) collapse exchange,
+    and the zero-fill restore join all disappear; the only shuffle
+    left is the per-doc aggregate. The shuffle (corpus-sized-eval)
+    regime keeps the exploded variant-row shape.
+
+    ``keys="fp64"`` swaps the masked-variant strings for 64-bit XOR
+    fingerprints (variant_j = window fingerprint with position j's
+    term swapped for the mask term — the string semantics exactly,
+    see the fingerprint key-space block). Kept as a MEASURED NEGATIVE
+    default-off path: the construction runs on Spark's interpreted
+    higher-order-function evaluator and measured ~30% slower than the
+    codegen string variants at sf0.1 (round-15 A/B) despite the
+    smaller keys. ``prefilter=True`` implies the string engine (the
+    pigeonhole half-set path is a string construction)."""
     if n < 1 or min_hits < 1:
         raise ValueError("n and min_hits must be positive")
     if n > 32:
         raise ValueError("n > 32 masked variants per window is a mistake")
+    if keys not in ("fp64", "string"):
+        raise ValueError(f"unknown keys {keys!r}")
     norm = _token_split(text_col)
     spread = spread_small_scan(train)
-    t_win = skipgram_windows(
-        spread.select(F.col(id_col).alias("id"), text_col), text_col, n, "id"
-    )
-    eval_win = skipgram_windows(eval_df.select(text_col), text_col, n)
     if eval_small is None:
         # same upper-bound probe as ngram_contamination, scaled by the
         # n masked variants each window emits
@@ -598,52 +639,137 @@ def skipgram_contamination(
             ).alias("__n")
         ).first()["__n"]
         eval_small = (total or 0) <= broadcast_below
-    # ONE tokenize+mask pass feeds both aggregates (the q80 lesson —
-    # at corpus scale the text pass IS the cost). Two-level hash agg
-    # instead of count-distincts: collapsing the n keyed rows back to
-    # one row per (id, window) gets map-side partial aggregation and
-    # avoids the Expand node two DISTINCT aggregates would plan
+    if keys == "fp64" and not prefilter:
+        probe = fp_eval_keys(eval_df, text_col, n, variants=True)
+        if eval_small:
+            rows = fp_window_rows(spread, id_col, text_col, n, variants=True)
+            r = rows
+            hit_cols = []
+            for j in range(n):
+                # every probe branch carries the SAME schema (one column
+                # named __kp): ReuseExchange compares canonicalized plans
+                # INCLUDING the schema, so per-join aliases (__k0..__k7)
+                # would build the eval tokenize+hash+distinct subplan n
+                # times over — measured 8 live BroadcastExchanges before
+                # this; with a shared name it is 1 + (n-1) ReusedExchange.
+                # df["col"] references keep the joins unambiguous.
+                pj = F.broadcast(probe.select(F.col("__k").alias("__kp")))
+                r = r.join(
+                    pj,
+                    F.element_at(F.col("__v"), j + 1) == pj["__kp"],
+                    "left",
+                )
+                hit_cols.append(
+                    F.when(pj["__kp"].isNotNull(), 1).otherwise(0)
+                )
+            win_hit = (
+                F.greatest(*hit_cols) if len(hit_cols) > 1 else hit_cols[0]
+            )
+            per_doc = r.groupBy("id").agg(
+                F.count("__i").alias("n_windows"),
+                F.sum(win_hit).alias("n_contaminated"),
+            )
+        else:
+            prows = fp_variant_rows(spread, id_col, text_col, n)
+            probe_h = probe.withColumn("__hit", F.lit(1)).hint(
+                "shuffle_hash"
+            )
+            win_hits = (
+                prows.join(probe_h, prows["__key"] == probe_h["__k"], "left")
+                .groupBy("id", "__pos")
+                .agg(
+                    F.max(
+                        F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+                    ).alias("__h")
+                )
+            )
+            per_doc = win_hits.groupBy("id").agg(
+                F.count("__pos").alias("n_windows"),
+                F.sum("__h").alias("n_contaminated"),
+            )
+        return per_doc.select(
+            "id",
+            "n_windows",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)) >= min_hits
+            ).alias("contaminated"),
+        )
+    eval_win = skipgram_windows(eval_df.select(text_col), text_col, n)
     if prefilter and eval_small:
         # OPT-IN pigeonhole-prefiltered path (see skipgram_window_hits
-        # for the regime where it wins — and where it doesn't)
+        # for the regime where it wins — and where it doesn't). Keeps
+        # the zero-fill restore join: the prefilter engine is a string
+        # construction over the inner-exploded window frame.
+        t_win = skipgram_windows(
+            spread.select(F.col(id_col).alias("id"), text_col),
+            text_col, n, "id",
+        )
         win_hits = skipgram_window_hits(t_win, eval_win, n, "id")
-    else:
-        eval_keys = (
-            skipgram_keys(eval_win, n)
-            .select("__key")
-            .distinct()
-            .withColumn("__hit", F.lit(1))
+        per_doc = win_hits.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("__h").alias("n_contaminated"),
         )
-        probe_side = (
-            F.broadcast(eval_keys)
-            if eval_small
-            else eval_keys.hint("shuffle_hash")
-        )
-        win_hits = (
-            skipgram_keys(t_win, n, "id", "__pos")
-            .join(probe_side, "__key", "left")
-            .groupBy("id", "__pos")
-            .agg(
-                F.max(
-                    F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
-                ).alias("__h")
+        return (
+            spread.select(F.col(id_col).alias("id"))
+            .join(per_doc, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                F.coalesce("n_contaminated", F.lit(0)).alias(
+                    "n_contaminated"
+                ),
+                (F.coalesce("n_contaminated", F.lit(0)) >= min_hits).alias(
+                    "contaminated"
+                ),
             )
         )
+    # ONE tokenize+mask pass over the train text feeds everything (the
+    # q80 lesson — at corpus scale the text pass IS the cost), at
+    # WINDOW granularity with outer explode: windowless docs ride along
+    # as NULL rows, so the zero-fill restore join disappears.
+    eval_keys = (
+        skipgram_keys(eval_win, n)
+        .select("__key")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    probe_side = (
+        F.broadcast(eval_keys) if eval_small else eval_keys.hint("shuffle_hash")
+    )
+    # ONE shape for both regimes: outer-exploded variant rows joined
+    # against the routed probe, collapsed per window then per doc
+    # (two-level hash agg, map-side partial on both levels, no Expand
+    # node — a window matching via SEVERAL masked variants counts
+    # once). An n-probe window-level topology (n BroadcastHashJoins
+    # folded with greatest, no collapse exchange) was A/B'd here in
+    # round 15 and LOST (+0.3s at sf0.1, interleaved medians 2.63 vs
+    # 2.31): eight chained joins in one stage blow past the codegen
+    # budget where the exploded probe stays a tight loop, and the
+    # (id, pos) exchange it saves carries only one slim row per window.
+    vrows = window_variant_rows(spread, id_col, text_col, n).select(
+        "id", "__i", F.explode_outer("__vars").alias("__key")
+    )
+    win_hits = (
+        vrows.join(probe_side, "__key", "left")
+        .groupBy("id", "__i")
+        .agg(
+            F.max(
+                F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+            ).alias("__h")
+        )
+    )
     per_doc = win_hits.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
+        F.count("__i").alias("n_windows"),
         F.sum("__h").alias("n_contaminated"),
     )
-    return (
-        spread.select(F.col(id_col).alias("id"))
-        .join(per_doc, "id", "left")
-        .select(
-            "id",
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            (F.coalesce("n_contaminated", F.lit(0)) >= min_hits).alias(
-                "contaminated"
-            ),
-        )
+    return per_doc.select(
+        "id",
+        "n_windows",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) >= min_hits).alias(
+            "contaminated"
+        ),
     )
 
 
@@ -716,6 +842,41 @@ def window_halves(n: int):
         " ", *[F.element_at("__w", k + 1) for k in range(n2, n)]
     )
     return h1, h2
+
+
+def window_variant_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, __i, __vars array<string>) — one row per n-token window
+    carrying its n masked variants as an ARRAY, plus one NULL row per
+    windowless doc (``posexplode_outer`` over ``window_start_seq``).
+
+    The window-level shape the broadcast contamination regime probes
+    IN PLACE: n BroadcastHashJoins on ``element_at(__vars, j)`` fold to
+    a per-window hit with ``greatest`` — no n× variant-row explosion,
+    no (id, pos) collapse exchange, and (because windowless docs ride
+    along as NULL rows) no zero-fill restore join. ``__vars`` is NULL
+    on the windowless row: ``masked_variants`` over a NULL window would
+    otherwise concat to a bare mask token via concat_ws's NULL-skipping
+    and could join a real eval key."""
+    toks = df.select(
+        F.col(id_col).alias("id"), _token_split(text_col).alias("__t")
+    )
+    wins = toks.select(
+        "id",
+        F.col("__t"),
+        F.posexplode_outer(window_start_seq(F.col("__t"), n)).alias(
+            "__i", "__p"
+        ),
+    )
+    w = wins.select(
+        "id", "__i", F.slice("__t", F.col("__p"), n).alias("__w")
+    )
+    return w.select(
+        "id",
+        "__i",
+        F.when(F.col("__w").isNotNull(), masked_variants(n)).alias("__vars"),
+    )
 
 
 def skipgram_keys(win: DataFrame, n: int, *keep) -> DataFrame:
@@ -830,6 +991,178 @@ def skipgram_window_hits(
             ).alias("__h")
         )
     )
+
+
+# -- fingerprint key space (round 15) ---------------------------------------
+#
+# The contamination joins never need the window TEXT — only equality of
+# windows (verbatim) or of one-token-masked windows (skipgram). Both are
+# re-expressed as 64-bit fingerprints built from per-token xxhash64
+# values combined with position-keyed mixing:
+#
+#     g(r, tok)    = xxhash64(r, xxhash64(tok))      r = offset in window
+#     S(window)    = XOR of g(r, tok_r) over the n positions
+#     variant_j    = S ^ g(j, tok_j) ^ g(j, "\x01")  (mask position j)
+#
+# variant_j is literally the fingerprint of the window WITH position j
+# replaced by the \x01 placeholder, so the construction mirrors the
+# masked-STRING semantics exactly — including the documented corner
+# where raw text embeds a literal \x01 token (it hashes identically to
+# a mask, just as the string path matches it against one). Equality of
+# fingerprints ⟺ equality of the corresponding strings, except for
+# 64-bit hash collisions: the XOR fold is position-keyed (reordering
+# tokens changes every term), and a false positive needs two distinct
+# windows whose g-term XORs coincide — probability ≈ k²/2^65 over k
+# distinct keys (~7e-7 at the sf1 gate's ~5M keys; ~0.5 expected
+# collisions across a 100-TB corpus's ~1e12 windows — an O(1) docs
+# over-flag across the whole corpus, the right trade for dropping the
+# n²-byte masked-variant strings from the map volume; PARITY.md
+# "fingerprint key space"). The exact string path stays available via
+# ``keys="string"`` and is parity-pinned against this one.
+#
+# Map volume per window: n+1 fixed-width hashes + n² long XORs versus
+# building n strings of n tokens (≈ 6·n² text bytes) that are then
+# hashed again at every join probe. The per-window payload drops from
+# ~400 string bytes (n=8) to 8 longs, and the broadcast probe map keys
+# become primitive longs.
+#
+# MEASURED NEGATIVE on this engine (round 15): Spark evaluates
+# higher-order-function lambdas on the INTERPRETED expression path
+# (transform/aggregate bodies never enter whole-stage codegen), and
+# the per-element lambda dispatch dwarfs the byte savings — fp
+# verbatim window rows cost 1.18s where the codegen'd regexp gram
+# strings cost 0.30s at sf0.1 (same session, medians of 5). The
+# string key space stays the default; this path is kept, tested, and
+# documented as the honest A/B against the "hash combines instead of
+# materialized variant strings" hypothesis. The STRUCTURAL wins the
+# experiment surfaced (outer-explode killing the restore join, the
+# n-probe reused-broadcast topology) were ported back to the string
+# engine, where they measure as real gains.
+
+_FP_MASK = "\x01"
+
+
+def window_start_seq(toks_col, n: int):
+    """array<int> of 1-based window start positions — empty (not NULL)
+    when the doc has no complete window, so ``posexplode_outer`` emits
+    exactly one NULL row per windowless doc."""
+    valid = (F.size(toks_col) >= n) & (F.element_at(toks_col, 1) != "")
+    return F.when(
+        valid, F.sequence(F.lit(1), F.size(toks_col) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _fp_g_arrays(th_col, ws_col, n: int):
+    """array<array<long>> — per window, the n position-keyed combine
+    terms g(r, tok) = xxhash64(r, token_hash)."""
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    return F.transform(
+        ws_col,
+        lambda p: F.transform(
+            idx, lambda r: F.xxhash64(r, F.element_at(th_col, p + r))
+        ),
+    )
+
+
+def _fp_verbatim(wh_col):
+    """array<long>: per-window verbatim fingerprint S = XOR of terms."""
+    zero = F.lit(0).cast("long")
+    return F.transform(
+        wh_col,
+        lambda w: F.aggregate(w, zero, lambda a, x: a.bitwiseXOR(x)),
+    )
+
+
+def _fp_variants(wh_col, n: int):
+    """array<array<long>>: per window, the n one-substitution masked
+    fingerprints variant_j = S ^ g(j, tok_j) ^ g(j, mask). The mask
+    terms are a fully foldable constant array (Catalyst evaluates them
+    once at optimization); the inner XOR re-fold per j costs n² long
+    XORs per window — noise next to the hashing."""
+    zero = F.lit(0).cast("long")
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda j: F.xxhash64(j, F.xxhash64(F.lit(_FP_MASK))),
+    )
+    return F.transform(
+        wh_col,
+        lambda w: F.transform(
+            w,
+            lambda x, j: F.aggregate(w, zero, lambda a, y: a.bitwiseXOR(y))
+            .bitwiseXOR(x)
+            .bitwiseXOR(F.element_at(mh, j + 1)),
+        ),
+    )
+
+
+def _fp_doc_frame(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(id, __wh) — one row per doc with the per-window g-term arrays,
+    computed through chained projections so the token-hash array is
+    materialized once per row (CollapseProject keeps multi-referenced
+    non-trivial aliases as separate projections)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), _token_split(text_col).alias("__t")
+    )
+    hashed = toks.select(
+        "id",
+        F.transform("__t", lambda t: F.xxhash64(t)).alias("__th"),
+        window_start_seq(F.col("__t"), n).alias("__ws"),
+    )
+    return hashed.select(
+        "id", _fp_g_arrays(F.col("__th"), F.col("__ws"), n).alias("__wh")
+    )
+
+
+def fp_window_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, variants: bool
+) -> DataFrame:
+    """One row per n-token window — (id, __i, __fp) verbatim or
+    (id, __i, __v array<long>) masked — PLUS one NULL-window row per
+    windowless doc, so per-doc aggregates need no restore join."""
+    wh = _fp_doc_frame(df, id_col, text_col, n)
+    if variants:
+        arr = _fp_variants(F.col("__wh"), n)
+        return wh.select("id", F.posexplode_outer(arr).alias("__i", "__v"))
+    arr = _fp_verbatim(F.col("__wh"))
+    return wh.select("id", F.posexplode_outer(arr).alias("__i", "__fp"))
+
+
+def fp_variant_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, __pos, __key) — one row per (window, masked variant), plus
+    one NULL row per windowless doc: the exploded shape the shuffle-hash
+    (corpus-sized eval) regime joins on."""
+    wh = _fp_doc_frame(df, id_col, text_col, n)
+    varr = _fp_variants(F.col("__wh"), n)
+    pairs = F.flatten(
+        F.transform(
+            varr,
+            lambda w, i: F.transform(
+                w, lambda k: F.struct(i.alias("pos"), k.alias("key"))
+            ),
+        )
+    )
+    return wh.select("id", F.explode_outer(pairs).alias("__pk")).select(
+        "id",
+        F.col("__pk.pos").alias("__pos"),
+        F.col("__pk.key").alias("__key"),
+    )
+
+
+def fp_eval_keys(
+    eval_df: DataFrame, text_col: str, n: int, variants: bool
+) -> DataFrame:
+    """The distinct eval-side fingerprint set (__k long) — the probe
+    side, built through the identical construction."""
+    wh = _fp_doc_frame(
+        eval_df.select(F.lit(0).alias("__id0"), text_col), "__id0", text_col, n
+    )
+    if variants:
+        keys = F.explode(F.flatten(_fp_variants(F.col("__wh"), n)))
+    else:
+        keys = F.explode(_fp_verbatim(F.col("__wh")))
+    return wh.select(keys.alias("__k")).distinct()
 
 
 def gram_array(text_col: str, n: int):

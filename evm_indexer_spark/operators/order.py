@@ -5,32 +5,35 @@ classic Spark scale trap: Catalyst plans a single-partition Exchange and
 one task sorts the entire table. This module provides the scalable
 formulation:
 
-1. a small driver-side sample of the sort key picks ``n_part - 1``
-   boundary tuples, embedded in the plan as literals; every row gets a
-   deterministic bucket id = how many boundaries it exceeds
+1. every row gets a deterministic bucket id that is MONOTONE in the
+   sort key — ``width_bucket`` over the leading numeric column's
+   min/max (footer-provided literals when the caller has them, else an
+   in-plan scalar aggregate attached by broadcast), or, for
+   non-numeric keys, how many sampled boundary tuples the key exceeds
    (lexicographic compare, pure JVM expressions);
-2. one column-pruned pass counts rows per bucket; the exclusive
-   cumulative counts give each bucket's global offset (a handful of
-   numbers, driver-side);
-3. ``repartitionByRange`` on the bucket id (equal values are never
-   split across partitions) + ``sortWithinPartitions`` on (bucket,
-   key), then an Arrow-batched ``mapInPandas`` walks each sorted
-   partition once, adding bucket offset + local position.
+2. per-bucket row counts roll into exclusive prefix offsets — a
+   window over AT MOST ``4·n_part + 3`` aggregate rows (bounded by a
+   plan constant, never by data), broadcast back onto the rows;
+3. one hash exchange clusters each bucket and a per-bucket
+   ``row_number`` window adds the local position to the bucket offset.
 
-Total cost: one count, one sample scan, one counting scan, then a
-single range shuffle of the data — and NOTHING persisted: unlike a
-pid-offset design (which must pin the shuffled table so the counting
-job and the numbering job see identical partition boundaries), bucket
-ids are literal-driven, so any recomputation — retries, lost
-partitions, a second action on the result — reproduces identical ids.
-The result is identical to the single-partition window whenever the
-sort key is a total order (unique); ties would make both formulations
-nondeterministic, so require uniqueness.
+Everything is a single LAZY plan (round 15): no driver-side collect of
+counts, no Arrow round-trip — the earlier formulation collected bucket
+counts eagerly at build time and numbered rows in an Arrow-batched
+``mapInPandas`` walk, which shipped the whole table through Python
+(31.7s at sf1 vs DuckDB's 15.7s single window; the JVM window form
+needs no Python stage at all). NOTHING is persisted: bucket ids are
+pure expressions over the data (plus plan literals), so any
+recomputation — retries, lost partitions, a second action on the
+result — reproduces identical ids. The result is identical to the
+single-partition window whenever the sort key is a total order
+(unique); ties would make both formulations nondeterministic, so
+require uniqueness.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -91,6 +94,7 @@ def global_row_number(
     start: int = 1,
     n_rows_hint: int | None = None,
     small_below: int = 2_000_000,
+    key_range_hint: tuple | None = None,
 ) -> DataFrame:
     """Assign consecutive global row ids (``start``, ``start``+1, ...)
     following the total order of *order_by*. The caller guarantees the
@@ -105,24 +109,26 @@ def global_row_number(
     statistics — ``sources.tables.table_rowcount``). When provided and
     ≤ ``small_below``, the single-partition window plan is used
     instead: below ~2M narrow rows, one sort task beats the two-phase
-    formulation's three jobs (count/min-max agg, bucket counting, the
-    range shuffle) — measured via noop-write 5-run medians at 600k
-    rows on local[32]: 1.33s two-phase vs 0.87s window (collect-style
-    timing hides the gap; result transfer dominates both). The hint
-    routes the PLAN only; results are identical (the key is a total
-    order). Above the tier — and whenever the caller has no cheap
-    count — the scalable two-phase path runs, so nothing at 100-TB
-    scale ever touches the single-partition window."""
-    import pandas as pd  # noqa: F401 — mapInPandas batch type
+    formulation (scheduling floors dominate). The hint routes the PLAN
+    only; results are identical (the key is a total order).
 
+    ``key_range_hint``: caller-known (min, max) of the FIRST order
+    column (``sources.tables.table_column_range``) — with it the
+    numeric path is a fully lazy plan with ZERO build-time Spark jobs;
+    without it one scalar min/max aggregate is attached in-plan by
+    broadcast (still zero build jobs, one extra narrow scan at
+    execution). Hostile numeric keys need no fallback: NULLs take
+    bucket 0 (nulls-first), NaNs take the top bucket (Spark sorts NaN
+    last), ±Inf land on width_bucket's under/overflow buckets — the
+    bucket id stays monotone in the key, which is the only property
+    correctness needs (a degenerate range only costs balance)."""
     from pyspark.sql.types import NumericType
+    from pyspark.sql.window import Window
 
     cols = list(order_by)
     if _BUCKET in df.columns:
         raise ValueError(f"column name {_BUCKET!r} is reserved")
     if n_rows_hint is not None and n_rows_hint <= small_below:
-        from pyspark.sql.window import Window
-
         w = Window.orderBy(*cols)
         return df.withColumn(
             id_col,
@@ -132,101 +138,86 @@ def global_row_number(
     n_part = num_partitions or spark.sparkContext.defaultParallelism
 
     bucketed = None
-    n_buckets = n_part
     if isinstance(df.schema[cols[0]].dataType, NumericType):
         # numeric fast path: equal-width buckets on the first key column
-        # — count/min/max in ONE agg job and an O(1) bucket expression
-        # (a chain of per-boundary lexicographic predicates costs the
-        # optimizer ~1.5s per build at 32 partitions; width_bucket is a
-        # single node). Uneven buckets only skew partition sizes — the
-        # offsets below make any assignment correct.
-        n_rows, lo, hi = df.agg(
-            F.count(F.lit(1)), F.min(cols[0]), F.max(cols[0])
-        ).collect()[0]
-        if n_rows == 0:
-            return df.withColumn(id_col, F.lit(start).cast("long")).limit(0)
-        if lo is not None and hi is not None and lo < hi:
-            # (a NaN min/max fails the lo < hi check, so frames holding
-            # NaN keys fall through to the generic sampled path, whose
-            # `>` predicates follow Spark's NaN-sorts-last semantics)
-            n_buckets = n_part * 4  # finer grain absorbs mild skew
-            bucketed = df.withColumn(
-                _BUCKET,
-                # null keys -> bucket 0, matching the nulls-first order
-                # of the within-partition asc sort; width_bucket would
-                # return NULL and break the int-keyed offset table
-                F.when(F.col(cols[0]).isNull(), F.lit(0))
-                .otherwise(
-                    F.width_bucket(
-                        F.col(cols[0]).cast("double"),
-                        F.lit(float(lo)),
-                        F.lit(float(hi)),
-                        F.lit(n_buckets),
-                    )
-                )
-                .cast("int"),
+        # — an O(1) monotone bucket expression (a chain of per-boundary
+        # lexicographic predicates costs the optimizer ~1.5s per build
+        # at 32 partitions; width_bucket is a single node). Uneven
+        # buckets only skew partition sizes — the offsets below make
+        # any assignment correct.
+        n_buckets = n_part * 4  # finer grain absorbs mild skew
+        xd = F.col(cols[0]).cast("double")
+        hint_ok = (
+            key_range_hint is not None
+            and key_range_hint[0] is not None
+            and key_range_hint[1] is not None
+            and float(key_range_hint[0]) == float(key_range_hint[0])  # not NaN
+            and float(key_range_hint[1]) == float(key_range_hint[1])
+            and float(key_range_hint[0]) < float(key_range_hint[1])
+        )
+        if hint_ok:
+            base = df
+            lo_c = F.lit(float(key_range_hint[0]))
+            hi_c = F.lit(float(key_range_hint[1]))
+        else:
+            # in-plan scalar range, NaN-excluded so one hostile value
+            # cannot collapse every row into a single bucket
+            clean = F.when(~F.isnan(xd), xd)
+            rng = df.agg(
+                F.min(clean).alias("__glo"), F.max(clean).alias("__ghi")
             )
+            base = df.crossJoin(F.broadcast(rng))
+            lo_c, hi_c = F.col("__glo"), F.col("__ghi")
+        usable = lo_c.isNotNull() & hi_c.isNotNull() & (lo_c < hi_c)
+        bucket = (
+            F.when(F.col(cols[0]).isNull(), F.lit(0))
+            .when(F.isnan(xd), F.lit(n_buckets + 2))
+            .when(
+                usable,
+                F.width_bucket(xd, lo_c, hi_c, F.lit(n_buckets)),
+            )
+            .otherwise(F.lit(1))
+        ).cast("int")
+        bucketed = base.withColumn(_BUCKET, bucket)
+        if not hint_ok:
+            bucketed = bucketed.drop("__glo", "__ghi")
     else:
-        n_rows = df.count()
-        if n_rows == 0:
-            return df.withColumn(id_col, F.lit(start).cast("long")).limit(0)
-    if bucketed is None:
         # generic path: sampled lexicographic boundaries over the full
-        # key (non-numeric leading column, or a constant one)
+        # key (non-numeric leading column) — the sample is the one
+        # build-time job this path keeps (bounds must be literals)
+        n_rows = n_rows_hint if n_rows_hint is not None else df.count()
         bounds = _sample_boundaries(df, cols, n_part, n_rows)
         bucket = F.lit(0)
         for b in bounds:
             bucket = bucket + _lex_gt(cols, b).cast("int")
         bucketed = df.withColumn(_BUCKET, bucket)
 
-    # pass: rows per bucket -> exclusive cumulative offsets (<= n_part
-    # numbers on the driver; the scan is column-pruned to the key cols)
-    counts = {
-        r[0]: r[1]
-        for r in bucketed.groupBy(_BUCKET).agg(F.count(F.lit(1))).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = start
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    # list concat, not .add() — StructType.add mutates shared schemas
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(id_col, LongType())]
+    # per-bucket counts -> exclusive prefix offsets, ALL in-plan: the
+    # prefix window runs over at most n_buckets+3 aggregate rows (a
+    # plan constant — this is the only single-partition exchange, and
+    # it never sees data rows), then broadcasts back onto the rows
+    counts = bucketed.groupBy(_BUCKET).agg(
+        F.count(F.lit(1)).alias("__gcnt")
     )
-    out_cols = [f.name for f in out_schema.fields]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-
-    def number(iterator: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
-
-        offs = b_offsets.value
-        cur_b = None
-        pos = start
-        for batch in iterator:
-            m = len(batch)
-            if m == 0:
-                continue
-            b_arr = batch[_BUCKET].to_numpy()
-            ids = np.empty(m, dtype="int64")
-            i = 0
-            while i < m:
-                b = b_arr[i]
-                j = int(np.searchsorted(b_arr, b, side="right"))
-                if b != cur_b:
-                    cur_b = b
-                    pos = offs.get(int(b), start)
-                ids[i:j] = np.arange(pos, pos + (j - i))
-                pos += j - i
-                i = j
-            out = batch.drop(columns=[_BUCKET])
-            out[id_col] = ids
-            yield out[out_cols]
-
-    ranged = bucketed.repartitionByRange(
-        max(1, n_part), _BUCKET
-    ).sortWithinPartitions(_BUCKET, *cols)
-    return ranged.mapInPandas(number, schema=out_schema)
+    wo = (
+        Window.orderBy(_BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        _BUCKET,
+        (
+            F.coalesce(F.sum("__gcnt").over(wo), F.lit(0)) + F.lit(start)
+        ).alias("__goff"),
+    )
+    # one hash exchange clusters each bucket; the window sorts within
+    # and the global id is bucket offset + local position — no Python
+    # stage, no driver collect, nothing persisted
+    wb = Window.partitionBy(_BUCKET).orderBy(*cols)
+    return (
+        bucketed.join(F.broadcast(offs), _BUCKET)
+        .withColumn(
+            id_col,
+            (F.col("__goff") + F.row_number().over(wb) - 1).cast("long"),
+        )
+        .drop(_BUCKET, "__goff")
+    )

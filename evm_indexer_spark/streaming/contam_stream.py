@@ -49,6 +49,7 @@ from ..operators.corpus import (
     skipgram_keys,
     skipgram_window_hits,
     skipgram_windows,
+    window_variant_rows,
 )
 from ..operators.partitioning import spread_small_scan
 from .dedup_stream import (
@@ -138,51 +139,77 @@ def contamination_against(
     probe = grams.select("gram").withColumn("__hit", F.lit(1))
     probe = F.broadcast(probe) if eval_small else probe.hint("shuffle_hash")
     if mode == "ngram":
-        exploded = mode_keys(spread, text_col, n, mode, "id")
+        # outer explode: windowless docs ride the same scan as
+        # NULL-gram rows — no zero-fill restore join (round 15, the
+        # batch-twin topology in corpus.ngram_contamination)
+        exploded = spread.select(
+            "id",
+            F.posexplode_outer(gram_array(text_col, n)).alias(
+                "__i", "gram"
+            ),
+        )
         per_doc = (
             exploded.join(probe, "gram", "left")
             .groupBy("id")
             .agg(
-                F.count(F.lit(1)).alias("n_windows"),
+                F.count("__i").alias("n_windows"),
                 F.sum(
                     F.coalesce("__hit", F.lit(0))
                 ).alias("n_contaminated"),
+            )
+        )
+    elif eval_windows is not None and eval_small:
+        # prefilter engine: inner-exploded window frame, so the
+        # zero-fill restore join stays for THIS branch only
+        win = skipgram_windows(spread, text_col, n, "id")
+        win_hits = skipgram_window_hits(win, eval_windows, n, "id")
+        per_doc = win_hits.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("__h").alias("n_contaminated"),
+        )
+        base = docs.select(F.col(id_col).alias("id")).distinct()
+        return (
+            base.join(per_doc, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                F.coalesce("n_contaminated", F.lit(0)).alias(
+                    "n_contaminated"
+                ),
+                (
+                    F.coalesce("n_contaminated", F.lit(0)) >= min_hits
+                ).alias("contaminated"),
             )
         )
     else:
         # skipgram: a window matching via SEVERAL masked variants
         # counts once — collapse the n keyed rows back to one per
         # (id, window) first (two-level hash agg, map-side partial
-        # on both levels; the q81 shape, no Expand node)
-        if eval_windows is not None and eval_small:
-            win = skipgram_windows(spread, text_col, n, "id")
-            win_hits = skipgram_window_hits(win, eval_windows, n, "id")
-        else:
-            win_hits = (
-                mode_keys(spread, text_col, n, mode, "id")
-                .join(probe, "gram", "left")
-                .groupBy("id", "__pos")
-                .agg(
-                    F.max(
-                        F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
-                    ).alias("__h")
-                )
+        # on both levels; the q81 shape, no Expand node). Outer
+        # explode keeps windowless docs as NULL rows.
+        vrows = window_variant_rows(spread, "id", text_col, n).select(
+            "id", "__i", F.explode_outer("__vars").alias("gram")
+        )
+        win_hits = (
+            vrows.join(probe, "gram", "left")
+            .groupBy("id", "__i")
+            .agg(
+                F.max(
+                    F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+                ).alias("__h")
             )
+        )
         per_doc = win_hits.groupBy("id").agg(
-            F.count(F.lit(1)).alias("n_windows"),
+            F.count("__i").alias("n_windows"),
             F.sum("__h").alias("n_contaminated"),
         )
-    base = docs.select(F.col(id_col).alias("id")).distinct()
-    return (
-        base.join(per_doc, "id", "left")
-        .select(
-            "id",
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            (
-                F.coalesce("n_contaminated", F.lit(0)) >= min_hits
-            ).alias("contaminated"),
-        )
+    return per_doc.select(
+        "id",
+        "n_windows",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) >= min_hits).alias(
+            "contaminated"
+        ),
     )
 
 

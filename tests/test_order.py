@@ -45,14 +45,21 @@ def test_small_tier_matches_two_phase(spark):
     plan = small._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in plan  # the window tier really ran
     big = order.global_row_number(
-        df, ["k"], num_partitions=8, n_rows_hint=3000, small_below=100
+        df, ["k"], num_partitions=8, n_rows_hint=3000, small_below=100,
+        key_range_hint=(0, 3000),
     )
-    assert "SinglePartition" not in big._jdf.queryExecution().executedPlan().toString()
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    # the DATA never passes a single-partition exchange: with the
+    # footer range hint the one SinglePartition in the two-phase plan
+    # is the bucket-count prefix window over at most 4*n_part+3
+    # aggregate rows (a plan constant)
+    assert big_plan.count("SinglePartition") == 1
+    assert "__gcnt" in big_plan
+    assert "hashpartitioning(__gbucket" in big_plan
     sp = small.toPandas().sort_values("k").reset_index(drop=True)
     bp = big.toPandas().sort_values("k").reset_index(drop=True)
     assert sp[["k", "payload", "row_id"]].equals(bp[["k", "payload", "row_id"]])
-    # nullability differs (row_number is non-null, mapInPandas nullable)
-    # — names and types must agree; the driver's schema check compares
+    # names and types must agree; the driver's schema check compares
     # pandas dtypes, which both plans produce identically
     assert [(f.name, f.dataType) for f in small.schema.fields] == [
         (f.name, f.dataType) for f in big.schema.fields
@@ -64,13 +71,31 @@ def test_empty_input(spark):
     assert order.global_row_number(df, ["k"]).count() == 0
 
 
-def test_no_single_partition_exchange(spark):
-    """The whole point: no Exchange SinglePartition in the plan."""
+def test_no_single_partition_exchange_of_data(spark):
+    """The whole point: the table itself never passes a
+    single-partition exchange. The two-phase plan clusters DATA by a
+    hash exchange on the bucket id and numbers it with a per-bucket
+    row_number window; the only SinglePartition exchange carries the
+    per-bucket COUNT rows (≤ 4·n_part + 3, a plan constant) into the
+    prefix-offset window."""
     df = spark.range(0, 1000).select(F.col("id").alias("k"))
-    out = order.global_row_number(df, ["k"], num_partitions=8)
+    out = order.global_row_number(
+        df, ["k"], num_partitions=8, key_range_hint=(0, 999)
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    assert plan.count("SinglePartition") == 1
+    assert "__gcnt" in plan  # ...and it is the bounded counts frame
+    assert "hashpartitioning(__gbucket" in plan
+    assert "row_number" in plan
+    # hintless numeric path: the in-plan scalar min/max aggregate adds
+    # a global-agg exchange (referenced from both the counts side and
+    # the data side) — still only bounded frames, never table rows
+    nohint = order.global_row_number(df, ["k"], num_partitions=8)
+    nplan = nohint._jdf.queryExecution().executedPlan().toString()
+    assert nplan.count("SinglePartition") == 3
+    assert sorted(r["row_id"] for r in nohint.collect()) == list(
+        range(1, 1001)
+    )
 
 
 def test_percentile_sketch_check_all_ok(spark):
