@@ -39,6 +39,26 @@ REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 STEAL_CONTAMINATION_PCT = 5.0
 
 
+GATE_LOAD_THRESHOLDS = (1.5, 3.0, 2.0)  # 1/5/15-min, = bench_window.sh
+
+
+def gate_load_breach(loadavg_start: list | None) -> bool:
+    """True when bench.py's OWN pre-session loadavg violates the
+    window gate's thresholds — the round-14 window committed a run
+    whose loadavg_start read [3.69, 1.9, 1.94] (1-min above the
+    gate's 1.5) with no in-artifact explanation; the bench now
+    re-checks and self-labels so the gate's reading and the run's
+    reading can never disagree silently."""
+    if loadavg_start is None:
+        return False
+    return bool(
+        any(
+            v >= t
+            for v, t in zip(loadavg_start, GATE_LOAD_THRESHOLDS)
+        )
+    )
+
+
 def contamination_verdict(steal_pct: float | None) -> bool:
     """True iff the run's own measured hypervisor steal exceeds the
     protocol threshold — the run's timings (BOTH engines) are then not
@@ -453,41 +473,79 @@ def main() -> None:
 
         spark.range(64).select(_warm(F.col("id"))).count()
 
-        timings: dict[str, float] = {}
-        warm: dict[str, float] = {}
-        total = 0.0
-        warm_total = 0.0
-        for name, fn in sorted(driver_queries.queries().items()):
-            runs = []
-            for _ in range(REPEATS):
-                t0 = time.perf_counter()
-                df = fn(spark, SF_DIR)
-                # force full execution without driver-side result transfer
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-            timings[name] = round(runs[0], 4)
-            total += runs[0]
-            if len(runs) > 1:
-                warm[name] = round(min(runs[1:]), 4)
-                warm_total += warm[name]
+        def sweep(attempt: int) -> dict:
+            """One full catalog + oracle pass with its OWN steal window
+            — the interval the committed per-query numbers actually
+            came from, so a retry can supersede a contaminated attempt
+            with a provably cleaner one."""
+            j0 = _cpu_jiffies()
+            timings: dict[str, float] = {}
+            warm: dict[str, float] = {}
+            total = 0.0
+            warm_total = 0.0
+            for name, fn in sorted(driver_queries.queries().items()):
+                runs = []
+                for _ in range(REPEATS):
+                    t0 = time.perf_counter()
+                    df = fn(spark, SF_DIR)
+                    # force full execution without driver-side result
+                    # transfer
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+                timings[name] = round(runs[0], 4)
+                total += runs[0]
+                if len(runs) > 1:
+                    warm[name] = round(min(runs[1:]), 4)
+                    warm_total += warm[name]
+                print(
+                    f"  {name}: cold={runs[0]:.3f}s"
+                    + (f" warm={warm[name]:.3f}s" if name in warm else ""),
+                    file=sys.stderr,
+                )
+                # entries that persist intermediates (q79's shared
+                # encode pass) would otherwise accumulate cached blocks
+                # across the sweep; clearing OUTSIDE the timers keeps
+                # each entry's number self-contained without touching
+                # warm runs (every invocation builds its own plan)
+                spark.catalog.clearCache()
+            duck_total, duck_timings = bench_duckdb_oracles()
             print(
-                f"  {name}: cold={runs[0]:.3f}s"
-                + (f" warm={warm[name]:.3f}s" if name in warm else ""),
+                f"  duckdb oracle total ({len(duck_timings)} queries): "
+                f"{duck_total:.2f}s [attempt {attempt}]",
                 file=sys.stderr,
             )
-            # entries that persist intermediates (q79's shared encode
-            # pass) would otherwise accumulate cached blocks across the
-            # 67-entry sweep; clearing OUTSIDE the timers keeps each
-            # entry's number self-contained without touching warm runs
-            # (every invocation builds and persists its own plan)
-            spark.catalog.clearCache()
+            return {
+                "timings": timings,
+                "warm": warm,
+                "total": total,
+                "warm_total": warm_total,
+                "duck_total": duck_total,
+                "duck_timings": duck_timings,
+                "steal": _steal_pct(j0, _cpu_jiffies()),
+            }
 
-        duck_total, duck_timings = bench_duckdb_oracles()
-        print(
-            f"  duckdb oracle total ({len(duck_timings)} queries): "
-            f"{duck_total:.2f}s",
-            file=sys.stderr,
-        )
+        # bounded in-bench retry (round-15 directive): when the sweep's
+        # own steal window exceeds the contamination threshold, re-run
+        # the whole catalog+oracle sweep ONCE — the driver's artifact
+        # self-labeled contaminated two rounds running on transient
+        # host contention; a second attempt lets it self-heal. Both
+        # attempts' steal land in the artifact.
+        att = sweep(1)
+        attempt_steals = [att["steal"]]
+        if contamination_verdict(att["steal"]):
+            print(
+                f"  attempt 1 contaminated ({att['steal']}% in-sweep "
+                "steal > threshold) — retrying the sweep once",
+                file=sys.stderr,
+            )
+            att = sweep(2)
+            attempt_steals.append(att["steal"])
+        timings = att["timings"]
+        warm = att["warm"]
+        total = att["total"]
+        warm_total = att["warm_total"]
+        duck_total = att["duck_total"]
+        duck_timings = att["duck_timings"]
         ingest_cold_s, ingest_s, ingest_n = bench_ingest(spark)
         print(
             f"  ingest: {ingest_n} blocks in {ingest_s:.2f}s = "
@@ -524,13 +582,38 @@ def main() -> None:
             pass
         if loadavg_start is not None:
             metrics["loadavg_start"] = loadavg_start
-        steal = _steal_pct(jiffies_start, _cpu_jiffies())
+        # cpu_steal_pct is the steal across the USED sweep — the
+        # window the committed per-query numbers came from (a healed
+        # retry must not stay labeled by attempt 1's contention);
+        # the full-process figure and every attempt's figure are kept
+        # alongside for the chain of custody
+        steal = att["steal"]
+        full_steal = _steal_pct(jiffies_start, _cpu_jiffies())
         if steal is not None:
             metrics["cpu_steal_pct"] = steal
+        if full_steal is not None:
+            metrics["cpu_steal_pct_full_run"] = full_steal
+        metrics["attempt_steal_pcts"] = attempt_steals
+        metrics["retried"] = len(attempt_steals) > 1
         metrics["steal_contamination_threshold_pct"] = (
             STEAL_CONTAMINATION_PCT
         )
         metrics["contaminated"] = contamination_verdict(steal)
+        # chain of custody for the window gate (round-14 VERDICT nit):
+        # the gate's own pre-exec loadavg rides in via env so the
+        # committed artifact shows BOTH readings, and the bench
+        # re-checks its own start loadavg against the gate thresholds
+        # and self-labels a breach instead of leaving the two readings
+        # to disagree unexplained
+        gate_env = os.environ.get("SPARK_GRAFT_GATE_LOADAVG")
+        if gate_env:
+            try:
+                metrics["gate_loadavg"] = [
+                    round(float(x), 2) for x in gate_env.split(",")
+                ]
+            except ValueError:
+                pass
+        metrics["gate_load_breach"] = gate_load_breach(loadavg_start)
         line = json.dumps(metrics)
         # the driver keeps only the LAST 2000 CHARS of stdout and
         # json-parses them — the full metrics object is ~5 KB, so every
@@ -564,7 +647,10 @@ def main() -> None:
             compact["loadavg_start"] = loadavg_start
         if steal is not None:
             compact["cpu_steal_pct"] = steal
+        compact["attempt_steal_pcts"] = attempt_steals
+        compact["retried"] = metrics["retried"]
         compact["contaminated"] = metrics["contaminated"]
+        compact["gate_load_breach"] = metrics["gate_load_breach"]
         compact_line = json.dumps(compact, separators=(",", ":"))
         if len(compact_line) > 1900:  # keep headroom under the 2000-char tail
             # flag the drop so a scraped record with no per-query data

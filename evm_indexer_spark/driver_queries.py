@@ -1044,13 +1044,13 @@ def q35(spark, sf):
     "q37_media_metadata",
     """
     SELECT doc_id,
-      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      CASE CAST((doc_id % 3 + 3) % 3 AS INT) WHEN 0 THEN 'image'
            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       octet_length(encode(text)) AS n_bytes,
       64 + (doc_id * 3) % 448 AS width,
       64 + (doc_id * 7) % 448 AS height,
       1 + doc_id % 16 AS n_frames,
-      CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS BIGINT) AS sample_rate
+      CAST(CASE WHEN (doc_id % 3 + 3) % 3 = 1 THEN 16000 ELSE 0 END AS BIGINT) AS sample_rate
     FROM documents
     """,
 )
@@ -1089,11 +1089,11 @@ def q38(spark, sf):
     WITH v AS (
       SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              1 + doc_id % 16 AS n_frames
-      FROM documents WHERE doc_id % 3 = 2),
+      FROM documents WHERE (doc_id % 3 + 3) % 3 = 2),
     a AS (
       SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              32000 AS bpc  -- 16000 Hz * 2 bytes * 1 s
-      FROM documents WHERE doc_id % 3 = 1)
+      FROM documents WHERE (doc_id % 3 + 3) % 3 = 1)
     SELECT 'video' AS kind, doc_id, i AS chunk_idx,
            i * (n_bytes // n_frames) AS chunk_off,
            n_bytes // n_frames AS chunk_len
@@ -1970,11 +1970,11 @@ def q67(spark, sf):
     """
     SELECT doc_id,
            32 AS width, 24 AS height,
-           CAST(min((doc_id * 7 + bx * 13 + by * 29) % 256) AS BIGINT)
+           CAST(min(((doc_id * 7 + bx * 13 + by * 29) % 256 + 256) % 256) AS BIGINT)
                AS px_min,
-           CAST(max((doc_id * 7 + bx * 13 + by * 29) % 256) AS BIGINT)
+           CAST(max(((doc_id * 7 + bx * 13 + by * 29) % 256 + 256) % 256) AS BIGINT)
                AS px_max,
-           CAST(64 * sum((doc_id * 7 + bx * 13 + by * 29) % 256) AS BIGINT)
+           CAST(64 * sum(((doc_id * 7 + bx * 13 + by * 29) % 256 + 256) % 256) AS BIGINT)
                AS px_sum
     FROM documents,
          generate_series(0, 3) AS gx(bx),
@@ -2020,9 +2020,9 @@ def q68(spark, sf):
     SELECT doc_id,
            16000 AS sample_rate,
            2048 AS n_samples,
-           CAST(max(abs((doc_id * 31 + i * 7) % 2048 - 1024)) AS BIGINT)
+           CAST(max(abs(((doc_id * 31 + i * 7) % 2048 + 2048) % 2048 - 1024)) AS BIGINT)
                AS peak,
-           CAST(sum((doc_id * 31 + i * 7) % 2048 - 1024) AS BIGINT)
+           CAST(sum(((doc_id * 31 + i * 7) % 2048 + 2048) % 2048 - 1024) AS BIGINT)
                AS s_sum
     FROM documents, generate_series(0, 2047) AS gs(i)
     GROUP BY doc_id
@@ -2180,11 +2180,11 @@ def q71(spark, sf):
     """
     SELECT doc_id,
            2 AS n_frames, 32 AS width, 16 AS height,
-           CAST(min((doc_id * 13 + f * 97 + r * 5 + c * 3) % 256) AS BIGINT)
+           CAST(min(((doc_id * 13 + f * 97 + r * 5 + c * 3) % 256 + 256) % 256) AS BIGINT)
                AS y_min,
-           CAST(max((doc_id * 13 + f * 97 + r * 5 + c * 3) % 256) AS BIGINT)
+           CAST(max(((doc_id * 13 + f * 97 + r * 5 + c * 3) % 256 + 256) % 256) AS BIGINT)
                AS y_max,
-           CAST(sum((doc_id * 13 + f * 97 + r * 5 + c * 3) % 256) AS BIGINT)
+           CAST(sum(((doc_id * 13 + f * 97 + r * 5 + c * 3) % 256 + 256) % 256) AS BIGINT)
                AS y_sum
     FROM documents,
          generate_series(0, 1) AS gf(f),

@@ -722,6 +722,15 @@ def flac_decode(data: bytes) -> tuple[np.ndarray, int]:
         pos = rd.bytepos + 2
 
     n = total if total else len(chans[0])
+    if total and len(chans[0]) < total:
+        # a stream cut at a frame boundary ends the loop cleanly with
+        # every CRC intact — without this check a truncated payload
+        # would SILENTLY return partial audio (round-15 hostile-media
+        # find); STREAMINFO's total-sample count is the ground truth
+        raise ValueError(
+            f"truncated FLAC stream: decoded {len(chans[0])} of "
+            f"{total} samples"
+        )
     arrs = [np.array(c[:n], dtype=np.int64) for c in chans]
     for a in arrs:
         if a.max(initial=0) > 32767 or a.min(initial=0) < -32768:

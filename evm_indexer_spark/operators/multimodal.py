@@ -85,18 +85,25 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     downstream operators only see the MEDIA_SCHEMA contract.
     """
     payload = F.encode(F.col("text"), "UTF-8")
+    # pmod for the CLASSIFICATIONS (media_type, audio detection): the
+    # sign-preserving % of a hostile negative doc_id would otherwise
+    # drive element_at to index 0 — a runtime ERROR in Spark — while
+    # the SQL CASE silently takes its ELSE arm (round-15 hostile-media
+    # fixture find). The width/height/n_frames ARITHMETIC keeps plain %
+    # on purpose: both engines truncate identically there, so parity
+    # holds without rewriting the published formulas.
     return documents.select(
         F.col("doc_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            (F.pmod(F.col("doc_id"), 3) + 1).cast("int"),
         ).alias("media_type"),
         payload.alias("payload"),
         F.length(payload).cast("long").alias("n_bytes"),
         (F.lit(64) + (F.col("doc_id") * 3) % 448).cast("long").alias("width"),
         (F.lit(64) + (F.col("doc_id") * 7) % 448).cast("long").alias("height"),
         (F.lit(1) + F.col("doc_id") % 16).cast("long").alias("n_frames"),
-        F.when(F.col("doc_id") % 3 == 1, F.lit(16000))
+        F.when(F.pmod(F.col("doc_id"), 3) == 1, F.lit(16000))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("sample_rate"),
@@ -214,14 +221,20 @@ def frame_offsets(media: DataFrame) -> DataFrame:
     """
     v = media.filter(F.col("media_type") == "video")
     frame_len = F.floor(F.col("n_bytes") / F.col("n_frames")).cast("long")
+    # sequence(0, k) DESCENDS when k < 0 (Spark defaults step to -1),
+    # where SQL generate_series returns empty — a hostile negative
+    # n_frames must yield zero frames, not phantom negative indices
+    # (round-15 hostile-media fixture find)
+    idx_seq = F.when(
+        F.col("n_frames") >= 1,
+        F.sequence(F.lit(0), (F.col("n_frames") - 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         v.select(
             "doc_id",
             "n_bytes",
             "n_frames",
-            F.explode(
-                F.sequence(F.lit(0), (F.col("n_frames") - 1).cast("int"))
-            ).alias("frame_idx"),
+            F.explode(idx_seq).alias("frame_idx"),
         )
         .select(
             "doc_id",
@@ -264,13 +277,19 @@ def audio_chunk_offsets(media: DataFrame, chunk_seconds: float = 1.0) -> DataFra
         (F.col("sample_rate") * F.lit(2) * F.lit(chunk_seconds)).cast("long")
     )
     n_chunks = F.ceil(F.col("n_bytes") / bytes_per_chunk).cast("int")
+    # empty payloads give n_chunks = 0: sequence(0, -1) would DESCEND
+    # in Spark where SQL generate_series is empty — emit zero chunks
+    # (round-15 hostile-media fixture find, same rule as frame_offsets)
+    chunk_seq = F.when(
+        n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
         a.filter(F.col("sample_rate") > 0)
         .select(
             "doc_id",
             "n_bytes",
             bytes_per_chunk.alias("_bpc"),
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            F.explode(chunk_seq).alias("chunk_idx"),
         )
         .select(
             "doc_id",
@@ -388,13 +407,23 @@ def flac_features(media: DataFrame) -> DataFrame:
                 for k in ("doc_id", "sample_rate", "n_samples", "peak", "s_sum")
             }
             for did, buf in zip(pdf["doc_id"], pdf["payload"]):
-                samples, rate = flac_decode(bytes(buf))
-                s = samples.astype(np.int64)
                 out["doc_id"].append(did)
-                out["sample_rate"].append(rate)
-                out["n_samples"].append(s.size)
-                out["peak"].append(int(np.abs(s).max()) if s.size else 0)
-                out["s_sum"].append(int(s.sum()))
+                # PER-ROW refusal (round-15 adversarial-media rule):
+                # one corrupt/truncated/CRC-broken payload in a 100-TB
+                # corpus must never fail the job — the row degrades to
+                # NULL features (the broad except is deliberate: the
+                # codec raises ValueError by contract, but a hostile
+                # container can surface library-level types too)
+                try:
+                    samples, rate = flac_decode(bytes(buf))
+                    s = samples.astype(np.int64)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(s.size)
+                    out["peak"].append(int(np.abs(s).max()) if s.size else 0)
+                    out["s_sum"].append(int(s.sum()))
+                except Exception:
+                    for k in ("sample_rate", "n_samples", "peak", "s_sum"):
+                        out[k].append(None)
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(
@@ -481,27 +510,40 @@ def h264_frame_features(
             if budgeted:
                 out["decoded"] = []
             for did, buf in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(buf)
                 out["doc_id"].append(did)
-                if budgeted and len(raw) > decode_budget_bytes:
-                    h, w = h264_header_dims(raw)
-                    out["n_frames"].append(None)
-                    out["height"].append(h)
-                    out["width"].append(w)
-                    out["y_min"].append(None)
-                    out["y_max"].append(None)
-                    out["y_sum"].append(None)
-                    out["decoded"].append(False)
-                    continue
-                y, _, _ = h264_decode(raw)
-                out["n_frames"].append(y.shape[0])
-                out["height"].append(y.shape[1])
-                out["width"].append(y.shape[2])
-                out["y_min"].append(int(y.min()))
-                out["y_max"].append(int(y.max()))
-                out["y_sum"].append(int(y.astype(np.int64).sum()))
-                if budgeted:
-                    out["decoded"].append(True)
+                # PER-ROW refusal: corrupt/truncated/non-I_PCM streams
+                # degrade to a NULL-stats row (decoded=false when
+                # budgeted) instead of poisoning the task — one bad
+                # clip must never fail a 100-TB job
+                try:
+                    raw = bytes(buf)
+                    if budgeted and len(raw) > decode_budget_bytes:
+                        h, w = h264_header_dims(raw)
+                        out["n_frames"].append(None)
+                        out["height"].append(h)
+                        out["width"].append(w)
+                        out["y_min"].append(None)
+                        out["y_max"].append(None)
+                        out["y_sum"].append(None)
+                        out["decoded"].append(False)
+                        continue
+                    y, _, _ = h264_decode(raw)
+                    out["n_frames"].append(y.shape[0])
+                    out["height"].append(y.shape[1])
+                    out["width"].append(y.shape[2])
+                    out["y_min"].append(int(y.min()))
+                    out["y_max"].append(int(y.max()))
+                    out["y_sum"].append(int(y.astype(np.int64).sum()))
+                    if budgeted:
+                        out["decoded"].append(True)
+                except Exception:
+                    for k in (
+                        "n_frames", "width", "height",
+                        "y_min", "y_max", "y_sum",
+                    ):
+                        out[k].append(None)
+                    if budgeted:
+                        out["decoded"].append(False)
             yield pd.DataFrame(out)
 
     schema = (
@@ -525,17 +567,45 @@ def wav_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "peak", "rms")}
             for did, buf in zip(pdf["doc_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(buf)), "rb") as w:
-                    rate = w.getframerate()
-                    frames = w.readframes(w.getnframes())
-                samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
                 out["doc_id"].append(did)
-                out["sample_rate"].append(rate)
-                out["n_samples"].append(samples.size)
-                out["peak"].append(int(np.abs(samples).max()) if samples.size else 0)
-                out["rms"].append(
-                    float(np.sqrt((samples**2).mean())) if samples.size else 0.0
-                )
+                # PER-ROW refusal: a malformed RIFF container (stdlib
+                # wave raises wave.Error/EOFError) degrades to a NULL
+                # row, never a dead task
+                try:
+                    with wave.open(io.BytesIO(bytes(buf)), "rb") as w:
+                        rate = w.getframerate()
+                        want = (
+                            w.getnframes()
+                            * w.getsampwidth()
+                            * w.getnchannels()
+                        )
+                        frames = w.readframes(w.getnframes())
+                    if len(frames) < want:
+                        # stdlib wave trusts the data-chunk header and
+                        # silently returns what bytes exist — a stream
+                        # whose header promises more than its body
+                        # (truncation, dims >> data) must refuse, not
+                        # report partial audio as the whole clip
+                        raise ValueError(
+                            f"truncated WAV: {len(frames)} of {want} "
+                            "data bytes"
+                        )
+                    samples = np.frombuffer(frames, dtype="<i2").astype(
+                        np.float64
+                    )
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(samples.size)
+                    out["peak"].append(
+                        int(np.abs(samples).max()) if samples.size else 0
+                    )
+                    out["rms"].append(
+                        float(np.sqrt((samples**2).mean()))
+                        if samples.size
+                        else 0.0
+                    )
+                except Exception:
+                    for k in ("sample_rate", "n_samples", "peak", "rms"):
+                        out[k].append(None)
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(
@@ -871,20 +941,28 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             out = {k: [] for k in ("doc_id", "width", "height",
                                    "mean_r", "mean_g", "mean_b")}
             for did, buf in zip(pdf["doc_id"], pdf["payload"]):
-                _, px = decode_image_payload(bytes(buf))
-                px = px.astype(np.float64)
                 out["doc_id"].append(did)
-                out["height"].append(px.shape[0])
-                out["width"].append(px.shape[1])
-                if px.ndim == 2:
-                    m = float(px.mean())
-                    means = (m, m, m)
-                else:
-                    means = tuple(
-                        float(px[:, :, i].mean()) for i in range(3)
-                    )
-                for ch, m in zip("rgb", means):
-                    out[f"mean_{ch}"].append(m)
+                # PER-ROW refusal: wrong magic, truncated stream, bad
+                # CRC — the row degrades to NULL features
+                try:
+                    _, px = decode_image_payload(bytes(buf))
+                    px = px.astype(np.float64)
+                    out["height"].append(px.shape[0])
+                    out["width"].append(px.shape[1])
+                    if px.ndim == 2:
+                        m = float(px.mean())
+                        means = (m, m, m)
+                    else:
+                        means = tuple(
+                            float(px[:, :, i].mean()) for i in range(3)
+                        )
+                    for ch, m in zip("rgb", means):
+                        out[f"mean_{ch}"].append(m)
+                except Exception:
+                    for k in (
+                        "width", "height", "mean_r", "mean_g", "mean_b",
+                    ):
+                        out[k].append(None)
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(
@@ -922,25 +1000,36 @@ def image_pixel_extremes(
             if budgeted:
                 out["decoded"] = []
             for did, buf in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(buf)
                 out["doc_id"].append(did)
-                if budgeted and len(raw) > decode_budget_bytes:
-                    h, w = image_header_dims(raw)
-                    out["height"].append(h)
-                    out["width"].append(w)
-                    out["px_min"].append(None)
-                    out["px_max"].append(None)
-                    out["px_sum"].append(None)
-                    out["decoded"].append(False)
-                    continue
-                _, px = decode_image_payload(raw)
-                out["height"].append(px.shape[0])
-                out["width"].append(px.shape[1])
-                out["px_min"].append(int(px.min()))
-                out["px_max"].append(int(px.max()))
-                out["px_sum"].append(int(px.astype(np.int64).sum()))
-                if budgeted:
-                    out["decoded"].append(True)
+                # PER-ROW refusal: one corrupt image degrades to a
+                # NULL-stats row (decoded=false when budgeted), never
+                # a failed job
+                try:
+                    raw = bytes(buf)
+                    if budgeted and len(raw) > decode_budget_bytes:
+                        h, w = image_header_dims(raw)
+                        out["height"].append(h)
+                        out["width"].append(w)
+                        out["px_min"].append(None)
+                        out["px_max"].append(None)
+                        out["px_sum"].append(None)
+                        out["decoded"].append(False)
+                        continue
+                    _, px = decode_image_payload(raw)
+                    out["height"].append(px.shape[0])
+                    out["width"].append(px.shape[1])
+                    out["px_min"].append(int(px.min()))
+                    out["px_max"].append(int(px.max()))
+                    out["px_sum"].append(int(px.astype(np.int64).sum()))
+                    if budgeted:
+                        out["decoded"].append(True)
+                except Exception:
+                    for k in (
+                        "width", "height", "px_min", "px_max", "px_sum",
+                    ):
+                        out[k].append(None)
+                    if budgeted:
+                        out["decoded"].append(False)
             yield pd.DataFrame(out)
 
     schema = (
@@ -961,13 +1050,18 @@ def resize_image_payloads(media: DataFrame, width: int, height: int) -> DataFram
         for pdf in batches:
             payloads = []
             for buf in pdf["payload"]:
-                fmt, px = decode_image_payload(bytes(buf))
-                h0, w0 = px.shape[:2]
-                yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
-                xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
-                payloads.append(
-                    _encode_image_payload(fmt, px[yi[:, None], xi])
-                )
+                # PER-ROW refusal: an undecodable input resizes to a
+                # NULL payload instead of failing the batch
+                try:
+                    fmt, px = decode_image_payload(bytes(buf))
+                    h0, w0 = px.shape[:2]
+                    yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                    xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                    payloads.append(
+                        _encode_image_payload(fmt, px[yi[:, None], xi])
+                    )
+                except Exception:
+                    payloads.append(None)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return media.select("doc_id", "payload").mapInPandas(

@@ -138,3 +138,44 @@ class TestBenchMedianFold:
         # q01 median = 2.2 over (2.0, 4.0, 2.2); duck median = 1.0
         assert agg["queries_warm_median"]["q01_x"] == 2.2
         assert agg["queries_duckdb_median"]["q01_x"] == 1.0
+
+
+class TestChainOfCustody:
+    """Round-15 directives #6/#7: the gate's own loadavg rides into the
+    artifact, the bench self-labels a gate breach, and a contaminated
+    sweep retries once before emitting."""
+
+    def test_gate_load_breach_thresholds_match_window_gate(self):
+        assert bench.GATE_LOAD_THRESHOLDS == (1.5, 3.0, 2.0)
+        sh = (REPO / "tools" / "bench_window.sh").read_text()
+        # the shell gate must use the SAME numbers
+        assert "< 1.5" in sh and "< 3.0" in sh and "< 2.0" in sh
+
+    def test_gate_load_breach_verdicts(self):
+        # the exact round-14 artifact this field exists for
+        assert bench.gate_load_breach([3.69, 1.9, 1.94]) is True
+        assert bench.gate_load_breach([0.4, 0.9, 1.2]) is False
+        assert bench.gate_load_breach([1.49, 2.99, 1.99]) is False
+        assert bench.gate_load_breach([0.1, 3.2, 0.1]) is True
+        assert bench.gate_load_breach(None) is False
+
+    def test_window_script_hands_its_loadavg_to_bench(self):
+        sh = (REPO / "tools" / "bench_window.sh").read_text()
+        assert "SPARK_GRAFT_GATE_LOADAVG" in sh
+
+    def test_bench_emits_custody_and_retry_fields(self):
+        # source-level pin: the catalog mode must emit the custody and
+        # retry fields and decide the retry with the SAME verdict
+        # helper the contamination label uses (a drifted private
+        # threshold would let a run retry on one rule and self-label
+        # by another)
+        src = (REPO / "bench.py").read_text()
+        for field in (
+            '"gate_loadavg"',
+            '"gate_load_breach"',
+            '"attempt_steal_pcts"',
+            '"retried"',
+            '"cpu_steal_pct_full_run"',
+        ):
+            assert field in src, field
+        assert 'if contamination_verdict(att["steal"])' in src

@@ -317,3 +317,172 @@ class TestPngCodec:
         for did in range(4):
             for ch in ("mean_r", "mean_g", "mean_b"):
                 assert abs(by_id[did][ch] - ref[did][ch]) < 1e-9
+
+
+class TestPerRowRefusal:
+    """Round-15 adversarial-media rule: one corrupt payload in a corpus
+    must degrade to a NULL-feature row, never fail the job — for every
+    decode-side operator, across the hostile classes (truncation,
+    bit-flip, zero-length, wrong magic, header-dims >> data, CRC
+    mismatch, NULL payload)."""
+
+    def _mix(self, spark, good_df, hostile: dict):
+        """good rows from *good_df* (doc_id < 100) + hostile payloads
+        keyed by doc_id (>= 900)."""
+        import pandas as pd
+
+        rows = good_df.select("doc_id", "payload").toPandas()
+        add = pd.DataFrame(
+            {"doc_id": list(hostile), "payload": list(hostile.values())}
+        )
+        return spark.createDataFrame(
+            pd.concat([rows, add], ignore_index=True),
+            schema="doc_id long, payload binary",
+        )
+
+    def test_flac_features_degrade_per_row(self, spark):
+        docs = spark.range(0, 3).select(F.col("id").alias("doc_id"))
+        media = multimodal.synthesize_flac(docs, n_samples=64)
+        ok = bytes(media.collect()[0]["payload"])
+        # CRC mismatch: flip one bit deep in the frame body
+        crc_bad = bytearray(ok)
+        crc_bad[-3] ^= 0x40
+        hostile = {
+            900: b"",                          # zero-length
+            901: b"RIFF" + ok[4:],             # wrong magic
+            902: ok[: len(ok) // 2],           # truncated
+            903: bytes(crc_bad),               # CRC mismatch
+            904: None,                         # NULL payload
+        }
+        out = multimodal.flac_features(
+            self._mix(spark, media, hostile)
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert len(by_id) == 8
+        for did in (0, 1, 2):
+            assert by_id[did]["n_samples"] == 64
+        for did in hostile:
+            r = by_id[did]
+            assert r["sample_rate"] is None and r["n_samples"] is None
+            assert r["peak"] is None and r["s_sum"] is None
+
+    def test_h264_features_degrade_per_row(self, spark):
+        docs = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+        media = multimodal.synthesize_h264(docs, width=16, height=16, n_frames=1)
+        ok = bytes(media.collect()[0]["payload"])
+        hostile = {
+            900: b"\x00\x00\x00\x01",          # bare start code
+            901: ok[:20],                      # truncated inside SPS
+            902: b"",                          # zero-length
+            903: bytes(b ^ 0xFF for b in ok[:64]) + ok[64:],  # bit-flipped
+        }
+        out = multimodal.h264_frame_features(
+            self._mix(spark, media, hostile)
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[0]["n_frames"] == 1 and by_id[0]["width"] == 16
+        for did in hostile:
+            assert by_id[did]["y_sum"] is None and by_id[did]["width"] is None
+        # budgeted mode labels refusals decoded=false
+        outb = multimodal.h264_frame_features(
+            self._mix(spark, media, hostile), decode_budget_bytes=10**6
+        ).collect()
+        bb = {r["doc_id"]: r for r in outb}
+        assert bb[0]["decoded"] is True
+        for did in hostile:
+            assert bb[did]["decoded"] is False
+
+    def test_wav_features_degrade_per_row(self, spark):
+        docs = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+        media = multimodal.synthesize_wav(docs, n_samples=80)
+        ok = bytes(media.collect()[0]["payload"])
+        # header-dims >> data: RIFF size field says 2^30, body truncated
+        big_hdr = bytearray(ok[:64])
+        big_hdr[4:8] = (2**30).to_bytes(4, "little")
+        hostile = {
+            900: b"",
+            901: b"JUNK" + ok[4:],
+            902: bytes(big_hdr),
+            903: None,
+        }
+        out = multimodal.wav_features(
+            self._mix(spark, media, hostile)
+        ).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[0]["n_samples"] == 80
+        for did in hostile:
+            assert by_id[did]["sample_rate"] is None
+
+    def test_image_ops_degrade_per_row(self, spark):
+        docs = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+        media = multimodal.synthesize_png(docs, width=8, height=6)
+        ok = bytes(media.collect()[0]["payload"])
+        # CRC mismatch: corrupt one byte inside IDAT (after the 8-byte
+        # signature + IHDR); header-dims >> data: IHDR claims 2^24 px
+        crc_bad = bytearray(ok)
+        crc_bad[len(ok) // 2] ^= 0x01
+        huge = bytearray(ok)
+        huge[16:20] = (2**24).to_bytes(4, "big")  # IHDR width
+        hostile = {
+            900: b"",
+            901: b"\x89PNG\r\n\x1a\n",         # signature only
+            902: ok[:30],                       # truncated
+            903: bytes(crc_bad),                # CRC mismatch
+            904: bytes(huge),                   # header dims >> data
+            905: b"GIF89a" + ok[6:],            # wrong magic
+        }
+        mixed = self._mix(spark, media, hostile)
+        stats = {r["doc_id"]: r for r in multimodal.image_pixel_stats(mixed).collect()}
+        assert stats[0]["width"] == 8
+        for did in hostile:
+            assert stats[did]["mean_r"] is None and stats[did]["width"] is None
+        ext = {r["doc_id"]: r for r in multimodal.image_pixel_extremes(mixed).collect()}
+        assert ext[0]["px_sum"] is not None
+        for did in hostile:
+            assert ext[did]["px_sum"] is None
+        rz = {
+            r["doc_id"]: r["payload"]
+            for r in multimodal.resize_image_payloads(mixed, 4, 3).collect()
+        }
+        assert rz[0] is not None
+        for did in hostile:
+            assert rz[did] is None
+
+
+class TestHostileMediaIds:
+    """Round-15 hostile-media fixture finds, pinned: negative/zero
+    doc_ids must flow through the media formula surface on BOTH the
+    classification and the slicing paths."""
+
+    def _docs(self, spark):
+        rows = [(-4, "negative video"), (-3, "negative image"),
+                (-2, "neg"), (-1, "zero frames video"), (0, "zero id"),
+                (22, ""), (7, "plain audio doc body")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_media_type_total_on_negative_ids(self, spark):
+        # sign-preserving % drove element_at to index 0 (a runtime
+        # error) before the pmod fix; every id must classify
+        out = {r["doc_id"]: r["media_type"]
+               for r in multimodal.media_metadata(self._docs(spark)).collect()}
+        assert out[-4] == "video" and out[-3] == "image"
+        assert out[-1] == "video" and out[0] == "image"
+        assert out[7] == "audio"
+
+    def test_negative_or_zero_n_frames_yield_no_rows(self, spark):
+        # sequence(0, k<0) DESCENDS in Spark where generate_series is
+        # empty — phantom negative frame indices must not appear
+        media = multimodal.synthesize_media(self._docs(spark))
+        offs = multimodal.frame_offsets(media).collect()
+        by_id = {}
+        for r in offs:
+            by_id.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        assert -1 not in by_id  # n_frames = 0
+        assert -4 not in by_id  # n_frames = -3
+        assert all(i >= 0 for v in by_id.values() for i in v)
+
+    def test_empty_audio_payload_yields_no_chunks(self, spark):
+        media = multimodal.synthesize_media(self._docs(spark))
+        chunks = multimodal.audio_chunk_offsets(media).collect()
+        assert all(r["doc_id"] != 22 for r in chunks)  # empty payload
+        assert any(r["doc_id"] == 7 for r in chunks)   # real audio doc

@@ -84,7 +84,12 @@ print(round(100.0*d[7]/dem,2) if dem>0 else 0.0)")
     # medium — the stale copy passed every gate and was folded into
     # the window medians as a silent duplicate)
     rm -f "$HERE/../bench_out.json"
-    python "$HERE/../bench.py" > /tmp/bench_run$i.json 2>/tmp/bench_run$i.err
+    # chain of custody (round-14 VERDICT nit): hand the gate's OWN
+    # pre-exec loadavg to bench.py so the committed artifact records
+    # both the gate's reading and the bench's own re-check
+    read -r gl1 gl5 gl15 _ < /proc/loadavg
+    SPARK_GRAFT_GATE_LOADAVG="$gl1,$gl5,$gl15" \
+      python "$HERE/../bench.py" > /tmp/bench_run$i.json 2>/tmp/bench_run$i.err
     rc=$?  # capture BEFORE the $(cat ...) substitution overwrites $?
     echo "=== run $i attempt $attempt end load: $(cat /proc/loadavg) exit=$rc" >> "$LOG"
     if [ $rc -ne 0 ] || [ ! -f "$HERE/../bench_out.json" ]; then
