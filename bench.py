@@ -307,6 +307,16 @@ def main_latency() -> None:
 
     n_probe = int(os.environ.get("SPARK_GRAFT_LATENCY_PROBES", "25"))
     prefill = int(os.environ.get("SPARK_GRAFT_LATENCY_PREFILL", "200"))
+    # storage backend for the latency leg: the COW BlockStore rewrites
+    # every touched bucket per micro-batch — read-modify-write of the
+    # whole bucket for a single arriving block, the dominant leg of the
+    # round-14 profile (upsert median 2.45s of the 3.97s p50). The MOR
+    # delta store (AtomicBlockStore commit_mode="delta") appends
+    # O(batch) delta objects instead and merges on read — the
+    # archetypal low-latency arrival trade. Default measures the MOR
+    # path (the architecture's answer for this workload); set
+    # SPARK_GRAFT_LATENCY_STORE=cow to measure the scan-optimized one.
+    store_mode = os.environ.get("SPARK_GRAFT_LATENCY_STORE", "delta")
     try:
         loadavg_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
@@ -322,12 +332,22 @@ def main_latency() -> None:
     try:
         landing = os.path.join(root, "landing")
         write_landing_files(landing, prefill, n_files=8)
-        store = BlockStore(spark, os.path.join(root, "store"))
-        print("  latency: store ready, subscribing", file=sys.stderr,
-              flush=True)
+        if store_mode == "cow":
+            store = BlockStore(spark, os.path.join(root, "store"))
+        else:
+            from evm_indexer_spark.streaming.txstore import (
+                AtomicBlockStore,
+            )
+
+            store = AtomicBlockStore(
+                spark, os.path.join(root, "store"), commit_mode="delta"
+            )
+        print(f"  latency: store ready ({store_mode}), subscribing",
+              file=sys.stderr, flush=True)
         sub = RespClient("127.0.0.1", broker.port)
         sub.subscribe("block")
         print("  latency: starting stream", file=sys.stderr, flush=True)
+        leg_samples: list[dict] = []
         q = start_ingest_stream(
             spark,
             landing,
@@ -335,6 +355,7 @@ def main_latency() -> None:
             os.path.join(root, "ckpt"),
             publish=make_resp_publisher("127.0.0.1", broker.port),
             trigger={"processingTime": "0 seconds"},
+            on_timing=leg_samples.append,
         )
 
         def drain_until(number: int, timeout_s: float) -> float | None:
@@ -376,16 +397,49 @@ def main_latency() -> None:
             xs = sorted(xs)
             return round(xs[min(len(xs) - 1, int(p * len(xs)))], 4)
 
+        # leg decomposition (round-15 directive #4): driver-side batch
+        # legs from the on_timing hook (upsert / fresh anti-join+
+        # checkpoint / publish jobs / publish-log append) over the
+        # probe-era batches, plus the source-side legs from Spark's
+        # own StreamingQueryProgress (latestOffset ≈ discovery poll,
+        # addBatch = whole batch execution, triggerExecution = the
+        # full trigger). Probe-era only: the prefill's big batches
+        # would skew every leg.
+        import statistics as _stats
+
+        probe_legs = leg_samples[-n_probe:] if leg_samples else []
+        legs = {}
+        for key in ("upsert", "fresh", "publish", "mark", "overlapped"):
+            vals = [s[key] for s in probe_legs if key in s]
+            if vals:
+                legs[f"{key}_median_sec"] = round(_stats.median(vals), 4)
+        durs: dict[str, list[float]] = {}
+        for p in q.recentProgress or []:
+            if not isinstance(p, dict):  # StreamingQueryProgress object
+                try:
+                    p = _json.loads(p.json)
+                except (AttributeError, ValueError, TypeError):
+                    continue
+            for k, v in (p.get("durationMs") or {}).items():
+                durs.setdefault(k, []).append(v / 1000.0)
+        for k, vals in durs.items():
+            if vals:
+                legs[f"progress_{k}_median_sec"] = round(
+                    _stats.median(vals), 4
+                )
+
         metrics = {
             "metric": "notify_latency",
             "unit": "sec",
             "pipeline": "land->ingest->store->publish-once->resp",
+            "store_mode": store_mode,
             "prefill_blocks": prefill,
             "n_probes": n_probe,
             "latency_p50_sec": pct(lats, 0.50),
             "latency_p95_sec": pct(lats, 0.95),
             "latency_min_sec": round(min(lats), 4),
             "latency_max_sec": round(max(lats), 4),
+            "legs": legs,
         }
         try:
             metrics["loadavg"] = [round(x, 2) for x in os.getloadavg()]

@@ -19,6 +19,8 @@ the entries switch to their scale parameterizations.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3107,3 +3109,152 @@ def q83(spark, sf):
     return dedup.verify_jaccard_pairs(
         pairs, survivors, "doc_id", "text", 3, 0.4
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# -- q84: snapshot time travel (round-15 stretch) ----------------------------
+#
+# Per-process store memo keyed by (sf_dir, documents fixture stamp):
+# the archived-manifest read path needs REAL on-disk commits, so this
+# entry materializes a two-commit AtomicBlockStore once per fixture —
+# the third documented plan-build exception after q75/q77 (there the
+# learned model is plan input; here the persisted snapshots ARE the
+# queried entity). Repeat invocations (the bench's warm runs) reuse
+# the store and pay only the read plan.
+_Q84_MEMO: dict = {}
+
+
+def _q84_block_frames(doc, reorg: bool):
+    """(blocks, txs) frames derived from documents by engine-portable
+    formulas: block hash md5('h'||id) (reorg replacements md5('r'||id)),
+    one tx per block md5('t'||id) / md5('s'||id) — exactly what the
+    q84 oracle recomputes in SQL."""
+    from pyspark.sql import types as T
+
+    num = F.col("doc_id").cast("long")
+    ns = num.cast("string")
+    btag, ttag = ("r", "s") if reorg else ("h", "t")
+    bh = F.md5(F.concat(F.lit(btag), ns))
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    blocks = doc.select(
+        bh.alias("hash"),
+        num.alias("number"),
+        (F.lit(1_600_000_000) + num).alias("time"),
+        F.md5(F.concat(F.lit(btag), (num - 1).cast("string"))).alias(
+            "parenthash"
+        ),
+        F.lit("1").alias("difficulty"),
+        F.lit(21000).cast("long").alias("gasused"),
+        F.lit(30_000_000).cast("long").alias("gaslimit"),
+        F.lit("0x0").alias("nonce"),
+        nul("string").alias("miner"),
+        nul("double").alias("size"),
+        nul("string").alias("stateroothash"),
+        nul("string").alias("unclehash"),
+        nul("string").alias("txroothash"),
+        nul("string").alias("receiptroothash"),
+        nul("binary").alias("extradata"),
+    )
+    txs = doc.select(
+        F.md5(F.concat(F.lit(ttag), ns)).alias("hash"),
+        nul("string").alias("from"),
+        nul("string").alias("to"),
+        nul("string").alias("contract"),
+        F.lit("0").alias("value"),
+        nul("binary").alias("data"),
+        F.lit(21000).cast("long").alias("gas"),
+        F.lit("1").alias("gasprice"),
+        F.lit("21000").alias("cost"),
+        F.lit(0).cast("long").alias("nonce"),
+        F.lit(1).cast("short").alias("state"),
+        bh.alias("blockhash"),
+    )
+    events = doc.limit(0).select(
+        nul("string").alias("blockhash"),
+        F.lit(0).cast("int").alias("index"),
+        nul("string").alias("origin"),
+        nul("array<string>").alias("topics"),
+        nul("binary").alias("data"),
+        nul("string").alias("txhash"),
+    )
+    return blocks, txs, events
+
+
+def _q84_store(spark, sf):
+    """(store, v1): the memoized two-commit store — commit 1 is the
+    full derived chain, commit 2 a reorg replacing every doc_id%10==3
+    block (new hash, new tx; the cascade drops the old tx)."""
+    import tempfile as _tempfile
+
+    from .streaming.txstore import AtomicBlockStore
+
+    key = (str(sf), fixture_stamp(str(sf), "documents"))
+    hit = _Q84_MEMO.get("store")
+    if hit is not None and hit[0] == key and os.path.isdir(hit[1].root):
+        return hit[1], hit[2]
+    doc = load_table(spark, sf, "documents").select("doc_id")
+    root = _tempfile.mkdtemp(prefix="q84_snapshot_store_")
+    store = AtomicBlockStore(spark, root, commit_mode="cow")
+    store.upsert_batch(*_q84_block_frames(doc, reorg=False))
+    v1 = store._manifest()["version"]
+    store.upsert_batch(
+        *_q84_block_frames(doc.filter(F.col("doc_id") % 10 == 3), reorg=True)
+    )
+    _Q84_MEMO["store"] = (key, store, v1)
+    return store, v1
+
+
+@register(
+    "q84_snapshot_time_travel",
+    # time travel over the manifest-committed store: the pre-reorg
+    # snapshot (archived manifest v1) must show EVERY original block
+    # hash and tx — including the doc_id%10==3 set the head has
+    # reorged away — while the head shows the replacements and the
+    # cascade (old txs gone). The oracle reconstructs both states from
+    # the same md5 derivations and knows nothing about manifests.
+    """
+    SELECT 'head' AS snap, doc_id AS number,
+           CASE WHEN doc_id % 10 = 3
+                THEN md5('r' || CAST(doc_id AS VARCHAR))
+                ELSE md5('h' || CAST(doc_id AS VARCHAR)) END AS hash,
+           CASE WHEN doc_id % 10 = 3
+                THEN md5('s' || CAST(doc_id AS VARCHAR))
+                ELSE md5('t' || CAST(doc_id AS VARCHAR)) END AS tx_hash
+    FROM documents
+    UNION ALL
+    SELECT 'v1', doc_id,
+           md5('h' || CAST(doc_id AS VARCHAR)),
+           md5('t' || CAST(doc_id AS VARCHAR))
+    FROM documents
+    """,
+)
+def q84(spark, sf):
+    """Snapshot time travel (``streaming/txstore.AtomicBlockStore``):
+    read the store AS OF the pre-reorg commit via the archived
+    manifest (``blocks_at``/``transactions_at`` — object dirs are
+    immutable, so time travel is pure path resolution, the
+    Iceberg/Delta mechanism reduced to its core) alongside the current
+    head. A wrong read path fails loudly: serving head state for 'v1'
+    flips every reorged row's hash; missing the cascade leaves phantom
+    txs. Store construction is memoized per (fixture, stamp) — see
+    ``_q84_store`` for the documented plan-build exception."""
+    store, v1 = _q84_store(spark, sf)
+
+    def shape(blocks, txs, tag):
+        t = txs.select(
+            F.col("blockhash").alias("hash"),
+            F.col("hash").alias("tx_hash"),
+        )
+        return (
+            blocks.select("number", "hash")
+            .join(t, "hash")
+            .select(
+                F.lit(tag).alias("snap"),
+                "number",
+                "hash",
+                "tx_hash",
+            )
+        )
+
+    return shape(store.blocks_at(v1), store.transactions_at(v1), "v1").unionByName(
+        shape(store.blocks(), store.transactions(), "head")
+    )

@@ -64,7 +64,11 @@ def _accepts_batch_arg(cb) -> bool:
 
 
 def process_raw_batch(
-    store: BlockStore, raw: DataFrame, batch_id: int = 0, on_fresh=None
+    store: BlockStore,
+    raw: DataFrame,
+    batch_id: int = 0,
+    on_fresh=None,
+    on_timing=None,
 ) -> DataFrame:
     """One micro-batch: normalize → dedup → upsert → publish-once.
 
@@ -81,11 +85,29 @@ def process_raw_batch(
     publish-before-persist semantics (block.go:22-52, fetch.go:34).
     Appending the log first would silently drop notifications on a
     mid-publish crash (at-most-once).
+
+    *on_timing*, when given, receives one dict of per-leg wall-clock
+    seconds per batch — ``{"upsert": s, "fresh": s, "publish": s,
+    "mark": s}`` — the driver-side decomposition behind the
+    notification-latency bench's leg breakdown. Pure observation: no
+    leg is reordered or skipped.
     """
+    import time as _time
+
+    t0 = _time.perf_counter()
     # malformed landing docs parse to null key fields under the declared
     # schema (PERMISSIVE mode) — drop them; the gap they leave is healed
     # by the T7 repair job rather than poisoning the store
     raw = raw.filter(F.col("hash").isNotNull() & F.col("number").isNotNull())
+    # empty-batch short-circuit: a live stream (processingTime=0) spins
+    # continuously between arrivals, and an empty micro-batch would
+    # still pay the full upsert/publish/mark job chain (~1s of
+    # scheduling floors) — one limit-1 probe job instead. This also
+    # keeps the leg-timing samples free of degenerate empty batches.
+    if raw.isEmpty():
+        return raw.sparkSession.createDataFrame(
+            [], "number long, hash string"
+        )
     raw = raw.dropDuplicates(["number", "hash"])  # duplicate header delivery
     # NOTE: deliberately NOT persisted — caching the deeply nested raw
     # rows measured ~10% slower than letting each normalizer re-parse
@@ -95,28 +117,72 @@ def process_raw_batch(
     txs = normalize_transactions(raw)
     events = normalize_events(raw)
 
-    store.upsert_batch(blocks, txs, events)
+    wants_batch = on_fresh is not None and _accepts_batch_arg(on_fresh)
+    upsert_wall = [0.0]
 
-    fresh = blocks.select("number", "hash").join(
-        store.published(), ["number", "hash"], "left_anti"
-    )
-    # eager lineage cut: the plan reads the publish log we are about to
-    # append to — without materializing first, a later re-evaluation would
-    # see its own append and report nothing as fresh
-    fresh = fresh.localCheckpoint(eager=True)
-    if on_fresh is not None:
-        # 3-arg callbacks additionally receive THIS batch's normalized
-        # frames: fresh rows are by construction a subset of the batch,
-        # so a publisher can build payloads from O(batch) plans instead
-        # of re-scanning the (unboundedly growing) store tables every
-        # micro-batch — the round-14 notification-latency bench showed
-        # the store re-scan dominating the publish leg. 2-arg callbacks
-        # (pre-existing contract) keep working.
-        if _accepts_batch_arg(on_fresh):
-            on_fresh(store, fresh, (blocks, txs, events))
-        else:
+    def run_upsert() -> None:
+        ts = _time.perf_counter()
+        store.upsert_batch(blocks, txs, events)
+        upsert_wall[0] = _time.perf_counter() - ts
+
+    def build_fresh() -> DataFrame:
+        f = blocks.select("number", "hash").join(
+            store.published(), ["number", "hash"], "left_anti"
+        )
+        # eager lineage cut: the plan reads the publish log we are
+        # about to append to — without materializing first, a later
+        # re-evaluation would see its own append and report nothing as
+        # fresh
+        return f.localCheckpoint(eager=True)
+
+    if wants_batch:
+        # 3-arg publishers build payloads from the BATCH's own frames
+        # and never read the tables the upsert writes, so the upsert
+        # and the fresh/publish legs are independent — overlap them
+        # (round-15 latency leg cut: serially they were the two
+        # largest legs of the notify path). Crash semantics are
+        # unchanged: either failure fails the batch before the publish
+        # log is appended, and the replay re-runs the idempotent
+        # upsert and re-sends (at-least-once, deduped downstream).
+        # Batch-internal ordering vs the reference's per-block
+        # publish-before-persist is already the documented divergence
+        # (PARITY.md).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(run_upsert)
+            try:
+                fresh = build_fresh()
+                t2 = _time.perf_counter()
+                on_fresh(store, fresh, (blocks, txs, events))
+                t3 = _time.perf_counter()
+            finally:
+                fut.result()  # surface upsert failures; never orphan it
+        t1 = t0 + upsert_wall[0]  # for the leg report only
+    else:
+        # 2-arg publishers may read the STORE tables (the manual
+        # re-publish fallback), so the upsert must complete first
+        run_upsert()
+        t1 = _time.perf_counter()
+        fresh = build_fresh()
+        t2 = _time.perf_counter()
+        if on_fresh is not None:
             on_fresh(store, fresh)
+        t3 = _time.perf_counter()
     store.mark_published(fresh)
+    if on_timing is not None:
+        t4 = _time.perf_counter()
+        on_timing(
+            {
+                # NOTE under wants_batch the upsert leg OVERLAPS
+                # fresh+publish — legs can sum past the batch wall time
+                "upsert": upsert_wall[0],
+                "fresh": t2 - (t1 if not wants_batch else t0),
+                "publish": t3 - t2,
+                "mark": t4 - t3,
+                "overlapped": 1.0 if wants_batch else 0.0,
+            }
+        )
     return fresh
 
 
@@ -128,6 +194,7 @@ def start_ingest_stream(
     config: EngineConfig = DEFAULT_CONFIG,
     publish=None,
     trigger: dict | None = None,
+    on_timing=None,
 ) -> StreamingQuery:
     """File-source streaming ingest: JSON block docs dropped into
     *landing_dir* flow through ``process_raw_batch`` under a checkpoint.
@@ -153,7 +220,10 @@ def start_ingest_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        process_raw_batch(store, batch_df, batch_id, on_fresh=publish)
+        process_raw_batch(
+            store, batch_df, batch_id, on_fresh=publish,
+            on_timing=on_timing,
+        )
 
     # default trigger drains what's there and stops (the backfill /
     # test shape); a live sync loop passes e.g.

@@ -35,6 +35,8 @@ import socketserver
 import threading
 from collections.abc import Callable
 
+from pyspark.sql import functions as F
+
 # -- RESP2 codec -------------------------------------------------------------
 
 
@@ -388,6 +390,41 @@ def publish_partitioned(payloads, host: str, port: int, channel: str) -> None:
     payloads.select("payload").foreachPartition(_part)
 
 
+def publish_channels(frames, host: str, port: int) -> None:
+    """Publish SEVERAL channels' payload frames in ONE Spark action:
+    *frames* is ``[(channel, df_with_payload_col), ...]``; the frames
+    union as tagged ``(channel, payload)`` rows and a single
+    ``foreachPartition`` fans them out. Union concatenates the parent
+    partitions (no interleaving within a partition), so per-partition
+    ordering WITHIN a channel is untouched; cross-channel ordering
+    inside one batch is not guaranteed — already the documented
+    batch-internal divergence from the reference's per-block sequential
+    publish (PARITY.md). Motivation: three sequential actions cost
+    three job-scheduling floors per micro-batch, the largest leg of
+    the round-14 notification-latency profile."""
+    tagged = None
+    for channel, df in frames:
+        t = df.select(
+            F.lit(channel).alias("channel"), F.col("payload")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    if tagged is None:
+        return
+
+    def _part(rows) -> None:
+        client = None
+        try:
+            for row in rows:
+                if client is None:
+                    client = RespClient(host, port)
+                client.publish(row["channel"], row["payload"])
+        finally:
+            if client is not None:
+                client.close()
+
+    tagged.foreachPartition(_part)
+
+
 def make_resp_publisher(host: str, port: int):
     """Publisher callback for ``start_ingest_stream(publish=...)``: sends
     the batch's fresh block notifications plus their transaction and
@@ -420,8 +457,17 @@ def make_resp_publisher(host: str, port: int):
         events = src_events.join(
             hashes.withColumnRenamed("hash", "blockhash"), "blockhash", "left_semi"
         )
-        publish_partitioned(block_payload(blocks), host, port, "block")
-        publish_partitioned(tx_payload(txs), host, port, "transaction")
-        publish_partitioned(event_payload(events), host, port, "event")
+        # ONE action for all three channels (round-15 latency leg cut:
+        # three sequential foreachPartition actions were three
+        # job-scheduling floors per micro-batch)
+        publish_channels(
+            [
+                ("block", block_payload(blocks)),
+                ("transaction", tx_payload(txs)),
+                ("event", event_payload(events)),
+            ],
+            host,
+            port,
+        )
 
     return publish

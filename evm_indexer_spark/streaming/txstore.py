@@ -467,28 +467,51 @@ class AtomicBlockStore:
         manifest = self._manifest()
         next_version = manifest["version"] + 1
 
-        blocks, txs, events, touched = self._prepare_batch(blocks, txs, events)
+        # single driver-side job for the whole preamble (round-15
+        # latency leg cut): ONE per-bucket aggregate yields both the
+        # touched-bucket list and the zone-map bounds — the previous
+        # shape paid a distinct() collect AND a stats collect, two
+        # scheduling floors per micro-batch on a latency-sensitive
+        # stream. The aggregate also materializes the persisted blocks
+        # frame the writes below reuse.
+        blocks = blocks.withColumn("bucket", bucket_of(F.col("number")))
+        key = blocks.select(
+            F.col("hash").alias("_bh"), "bucket"
+        )
+        txs = txs.join(key, txs["blockhash"] == key["_bh"], "inner").drop("_bh")
+        events = events.join(
+            key, events["blockhash"] == key["_bh"], "inner"
+        ).drop("_bh")
+        blocks = blocks.persist()
+        stat_rows = (
+            blocks.groupBy("bucket")
+            .agg(F.min("time").alias("tmin"), F.max("time").alias("tmax"))
+            .collect()
+        )
+        touched = [int(r["bucket"]) for r in stat_rows]
+        batch_stats = {
+            str(int(r["bucket"])): [r["tmin"], r["tmax"]] for r in stat_rows
+        }
         batch = {
             "blocks": blocks.select(*[f.name for f in _SCHEMAS["blocks"]], "bucket"),
-            "transactions": txs.drop("_num").select(
+            "transactions": txs.select(
                 *[f.name for f in _SCHEMAS["transactions"]], "bucket"
             ),
-            "events": events.drop("_num").select(
+            "events": events.select(
                 *[f.name for f in _SCHEMAS["events"]], "bucket"
             ),
         }
-        batch_stats: dict[str, list] = {}
-        for table, df in batch.items():
-            sort_key = "number" if table == "blocks" else "blockhash"
-            df = df.persist()
-            try:
-                if table == "blocks":
-                    batch_stats = {
-                        str(int(r["bucket"])): [r["tmin"], r["tmax"]]
-                        for r in df.groupBy("bucket")
-                        .agg(F.min("time").alias("tmin"), F.max("time").alias("tmax"))
-                        .collect()
-                    }
+        try:
+            # the three tables land in DISJOINT object dirs, so their
+            # write jobs are independent — submit them concurrently
+            # (Spark sessions are thread-safe; FIFO-scheduled tiny jobs
+            # overlap their scheduling floors instead of stacking them:
+            # three sequential writes were the other latency floor)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write(item) -> None:
+                table, df = item
+                sort_key = "number" if table == "blocks" else "blockhash"
                 for b in touched:
                     out = self._obj_dir(table, int(b), next_version)
                     (
@@ -498,8 +521,11 @@ class AtomicBlockStore:
                         .write.mode("overwrite")  # idempotent crash replay
                         .parquet(out)
                     )
-            finally:
-                df.unpersist()
+
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                list(ex.map(_write, batch.items()))
+        finally:
+            blocks.unpersist()
 
         for t in _TABLES:
             tab = manifest["tables"].setdefault(t, {})

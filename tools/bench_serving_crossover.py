@@ -22,6 +22,10 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 POINTS = [
     ("/root/repo/testdata_sf1", "20k"),
     ("/root/repo/testdata_sf10", "200k"),
+    # round 15: the LLM-pipeline dim regime (200k x 256-dim, generated
+    # by tools/gen_dim256_fixture.py) — 8-byte PQ codes vs 1 KiB
+    # vectors is where ADC's bandwidth trade actually plays
+    ("/root/repo/testdata_dim256", "200k_d256"),
 ]
 
 
@@ -48,8 +52,7 @@ def main() -> None:
         print(f"{label}: exact p50 {obj['topk_p50_sec']}s, "
               f"pq p50 {obj['topk_pq_p50_sec']}s", file=sys.stderr)
     crossover = None
-    if len(points) == 2:
-        small, big = points
+    if len(points) >= 2:
         crossover = {
             "exact_p50_by_size": {
                 p["label"]: p["topk_p50_sec"] for p in points
@@ -57,10 +60,16 @@ def main() -> None:
             "pq_p50_by_size": {
                 p["label"]: p["topk_pq_p50_sec"] for p in points
             },
-            "pq_wins_at_200k": (
-                big["topk_pq_p50_sec"] < big["topk_p50_sec"]
-            ),
+            "pq_wins_by_size": {
+                p["label"]: p["topk_pq_p50_sec"] < p["topk_p50_sec"]
+                for p in points
+            },
         }
+        for p in points:
+            if p["label"] == "200k":
+                crossover["pq_wins_at_200k"] = (
+                    p["topk_pq_p50_sec"] < p["topk_p50_sec"]
+                )
     print(json.dumps(
         {"metric": "ann_serving_crossover", "points": points,
          "crossover": crossover},
