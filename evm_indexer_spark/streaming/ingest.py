@@ -158,7 +158,7 @@ def process_raw_batch(
                 t3 = _time.perf_counter()
             finally:
                 fut.result()  # surface upsert failures; never orphan it
-        t1 = t0 + upsert_wall[0]  # for the leg report only
+        t1 = None  # unused in the overlapped branch (legs read t0/t2)
     else:
         # 2-arg publishers may read the STORE tables (the manual
         # re-publish fallback), so the upsert must complete first
