@@ -1413,7 +1413,12 @@ def _quantize_query_half_up(vals, scale: int) -> np.ndarray:
     rounding of ``v * scale``. Accepts a 1-D vector or a 2-D matrix
     (rows = vectors); the multiply runs in float64, the same IEEE op
     Spark's codegen performs before ``BigDecimal.valueOf``."""
-    s = np.asarray(vals, dtype=np.float64) * scale
+    # huge-but-finite hostile values overflow to ±Inf here — handled
+    # (the kernel clamps to ±GRID_CLAMP) but numpy would emit a
+    # per-call "overflow encountered in multiply" RuntimeWarning
+    # (same log-noise class as the round-14 nit in the kernel itself)
+    with np.errstate(over="ignore"):
+        s = np.asarray(vals, dtype=np.float64) * scale
     return _quantize_half_up_np(s)
 
 
