@@ -1255,20 +1255,42 @@ def _span_stats(
     doc, so ``Σ min(n, next_pos − pos) + n(last)`` equals the distinct
     covered-position count. One id-partitioned window replaces the
     earlier explode(n positions)+distinct, shrinking the covered-span
-    shuffle by n× (8× here; at sf10 that explode carried 190M rows)."""
+    shuffle by n× (8× here; at sf10 that explode carried 190M rows).
+
+    Round 15: the window/dup-window counts and the covered-span union
+    fold into ONE aggregate over ONE evaluation of *flagged* — the
+    previous wagg ⟕ cov pair consumed *flagged* twice, and Spark
+    re-evaluated the whole upstream pipeline (tokenize + explode + md5
+    + hash exchange + analytic count, plus the history join in the
+    incremental form) once per consumer. The nearest-FOLLOWING-dup
+    distance comes from a running ``last(…, ignorenulls)`` over
+    (id ORDER BY pos DESC) — with descending order the already-seen
+    rows are exactly the larger positions, so the frame
+    (unboundedPreceding, -1) is a growing frame (O(rows) execution,
+    never the shrinking unboundedFollowing form) and its last non-null
+    dup position IS the next flagged window start. Identical output:
+    interleaved medians q73 1.56→1.18s, q76 2.14→1.43s at sf0.1
+    (tools/ab_entries.py, steal 1.22%)."""
     from pyspark.sql import Window as W
 
-    wagg = flagged.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.col("dup").cast("long")).alias("dup_windows"),
+    run = W.partitionBy("id").orderBy(F.desc("pos")).rowsBetween(
+        W.unboundedPreceding, -1
     )
-    nxt = F.lead("pos").over(W.partitionBy("id").orderBy("pos"))
-    cov = (
-        flagged.filter("dup")
-        .select("id", "pos")
-        .withColumn("seg", F.coalesce(F.least(F.lit(n), nxt - F.col("pos")), F.lit(n)))
+    nxt_dup = F.last(
+        F.when(F.col("dup"), F.col("pos")), ignorenulls=True
+    ).over(run)
+    seg = F.when(
+        F.col("dup"),
+        F.least(F.lit(n), F.coalesce(nxt_dup - F.col("pos"), F.lit(n))),
+    )
+    agg = (
+        flagged.withColumn("seg", seg)
         .groupBy("id")
-        .agg(F.sum("seg").cast("long").alias("covered_tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.col("dup").cast("long")).alias("dup_windows"),
+            F.sum("seg").cast("long").alias("covered_tokens"),
+        )
     )
     base = df.select(
         F.col(id_col).alias("id"),
@@ -1277,8 +1299,7 @@ def _span_stats(
         .alias("n_tokens"),
     )
     return (
-        base.join(wagg, "id", "left")
-        .join(cov, "id", "left")
+        base.join(agg, "id", "left")
         .select(
             F.col("id").alias("doc_id"),
             "n_tokens",
