@@ -54,6 +54,14 @@ def main() -> None:
         .appName("gate-replica")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "8g")
+        # Arrow collection, matching the engine's own get_spark(): the
+        # bare session pickled every toPandas row, which charged the
+        # big-output entries tens of seconds of HARNESS time at sf1
+        # (q61's 6M-row collect measured 28.5s pickled vs 3.9s Arrow
+        # in an otherwise identical session — round-15 measurement);
+        # the oracle side always collected natively, so the per-entry
+        # ratios overstated exactly the entries with large outputs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
