@@ -227,6 +227,74 @@ def _py_shingles(norm: str, n: int) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+def _mix64(z):
+    """splitmix64 finalizer over wrapping uint64 numpy arrays."""
+    import numpy as np
+
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+_MEMO_CAP = 1 << 20  # distinct-shingle memo bound per task (~24 MB of dict)
+
+
+def _blake2b_flat(sh_sets: list, memo: dict):
+    """Flat uint64 array of the blake2b/8 hashes of every shingle in
+    *sh_sets* (a list of NON-EMPTY sets), concatenated in list order,
+    plus the per-set counts. *memo* dedupes the blake2b work across
+    documents — shingle vocabularies repeat heavily in near-duplicate
+    corpora (9.3 occurrences per distinct shingle on the sf0.1 gate
+    fixture) — and is capped at ``_MEMO_CAP`` entries so a huge task
+    cannot grow it unboundedly (past the cap, hashes are computed
+    directly; values are identical either way)."""
+    from hashlib import blake2b
+
+    import numpy as np
+
+    flat = []
+    counts = np.empty(len(sh_sets), dtype=np.int64)
+    for i, sh in enumerate(sh_sets):
+        counts[i] = len(sh)
+        for s in sh:
+            h = memo.get(s)
+            if h is None:
+                h = int.from_bytes(
+                    blake2b(s.encode(), digest_size=8).digest(), "big"
+                )
+                if len(memo) < _MEMO_CAP:
+                    memo[s] = h
+            flat.append(h)
+    base = np.array(flat, dtype=np.uint64)
+    return base, counts
+
+
+def _band_hash_matrix(base, counts, num_hashes: int, bands: int):
+    """(bands, n_docs) uint64 band-hash matrix for documents whose
+    concatenated shingle hashes are *base* with per-doc *counts* —
+    BIT-IDENTICAL to the per-document fold (XOR/splitmix are
+    elementwise; a per-document ``min`` equals the segmented
+    ``minimum.reduceat``), but the numpy call count is per BATCH
+    instead of per document: the round-15 profile showed the per-doc
+    form spending ~0.2s of q83's ~0.7s kernel purely on small-array
+    dispatch at sf0.1."""
+    import numpy as np
+
+    rows_per_band = num_hashes // bands
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    ks = (np.arange(1, num_hashes + 1, dtype=np.uint64) * GOLD)[:, None]
+    band_seed = np.arange(bands, dtype=np.uint64) ^ GOLD
+    member_idx = np.arange(bands) * rows_per_band
+    mixed = _mix64(base[None, :] ^ ks)  # (K, total shingles)
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    mins = np.minimum.reduceat(mixed, offsets, axis=1)  # (K, n_docs)
+    h = np.repeat(band_seed[:, None], len(counts), axis=1)
+    for j in range(rows_per_band):
+        h = _mix64(h ^ mins[member_idx + j, :])
+    return h
+
+
 def _minhash_banded_pandas(
     df: DataFrame,
     id_col: str,
@@ -256,7 +324,6 @@ def _minhash_banded_pandas(
     ``MinHashBucketIndex`` stamps it next to the banding for exactly
     that reason."""
     import re
-    from hashlib import blake2b
 
     import numpy as np
     from pyspark.sql.types import (
@@ -273,29 +340,18 @@ def _minhash_banded_pandas(
             StructField("bh", LongType(), False),
         ]
     )
-    rows_per_band = num_hashes // bands
     ws = re.compile(r"\s+", re.ASCII)
     strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
-    GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-    def _mix(z):
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
-
-    ks = (np.arange(1, num_hashes + 1, dtype=np.uint64) * GOLD)[:, None]
-
-    band_seed = np.arange(bands, dtype=np.uint64) ^ GOLD
-    member_idx = np.arange(bands) * rows_per_band
 
     def _partial(batches):
         import pandas as pd
 
+        memo: dict = {}  # shingle -> blake2b hash, shared across batches
         # uint64 wraparound is the HASH, not an error — silence numpy's
         # scalar-overflow warning (it would also fire per worker)
         with np.errstate(over="ignore"):
             for pdf in batches:
-                ids, bnds, bhs = [], [], []
+                kept, sh_sets = [], []
                 for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                     if t is None:
                         continue  # the JVM explode drops null-text docs
@@ -303,27 +359,26 @@ def _minhash_banded_pandas(
                     sh = set(_py_shingles(norm, shingle_n))
                     if not sh:
                         continue  # contentless doc: no signature rows
-                    base = np.array(
-                        [
-                            int.from_bytes(
-                                blake2b(s.encode(), digest_size=8).digest(),
-                                "big",
-                            )
-                            for s in sh
-                        ],
-                        dtype=np.uint64,
-                    )
-                    mins = _mix(base[None, :] ^ ks).min(axis=1)  # (K,)
-                    # vectorized band-hash chain: fold the band's member
-                    # minima into its seed, all bands at once
-                    h = band_seed.copy()
-                    for j in range(rows_per_band):
-                        h = _mix(h ^ mins[member_idx + j])
-                    ids.extend([doc_id] * bands)
-                    bnds.extend(range(bands))
-                    bhs.extend(h.astype(np.int64).tolist())
-                if ids:
-                    yield pd.DataFrame({"id": ids, "band": bnds, "bh": bhs})
+                    kept.append(doc_id)
+                    sh_sets.append(sh)
+                if not kept:
+                    continue
+                base, counts = _blake2b_flat(sh_sets, memo)
+                h = _band_hash_matrix(base, counts, num_hashes, bands)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(
+                            np.asarray(kept, dtype=object), bands
+                        ),
+                        "band": np.tile(
+                            np.arange(bands, dtype=np.int32), len(kept)
+                        ),
+                        # h is (bands, n_docs); per-doc band order is
+                        # the transpose's row order, exactly the old
+                        # per-doc extend(range(bands)) emission
+                        "bh": h.T.ravel().astype(np.int64),
+                    }
+                )
 
     return df.select(id_col, text_col).mapInPandas(_partial, schema)
 
@@ -715,7 +770,6 @@ def minhash_pairs_onetask(
     Returns (id_a, id_b, jaccard double), id_a < id_b.
     """
     import re
-    from hashlib import blake2b
 
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -727,19 +781,8 @@ def minhash_pairs_onetask(
             StructField("jaccard", DoubleType(), False),
         ]
     )
-    rows_per_band = num_hashes // bands
     ws = re.compile(r"\s+", re.ASCII)
     strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
-    GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-    def _mix(z):
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
-
-    ks = (np.arange(1, num_hashes + 1, dtype=np.uint64) * GOLD)[:, None]
-    band_seed = np.arange(bands, dtype=np.uint64) ^ GOLD
-    member_idx = np.arange(bands) * rows_per_band
     threshold = float(jaccard_threshold)
     cols = [id_col, text_col] + ([new_flag_col] if new_flag_col else [])
 
@@ -749,6 +792,8 @@ def minhash_pairs_onetask(
         sets: dict = {}  # id -> shingle string set
         flags: dict = {}
         buckets: dict = {}  # (band, bh) -> [ids]
+        kept: list = []
+        sh_sets: list = []
         with np.errstate(over="ignore"):
             for pdf in batches:
                 flag_vals = (
@@ -767,22 +812,15 @@ def minhash_pairs_onetask(
                         continue  # contentless doc: no signature rows
                     sets[doc_id] = sh
                     flags[doc_id] = bool(fl)
-                    base = np.array(
-                        [
-                            int.from_bytes(
-                                blake2b(s.encode(), digest_size=8).digest(),
-                                "big",
-                            )
-                            for s in sh
-                        ],
-                        dtype=np.uint64,
-                    )
-                    mins = _mix(base[None, :] ^ ks).min(axis=1)
-                    h = band_seed.copy()
-                    for j in range(rows_per_band):
-                        h = _mix(h ^ mins[member_idx + j])
-                    for b, bh in enumerate(h.tolist()):
-                        buckets.setdefault((b, bh), []).append(doc_id)
+                    kept.append(doc_id)
+                    sh_sets.append(sh)
+            if kept:
+                base, counts = _blake2b_flat(sh_sets, {})
+                hm = _band_hash_matrix(base, counts, num_hashes, bands)
+                hl = hm.T.tolist()  # per doc: [band0 hash, band1 hash, ..]
+                for d, hrow in zip(kept, hl):
+                    for b, bh in enumerate(hrow):
+                        buckets.setdefault((b, bh), []).append(d)
         seen = set()
         ra, rb, rj = [], [], []
         for ids in buckets.values():
