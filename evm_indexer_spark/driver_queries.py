@@ -1029,8 +1029,25 @@ def q35(spark, sf):
     # planted cosine spread) dropped 8 of them in the sf1 gate replica.
     # Six tables put the expected misses at << 1 through sf10 while the
     # exact verification stage keeps precision at 1.0.
+    n = table_rowcount(sf, "embeddings")
+    if n is not None and 2 * n <= dedup.BRUTE_TASK_CAP:
+        # one-Arrow-task tier (the q27/q66/q83 routing applied to
+        # embeddings): 1.39s -> ~0.45s warm at sf0.1 (round-15 medians)
+        # — below the cap the distributed plan is stage floors and four
+        # Python boundary crossings around a 4000×64 matmul. Identical
+        # output by construction (pinned in tests/test_similarity.py);
+        # sf1 (40k vectors) and beyond run the distributed plan.
+        return similarity.embedding_pairs_onetask(
+            corpus, "id", "v", min_cosine=0.99, n_tables=6, dim=64
+        )
     return similarity.embedding_near_duplicates(
-        corpus, "id", "v", min_cosine=0.99, n_tables=6, dim=64
+        corpus, "id", "v", min_cosine=0.99, n_tables=6, dim=64,
+        # grouped emission buckets once and wins below ~100k ids; the
+        # streaming join keeps executor memory flat above (the
+        # sf10-measured trade documented at dedup._bucket_pairs)
+        pair_source="group"
+        if (n is not None and 2 * n <= 100_000)
+        else "join",
     )
 
 
@@ -1950,10 +1967,27 @@ def q67(spark, sf):
         ).alias("v"),
     )
     corpus = emb.unionByName(perturbed)
+    n = table_rowcount(sf, "embeddings")
+    if n is not None and 2 * n <= dedup.BRUTE_TASK_CAP:
+        # one-Arrow-task tier (the q66 routing applied to embeddings):
+        # the flagged bucket pass runs in-task over the whole small
+        # corpus — 1.52s -> ~0.5s warm at sf0.1 (round-15 medians),
+        # identical pairs by the flag predicate (≥ 1 arriving member ≡
+        # the incremental candidate set when the index covers every
+        # original). The O(batch)-not-O(corpus) incremental story is
+        # the distributed path below, gated by the sf1 replica.
+        return similarity.embedding_pairs_onetask(
+            corpus.withColumn("is_new", F.col("id") >= 1000000),
+            "id", "v", min_cosine=0.99, n_tables=6, dim=64,
+            new_flag_col="is_new",
+        )
     index = similarity.embedding_buckets(emb, "id", "v", n_tables=6, dim=64)
     return similarity.incremental_embedding_pairs(
         perturbed, index, corpus, "id", "v",
         min_cosine=0.99, n_tables=6, dim=64,
+        pair_source="group"
+        if (n is not None and 2 * n <= 100_000)
+        else "join",
     )
 
 

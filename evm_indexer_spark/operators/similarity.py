@@ -289,6 +289,143 @@ def embedding_near_duplicates(
     return _verify_cosine_pairs(candidates, df, id_col, vec_col, min_cosine)
 
 
+def embedding_pairs_onetask(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+    new_flag_col: str | None = None,
+) -> DataFrame:
+    """The ENTIRE hyperplane-LSH near-dup pipeline — bucket, collide,
+    exact-verify — in ONE Arrow task, for corpora that fit one worker
+    (callers bound the input by ``dedup.BRUTE_TASK_CAP`` from parquet
+    footers — the q27/q66/q83 small-corpus tier applied to embeddings).
+
+    Why it exists (round 15): below the cap the distributed pipeline is
+    stage floors, not compute — q35's plan ships the vectors across the
+    Python boundary four times (bucket matmul once per join side, then
+    the verify cosine) around five stages, 1.39s warm at sf0.1 where
+    the whole corpus is a 4000×64 matmul. The 100-TB path is unchanged:
+    above the cap the slim-bucket shuffle plan runs (the sf1 replica
+    gates it).
+
+    Semantics are the distributed pipeline's EXACTLY: same seeded
+    hyperplanes and sign/bucket math (identical numpy expressions per
+    row), same in-bucket candidate generation (distinct (id_a, id_b),
+    id_a < id_b), same verify arithmetic (the ``pair_cosine_batch``
+    formula on the same float64 rows), and the round-6 + threshold
+    filter stays in the JVM on the emitted raw cosines, so rounding
+    semantics can never drift between tiers. With *new_flag_col* only
+    pairs with ≥ 1 flagged member are emitted — the incremental form
+    (``incremental_embedding_pairs``) restricted the same way
+    ``minhash_pairs_onetask`` restricts text pairs.
+
+    Returns (id_a, id_b, cosine double), id_a < id_b, cosine rounded
+    to 6 and ≥ *min_cosine*."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    sample_dim = (
+        dim if dim is not None else len(df.select(vec_col).first()[0])
+    )
+    all_planes = [
+        p
+        for t in range(n_tables)
+        for p in hyperplanes(sample_dim, n_planes, seed + t)
+    ]
+    planes_m = np.array(all_planes, dtype=np.float64).T  # dim × (T*P)
+    shifts = np.tile(np.arange(n_planes, dtype=np.int64), n_tables)
+    # nullable=True throughout, matching the distributed tier: hostile
+    # Inf elements make inf/inf = NaN cosines, and the pandas→Arrow
+    # boundary converts float NaN to NULL — a non-nullable Float8Vector
+    # then throws "Value at index is null" on read (adv2 fixture,
+    # round 15). The JVM-side filter below drops the nulls exactly as
+    # it drops them on the pandas_udf("double") verify path.
+    schema = StructType(
+        [
+            StructField("id_a", df.schema[id_col].dataType, True),
+            StructField("id_b", df.schema[id_col].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    cols = [id_col, vec_col] + ([new_flag_col] if new_flag_col else [])
+
+    def _all(batches):
+        ids: list = []
+        flags: dict = {}
+        mats: list = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flag_vals = (
+                pdf[new_flag_col] if new_flag_col else [True] * len(pdf)
+            )
+            for doc_id, fl in zip(pdf[id_col], flag_vals):
+                ids.append(doc_id)
+                flags[doc_id] = bool(fl)
+            mats.append(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if not ids:
+            yield empty
+            return
+        m = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        # id -> row (last occurrence wins, mirroring the dict overwrite
+        # in minhash_pairs_onetask; callers guarantee unique ids)
+        row_of = {doc_id: i for i, doc_id in enumerate(ids)}
+        # same sign/bucket math as embedding_buckets, whole corpus at once
+        signs = ((m @ planes_m) >= 0).astype(np.int64)
+        per_plane = signs << shifts
+        buckets: dict = {}
+        for t in range(n_tables):
+            bt = (
+                per_plane[:, t * n_planes : (t + 1) * n_planes].sum(axis=1)
+                | (t << n_planes)
+            ).tolist()
+            for i, bv in enumerate(bt):
+                buckets.setdefault(bv, []).append(ids[i])
+        seen = set()
+        ia, ib = [], []
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            for x in range(len(members) - 1):
+                for y in range(x + 1, len(members)):
+                    a, b = members[x], members[y]
+                    if a == b:
+                        continue
+                    p = (a, b) if a < b else (b, a)
+                    if p in seen:
+                        continue
+                    seen.add(p)
+                    if new_flag_col and not (flags[a] or flags[b]):
+                        continue
+                    ia.append(p[0])
+                    ib.append(p[1])
+        if not ia:
+            yield empty
+            return
+        ma = m[[row_of[i] for i in ia]]
+        mb = m[[row_of[i] for i in ib]]
+        # bit-identical to pair_cosine_batch: same ops on the same rows
+        dots = (ma * mb).sum(axis=1)
+        norms = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt(
+            (mb * mb).sum(axis=1)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(norms > 0, dots / norms, 0.0)
+        yield pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cos})
+
+    raw = df.select(*cols).coalesce(1).mapInPandas(_all, schema)
+    return (
+        raw.withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _verify_cosine_pairs(
     cand: DataFrame,
     docs: DataFrame,

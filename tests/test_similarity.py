@@ -877,3 +877,42 @@ def test_semantic_dedup_local_corpus_bit_identical(spark, emb):
 
     with pytest.raises(ValueError, match="empty"):
         similarity.semantic_dedup(corpus, "id", "v", local_corpus=[])
+
+
+def test_embedding_pairs_onetask_matches_distributed(spark, emb):
+    """The one-Arrow-task tier (the q35/q67 small-corpus routing) must
+    equal the distributed slim-bucket pipeline pair-for-pair — same
+    seeded hyperplanes, same candidate set, same verify arithmetic,
+    rounding applied in the JVM on both tiers. Covers the plain and
+    flagged (incremental, ≥ 1 arriving member) forms."""
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = base.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(
+            F.array(F.get(F.col("v"), 0) + F.lit(0.01)),
+            F.slice(F.col("v"), 2, 1000000),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(perturbed)
+    dist = sorted(map(tuple, similarity.embedding_near_duplicates(
+        corpus, "id", "v", min_cosine=0.99, n_tables=6, dim=64
+    ).collect()))
+    one = sorted(map(tuple, similarity.embedding_pairs_onetask(
+        corpus, "id", "v", min_cosine=0.99, n_tables=6, dim=64
+    ).collect()))
+    assert dist == one and len(one) > 0
+
+    flagged = corpus.withColumn("is_new", F.col("id") >= 1000000)
+    inc = sorted(map(tuple, similarity.incremental_embedding_pairs(
+        perturbed,
+        similarity.embedding_buckets(base, "id", "v", n_tables=6, dim=64),
+        corpus, "id", "v", min_cosine=0.99, n_tables=6, dim=64,
+    ).collect()))
+    one_f = sorted(map(tuple, similarity.embedding_pairs_onetask(
+        flagged, "id", "v", min_cosine=0.99, n_tables=6, dim=64,
+        new_flag_col="is_new",
+    ).collect()))
+    assert inc == one_f and len(one_f) > 0
