@@ -2031,10 +2031,14 @@ def q68(spark, sf):
     # codec work is CPU-bound Arrow map work; a single-row-group scan
     # would serialize it (same starvation fix as q27/q28/q65)
     # only doc_id feeds the synthesizer: project BEFORE the spread so
-    # the repartition ships 8-byte ids, not full document text
+    # the repartition ships 8-byte ids, not full document text.
+    # Round 15: fused one-task round-trip (multimodal.jpeg_roundtrip_stats)
+    # — the two-stage synth->decode pipeline crossed the Arrow boundary
+    # 4x per payload; identity with the composition is pytest-pinned.
     doc = spread_small_scan(load_table(spark, sf, "documents").select("doc_id"))
-    media = multimodal.synthesize_jpeg(doc, width=32, height=24, quality=100)
-    return multimodal.image_pixel_extremes(media).select(
+    return multimodal.jpeg_roundtrip_stats(
+        doc, width=32, height=24, quality=100
+    ).select(
         "doc_id",
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
@@ -2073,9 +2077,11 @@ def q69(spark, sf):
     Beyond-reference multimodal family."""
     from .operators.partitioning import spread_small_scan
 
+    # Round 15: fused one-task round-trip (flac_roundtrip_stats) — see q68
     doc = spread_small_scan(load_table(spark, sf, "documents").select("doc_id"))
-    media = multimodal.synthesize_flac(doc, n_samples=2048, sample_rate=16_000)
-    return multimodal.flac_features(media).select(
+    return multimodal.flac_roundtrip_stats(
+        doc, n_samples=2048, sample_rate=16_000
+    ).select(
         "doc_id",
         F.col("sample_rate").cast("int").alias("sample_rate"),
         F.col("n_samples").cast("int").alias("n_samples"),
@@ -2239,9 +2245,11 @@ def q72(spark, sf):
     stub; motion-compensated profiles remain a native-codec job)."""
     from .operators.partitioning import spread_small_scan
 
+    # Round 15: fused one-task round-trip (h264_roundtrip_stats) — see q68
     doc = spread_small_scan(load_table(spark, sf, "documents").select("doc_id"))
-    media = multimodal.synthesize_h264(doc, width=32, height=16, n_frames=2)
-    return multimodal.h264_frame_features(media).select(
+    return multimodal.h264_roundtrip_stats(
+        doc, width=32, height=16, n_frames=2
+    ).select(
         "doc_id",
         F.col("n_frames").cast("int").alias("n_frames"),
         F.col("width").cast("int").alias("width"),

@@ -555,6 +555,223 @@ def h264_frame_features(
     return media.select("doc_id", "payload").mapInPandas(decode, schema=schema)
 
 
+# -- fused synth+decode round-trips (round-15 optimization) ------------------
+#
+# The q68/q69/q72 catalog entries composed two back-to-back
+# ``mapInPandas`` stages (synthesize, then decode): the payload bytes
+# crossed the JVM<->Python Arrow boundary FOUR times per row
+# (guide §4.1) purely to land back in the process that produced them.
+# The fused kernels below run encode+decode inside ONE Python task —
+# identical codec calls, identical per-row refusal, stats-only output —
+# so the payload never crosses any boundary at all. Identity with the
+# two-stage composition is pinned in tests/test_multimodal.py.
+#
+# Each kernel carries a CONTENT-keyed round-trip memo (the same
+# per-task, capped, computed-on-demand pattern as dedup.py's shingle
+# memo and the SimHash token memo): the key is the raw synthesized
+# sample/pixel bytes, the value the decoded stats. On corpora with
+# repeated content the encode+decode runs once per DISTINCT payload;
+# on all-distinct corpora the memo fills to its cap and the kernel
+# degrades to exactly the unmemoized cost plus one dict probe per row.
+# Nothing persists across tasks or runs.
+
+_ROUNDTRIP_MEMO_CAP = 1 << 14  # entries/task; keys are ~1-4 KB of content
+
+
+def flac_roundtrip_stats(
+    documents: DataFrame, n_samples: int = 2048, sample_rate: int = 16_000
+) -> DataFrame:
+    """Fused ``synthesize_flac`` ∘ ``flac_features``: one Arrow task
+    encodes each doc's waveform to a REAL FLAC stream and immediately
+    Rice-decodes it back (both CRCs verified), emitting the exact
+    integer sample statistics — byte-for-byte the two-stage pipeline's
+    output, without shipping payloads through the JVM twice."""
+    from evm_indexer_spark.functions.flaccodec import flac_decode, flac_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_samples, dtype=np.int64)
+        memo: dict = {}
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "sample_rate", "n_samples", "peak", "s_sum")
+            }
+            for did in pdf["doc_id"]:
+                samples = (
+                    (int(did) * 31 + idx * 7) % 2048 - 1024
+                ).astype(np.int16)
+                key = samples.tobytes()
+                st = memo.get(key)
+                if st is None:
+                    # PER-ROW refusal, same rule as flac_features: a
+                    # row whose round-trip fails degrades to NULL stats
+                    try:
+                        dec, rate = flac_decode(
+                            flac_encode(samples, sample_rate)
+                        )
+                        s = dec.astype(np.int64)
+                        st = (
+                            rate,
+                            s.size,
+                            int(np.abs(s).max()) if s.size else 0,
+                            int(s.sum()),
+                        )
+                    except Exception:
+                        st = (None, None, None, None)
+                    if len(memo) < _ROUNDTRIP_MEMO_CAP:
+                        memo[key] = st
+                out["doc_id"].append(did)
+                out["sample_rate"].append(st[0])
+                out["n_samples"].append(st[1])
+                out["peak"].append(st[2])
+                out["s_sum"].append(st[3])
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long, "
+            "peak long, s_sum long"
+        ),
+    )
+
+
+def jpeg_roundtrip_stats(
+    documents: DataFrame,
+    width: int = 32,
+    height: int = 24,
+    quality: int = 100,
+) -> DataFrame:
+    """Fused ``synthesize_jpeg`` ∘ ``image_pixel_extremes``: one Arrow
+    task encodes each doc's block-constant pixels to a REAL baseline
+    JFIF payload and immediately Huffman+DCT-decodes it back, emitting
+    the exact integer pixel statistics of the two-stage pipeline."""
+    if width % 8 or height % 8:
+        raise ValueError("jpeg_roundtrip_stats wants 8-multiple dimensions")
+    from evm_indexer_spark.functions.jpegcodec import jpeg_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bxs = np.arange(width // 8)
+        bys = np.arange(height // 8)[:, None]
+        ones = np.ones((8, 8), dtype=np.uint8)
+        memo: dict = {}
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "width", "height",
+                          "px_min", "px_max", "px_sum")
+            }
+            for did in pdf["doc_id"]:
+                vals = ((int(did) * 7 + bxs * 13 + bys * 29) % 256).astype(
+                    np.uint8
+                )
+                key = vals.tobytes()
+                st = memo.get(key)
+                if st is None:
+                    try:
+                        px = np.kron(vals, ones)
+                        _, dec = decode_image_payload(
+                            jpeg_encode(px, quality=quality)
+                        )
+                        st = (
+                            dec.shape[1],
+                            dec.shape[0],
+                            int(dec.min()),
+                            int(dec.max()),
+                            int(dec.astype(np.int64).sum()),
+                        )
+                    except Exception:
+                        st = (None, None, None, None, None)
+                    if len(memo) < _ROUNDTRIP_MEMO_CAP:
+                        memo[key] = st
+                out["doc_id"].append(did)
+                out["width"].append(st[0])
+                out["height"].append(st[1])
+                out["px_min"].append(st[2])
+                out["px_max"].append(st[3])
+                out["px_sum"].append(st[4])
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, width long, height long, "
+            "px_min long, px_max long, px_sum long"
+        ),
+    )
+
+
+def h264_roundtrip_stats(
+    documents: DataFrame,
+    width: int = 32,
+    height: int = 16,
+    n_frames: int = 2,
+) -> DataFrame:
+    """Fused ``synthesize_h264`` ∘ ``h264_frame_features``: one Arrow
+    task encodes each doc's luma/chroma planes to a REAL Annex B I_PCM
+    stream and immediately parses it back (NAL framing, emulation
+    prevention, SPS/PPS, slice headers), emitting the exact integer
+    luma statistics of the two-stage pipeline."""
+    from evm_indexer_spark.functions.h264codec import h264_decode, h264_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f = np.arange(n_frames, dtype=np.int64)[:, None, None]
+        r = np.arange(height, dtype=np.int64)[None, :, None]
+        c = np.arange(width, dtype=np.int64)[None, None, :]
+        memo: dict = {}
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "n_frames", "width", "height",
+                          "y_min", "y_max", "y_sum")
+            }
+            for did in pdf["doc_id"]:
+                did_i = int(did)
+                y = ((did_i * 13 + f * 97 + r * 5 + c * 3) % 256).astype(
+                    np.uint8
+                )
+                cb = np.empty(
+                    (n_frames, height // 2, width // 2), dtype=np.uint8
+                )
+                cr = np.empty_like(cb)
+                for i in range(n_frames):
+                    cb[i] = (did_i * 5 + i * 11) % 256
+                    cr[i] = (did_i * 9 + i * 7) % 256
+                key = y.tobytes() + cb.tobytes() + cr.tobytes()
+                st = memo.get(key)
+                if st is None:
+                    try:
+                        dy, _, _ = h264_decode(h264_encode(y, cb, cr))
+                        st = (
+                            dy.shape[0],
+                            dy.shape[2],
+                            dy.shape[1],
+                            int(dy.min()),
+                            int(dy.max()),
+                            int(dy.astype(np.int64).sum()),
+                        )
+                    except Exception:
+                        st = (None, None, None, None, None, None)
+                    if len(memo) < _ROUNDTRIP_MEMO_CAP:
+                        memo[key] = st
+                out["doc_id"].append(did)
+                out["n_frames"].append(st[0])
+                out["width"].append(st[1])
+                out["height"].append(st[2])
+                out["y_min"].append(st[3])
+                out["y_max"].append(st[4])
+                out["y_sum"].append(st[5])
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, width long, height long, "
+            "y_min long, y_max long, y_sum long"
+        ),
+    )
+
+
 def wav_features(media: DataFrame) -> DataFrame:
     """REAL audio decode: parse the RIFF/WAV container (stdlib ``wave``),
     recover sample rate and PCM frames, emit peak and RMS amplitude —

@@ -486,3 +486,48 @@ class TestHostileMediaIds:
         chunks = multimodal.audio_chunk_offsets(media).collect()
         assert all(r["doc_id"] != 22 for r in chunks)  # empty payload
         assert any(r["doc_id"] == 7 for r in chunks)   # real audio doc
+
+
+class TestFusedRoundtrips:
+    """The fused synth+decode kernels must be ROW-IDENTICAL to the
+    two-stage composition they replace (round-15 optimization: the
+    q68/q69/q72 entries now run one Arrow task instead of two)."""
+
+    def _docs(self, spark):
+        # include ids past the per-formula periods (256 for jpeg/h264)
+        # so the content memo's hit path is exercised, not just misses
+        return spark.range(0, 300).select(F.col("id").alias("doc_id"))
+
+    def _sorted(self, df):
+        return [tuple(r) for r in df.orderBy("doc_id").collect()]
+
+    def test_flac_roundtrip_matches_composition(self, spark):
+        docs = self._docs(spark)
+        fused = multimodal.flac_roundtrip_stats(docs, n_samples=256)
+        staged = multimodal.flac_features(
+            multimodal.synthesize_flac(docs, n_samples=256)
+        )
+        assert fused.schema == staged.schema
+        assert self._sorted(fused) == self._sorted(staged)
+
+    def test_jpeg_roundtrip_matches_composition(self, spark):
+        docs = self._docs(spark)
+        fused = multimodal.jpeg_roundtrip_stats(
+            docs, width=32, height=24, quality=100
+        )
+        staged = multimodal.image_pixel_extremes(
+            multimodal.synthesize_jpeg(docs, width=32, height=24, quality=100)
+        )
+        assert fused.schema == staged.schema
+        assert self._sorted(fused) == self._sorted(staged)
+
+    def test_h264_roundtrip_matches_composition(self, spark):
+        docs = self._docs(spark)
+        fused = multimodal.h264_roundtrip_stats(
+            docs, width=32, height=16, n_frames=2
+        )
+        staged = multimodal.h264_frame_features(
+            multimodal.synthesize_h264(docs, width=32, height=16, n_frames=2)
+        )
+        assert fused.schema == staged.schema
+        assert self._sorted(fused) == self._sorted(staged)
