@@ -2901,6 +2901,19 @@ def q80(spark, sf):
     (tests/test_corpus.py), so laziness here costs no routing
     coverage."""
     doc = load_table(spark, sf, "documents")
+    # STRATEGY-routed small-corpus tier (round 15, the q27/q66 pattern):
+    # below the footer-proven cap the whole check runs in one Arrow
+    # task (corpus.contamination_onetask — identity pytest-pinned);
+    # the distributed broadcast/shuffle plan is the 100-TB path and
+    # stays gated by the sf1 replica.
+    n_docs = table_rowcount(sf, "documents")
+    if n_docs is not None and n_docs <= corpus.CONTAM_TASK_CAP:
+        flagged = doc.select(
+            "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("__ev")
+        )
+        return corpus.contamination_onetask(
+            flagged, "doc_id", "text", "__ev", n=8, mode="ngram"
+        )
     train = doc.filter(F.col("doc_id") % 10 != 0)
     ev = doc.filter(F.col("doc_id") % 10 == 0)
     return corpus.ngram_contamination(
@@ -2968,6 +2981,15 @@ def q81(spark, sf):
     the unproven case falls back to the live probe). Exact integers
     end to end."""
     doc = load_table(spark, sf, "documents")
+    # STRATEGY-routed small-corpus tier (round 15) — see q80
+    n_docs = table_rowcount(sf, "documents")
+    if n_docs is not None and n_docs <= corpus.CONTAM_TASK_CAP:
+        flagged = doc.select(
+            "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("__ev")
+        )
+        return corpus.contamination_onetask(
+            flagged, "doc_id", "text", "__ev", n=8, mode="skipgram"
+        )
     train = doc.filter(F.col("doc_id") % 10 != 0)
     ev = doc.filter(F.col("doc_id") % 10 == 0)
     return corpus.skipgram_contamination(
@@ -3055,6 +3077,23 @@ def q82(spark, sf):
     batch = doc.filter(
         (F.col("doc_id") % 10 != 0) & (F.col("doc_id") >= split)
     )
+    # STRATEGY-routed small-corpus tier (round 15) — same identity as
+    # q80/q81: the arriving batch's scores against the eval key set are
+    # a pure function of (batch text, eval text), so below the footer
+    # cap the one-Arrow-task kernel computes the identical rows; the
+    # REAL O(batch) stream plan (contamination_against, the exact plan
+    # EvalGramIndex.contamination_for runs) executes above the cap and
+    # stays gated by the sf1 replica.
+    n_docs = table_rowcount(sf, "documents")
+    if n_docs is not None and n_docs <= corpus.CONTAM_TASK_CAP:
+        flagged = ev.select(
+            "doc_id", "text", F.lit(True).alias("__ev")
+        ).unionByName(
+            batch.select("doc_id", "text", F.lit(False).alias("__ev"))
+        )
+        return corpus.contamination_onetask(
+            flagged, "doc_id", "text", "__ev", n=8, mode="skipgram"
+        )
     grams = (
         mode_keys(ev, "text", 8, "skipgram").select("gram").distinct()
     )

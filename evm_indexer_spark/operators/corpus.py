@@ -479,11 +479,11 @@ def ngram_contamination(
     ``keys`` picks the join key space: ``"string"`` (default) joins on
     the byte-exact space-joined gram strings; ``"fp64"`` joins on
     64-bit window fingerprints instead (see the fingerprint key-space
-    block above) — kept as a MEASURED NEGATIVE: Spark's higher-order
-    functions evaluate interpreted, and the per-element lambda overhead
-    costs ~4× the codegen'd regexp gram pass at sf0.1 (round-15 A/B:
-    fp verbatim rows 1.18s vs gram strings 0.30s), so the smaller keys
-    never pay for themselves on this engine. Parity-pinned either way.
+    block above) — now fully codegen'd (see the block's
+    three-formulation A/B history): ties the string engine at sf0.1
+    where stage floors dominate, so the byte-exact strings stay the
+    default and fp64 is the smaller-shuffle corpus-scale option.
+    Parity-pinned either way (tests/test_corpus.py).
 
     Returns (id, n_windows, n_contaminated, contaminated) for every
     train document, zero-filled where nothing matched."""
@@ -616,12 +616,13 @@ def skipgram_contamination(
     ``keys="fp64"`` swaps the masked-variant strings for 64-bit XOR
     fingerprints (variant_j = window fingerprint with position j's
     term swapped for the mask term — the string semantics exactly,
-    see the fingerprint key-space block). Kept as a MEASURED NEGATIVE
-    default-off path: the construction runs on Spark's interpreted
-    higher-order-function evaluator and measured ~30% slower than the
-    codegen string variants at sf0.1 (round-15 A/B) despite the
-    smaller keys. ``prefilter=True`` implies the string engine (the
-    pigeonhole half-set path is a string construction)."""
+    see the fingerprint key-space block). Now fully codegen'd (unrolled
+    columns, index explode — see the block's three-formulation A/B
+    history): TIES the string engine at sf0.1, where stage floors
+    dominate; default stays the byte-exact strings, fp64 is the
+    smaller-shuffle option for corpus-scale runs. ``prefilter=True``
+    implies the string engine (the pigeonhole half-set path is a
+    string construction)."""
     if n < 1 or min_hits < 1:
         raise ValueError("n and min_hits must be positive")
     if n > 32:
@@ -640,53 +641,32 @@ def skipgram_contamination(
         ).first()["__n"]
         eval_small = (total or 0) <= broadcast_below
     if keys == "fp64" and not prefilter:
-        probe = fp_eval_keys(eval_df, text_col, n, variants=True)
-        if eval_small:
-            rows = fp_window_rows(spread, id_col, text_col, n, variants=True)
-            r = rows
-            hit_cols = []
-            for j in range(n):
-                # every probe branch carries the SAME schema (one column
-                # named __kp): ReuseExchange compares canonicalized plans
-                # INCLUDING the schema, so per-join aliases (__k0..__k7)
-                # would build the eval tokenize+hash+distinct subplan n
-                # times over — measured 8 live BroadcastExchanges before
-                # this; with a shared name it is 1 + (n-1) ReusedExchange.
-                # df["col"] references keep the joins unambiguous.
-                pj = F.broadcast(probe.select(F.col("__k").alias("__kp")))
-                r = r.join(
-                    pj,
-                    F.element_at(F.col("__v"), j + 1) == pj["__kp"],
-                    "left",
-                )
-                hit_cols.append(
-                    F.when(pj["__kp"].isNotNull(), 1).otherwise(0)
-                )
-            win_hit = (
-                F.greatest(*hit_cols) if len(hit_cols) > 1 else hit_cols[0]
+        # the SAME exploded one-join topology as the string engine (its
+        # round-15 A/B winner): outer-exploded variant rows against one
+        # routed probe, collapsed per window then per doc. An n-probe
+        # window-level topology (n BroadcastHashJoins folded with
+        # greatest) was the first fp formulation and lost for the same
+        # codegen-budget reason it lost on strings.
+        prows = fp_variant_rows(spread, id_col, text_col, n)
+        probe = fp_eval_keys(eval_df, text_col, n, variants=True).withColumn(
+            "__hit", F.lit(1)
+        )
+        probe_h = F.broadcast(probe) if eval_small else probe.hint(
+            "shuffle_hash"
+        )
+        win_hits = (
+            prows.join(probe_h, prows["__key"] == probe_h["__k"], "left")
+            .groupBy("id", "__pos")
+            .agg(
+                F.max(
+                    F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+                ).alias("__h")
             )
-            per_doc = r.groupBy("id").agg(
-                F.count("__i").alias("n_windows"),
-                F.sum(win_hit).alias("n_contaminated"),
-            )
-        else:
-            prows = fp_variant_rows(spread, id_col, text_col, n)
-            probe_h = probe.withColumn("__hit", F.lit(1)).hint(
-                "shuffle_hash"
-            )
-            win_hits = (
-                prows.join(probe_h, prows["__key"] == probe_h["__k"], "left")
-                .groupBy("id", "__pos")
-                .agg(
-                    F.max(
-                        F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
-                    ).alias("__h")
-                )
-            )
-            per_doc = win_hits.groupBy("id").agg(
-                F.count("__pos").alias("n_windows"),
-                F.sum("__h").alias("n_contaminated"),
-            )
+        )
+        per_doc = win_hits.groupBy("id").agg(
+            F.count("__pos").alias("n_windows"),
+            F.sum("__h").alias("n_contaminated"),
+        )
         return per_doc.select(
             "id",
             "n_windows",
@@ -779,6 +759,132 @@ def _token_split(text_col: str):
     return F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
         " ",
+    )
+
+
+CONTAM_TASK_CAP = 20_000  # same small-corpus tier bound as dedup's
+
+
+def contamination_onetask(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_flag_col: str,
+    n: int = 8,
+    mode: str = "ngram",
+    min_hits: int = 1,
+) -> DataFrame:
+    """The ENTIRE contamination check — eval key-set build + train
+    window probe — in ONE Arrow task, for corpora that fit one worker
+    (callers bound the input by ``CONTAM_TASK_CAP`` from parquet
+    footers; the q27/q66 small-corpus tier rule applied to the
+    contamination family).
+
+    Why it exists: below ~20k docs the distributed plan is five AQE
+    stages (spread exchange, eval distinct, broadcast build, window
+    collapse, doc agg) of scheduling floor around <0.5s of actual text
+    work. The 100-TB path is the distributed broadcast/shuffle plan in
+    ``ngram_contamination`` / ``skipgram_contamination`` (the sf1
+    replica gates it); this is the provably-identical small tier.
+
+    *docs* carries BOTH sides with ``eval_flag_col`` true on eval
+    rows; output rows are emitted for the NON-eval rows only, with
+    ``ngram_contamination``'s exact contract: (id, n_windows,
+    n_contaminated, contaminated), exact integers. Tokenization is the
+    Python twin of ``_token_split`` (ASCII ``\\s+`` collapse, trim of
+    ' ' only, lowercase) — the same mirroring discipline as
+    ``dedup.minhash_pairs_onetask``; a window matching via several
+    masked variants counts once by construction (one set probe per
+    window)."""
+    import re
+
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType,
+    )
+
+    if mode not in ("ngram", "skipgram"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if n < 1 or min_hits < 1:
+        raise ValueError("n and min_hits must be positive")
+    ws = re.compile(r"\s+", re.ASCII)
+    schema = StructType(
+        [
+            StructField("id", docs.schema[id_col].dataType, False),
+            StructField("n_windows", LongType(), False),
+            StructField("n_contaminated", LongType(), False),
+            StructField("contaminated", BooleanType(), False),
+        ]
+    )
+
+    def _tokens(t: str) -> list:
+        # Python twin of _token_split: ASCII \s+ collapse, lower,
+        # strip ' ' ONLY (F.trim removes spaces, not unicode ws)
+        return ws.sub(" ", t.lower()).strip(" ").split(" ")
+
+    def _wins(t: list):
+        if len(t) >= n and t[0] != "":
+            return len(t) - n + 1
+        return 0
+
+    def _score(batches):
+        eval_keys: set = set()
+        train: list = []  # (id, tokens)
+        for pdf in batches:
+            for did, t, fl in zip(
+                pdf[id_col], pdf[text_col], pdf[eval_flag_col]
+            ):
+                toks = _tokens(t) if t is not None else [""]
+                if fl:
+                    k = _wins(toks)
+                    if mode == "ngram":
+                        for i in range(k):
+                            eval_keys.add(" ".join(toks[i : i + n]))
+                    else:
+                        for i in range(k):
+                            w = toks[i : i + n]
+                            for j in range(n):
+                                kept = w[j]
+                                w[j] = "\x01"
+                                eval_keys.add(" ".join(w))
+                                w[j] = kept
+                else:
+                    train.append((did, toks))
+        ids, nw, nc, flag = [], [], [], []
+        for did, toks in train:
+            k = _wins(toks)
+            hits = 0
+            if mode == "ngram":
+                for i in range(k):
+                    if " ".join(toks[i : i + n]) in eval_keys:
+                        hits += 1
+            else:
+                for i in range(k):
+                    w = toks[i : i + n]
+                    for j in range(n):
+                        kept = w[j]
+                        w[j] = "\x01"
+                        hit = " ".join(w) in eval_keys
+                        w[j] = kept
+                        if hit:
+                            hits += 1
+                            break
+            ids.append(did)
+            nw.append(k)
+            nc.append(hits)
+            flag.append(hits >= min_hits)
+        yield pd.DataFrame(
+            {
+                "id": pd.Series(ids, dtype=object),
+                "n_windows": pd.Series(nw, dtype="int64"),
+                "n_contaminated": pd.Series(nc, dtype="int64"),
+                "contaminated": pd.Series(flag, dtype=bool),
+            }
+        )
+
+    return (
+        docs.select(id_col, text_col, eval_flag_col)
+        .coalesce(1)
+        .mapInPandas(_score, schema)
     )
 
 
@@ -1026,18 +1132,26 @@ def skipgram_window_hits(
 # ~400 string bytes (n=8) to 8 longs, and the broadcast probe map keys
 # become primitive longs.
 #
-# MEASURED NEGATIVE on this engine (round 15): Spark evaluates
-# higher-order-function lambdas on the INTERPRETED expression path
-# (transform/aggregate bodies never enter whole-stage codegen), and
-# the per-element lambda dispatch dwarfs the byte savings — fp
-# verbatim window rows cost 1.18s where the codegen'd regexp gram
-# strings cost 0.30s at sf0.1 (same session, medians of 5). The
-# string key space stays the default; this path is kept, tested, and
-# documented as the honest A/B against the "hash combines instead of
-# materialized variant strings" hypothesis. The STRUCTURAL wins the
-# experiment surfaced (outer-explode killing the restore join, the
-# n-probe reused-broadcast topology) were ported back to the string
-# engine, where they measure as real gains.
+# MEASURED at sf0.1 across three formulations (round 15):
+#   1. higher-order functions (transform/aggregate lambdas): LOST 30%+
+#      — HOF bodies evaluate on the INTERPRETED expression path, and
+#      per-element lambda dispatch dwarfs the byte savings (fp verbatim
+#      window rows 1.18s vs 0.30s codegen'd regexp gram strings);
+#   2. unrolled plain columns + explode of the computed variant ARRAY:
+#      LOST 2-4× — ``InferFiltersFromGenerate`` infers ``size(arr)>0``
+#      from the explode and pushes it below the hash projection,
+#      re-inlining the whole n²-term tree into a per-window Filter;
+#   3. unrolled columns + explode of ``sequence(0, n-1)`` with the key
+#      assembled per (window, j) row (the current engine): TIES the
+#      string engine (1.57 vs 1.53s full q81 medians, same session) —
+#      at this SF both are stage-floor-dominated, so the smaller keys
+#      don't show locally. The string key space stays the default (it
+#      is the byte-exact one); fp64 remains the documented option whose
+#      shuffle/broadcast volume advantage (8 longs vs ~400 string bytes
+#      per window) is expected to matter only at corpus scale.
+# The STRUCTURAL wins the experiments surfaced (outer-explode killing
+# the restore join, the exploded one-join topology, the index-explode
+# rule above) are shared by both engines.
 
 _FP_MASK = "\x01"
 
@@ -1052,65 +1166,49 @@ def window_start_seq(toks_col, n: int):
     ).otherwise(F.array().cast("array<int>"))
 
 
-def _fp_g_arrays(th_col, ws_col, n: int):
-    """array<array<long>> — per window, the n position-keyed combine
-    terms g(r, tok) = xxhash64(r, token_hash)."""
-    idx = F.sequence(F.lit(0), F.lit(n - 1))
-    return F.transform(
-        ws_col,
-        lambda p: F.transform(
-            idx, lambda r: F.xxhash64(r, F.element_at(th_col, p + r))
-        ),
-    )
-
-
-def _fp_verbatim(wh_col):
-    """array<long>: per-window verbatim fingerprint S = XOR of terms."""
-    zero = F.lit(0).cast("long")
-    return F.transform(
-        wh_col,
-        lambda w: F.aggregate(w, zero, lambda a, x: a.bitwiseXOR(x)),
-    )
-
-
-def _fp_variants(wh_col, n: int):
-    """array<array<long>>: per window, the n one-substitution masked
-    fingerprints variant_j = S ^ g(j, tok_j) ^ g(j, mask). The mask
-    terms are a fully foldable constant array (Catalyst evaluates them
-    once at optimization); the inner XOR re-fold per j costs n² long
-    XORs per window — noise next to the hashing."""
-    zero = F.lit(0).cast("long")
-    mh = F.transform(
-        F.sequence(F.lit(0), F.lit(n - 1)),
-        lambda j: F.xxhash64(j, F.xxhash64(F.lit(_FP_MASK))),
-    )
-    return F.transform(
-        wh_col,
-        lambda w: F.transform(
-            w,
-            lambda x, j: F.aggregate(w, zero, lambda a, y: a.bitwiseXOR(y))
-            .bitwiseXOR(x)
-            .bitwiseXOR(F.element_at(mh, j + 1)),
-        ),
-    )
-
-
-def _fp_doc_frame(df: DataFrame, id_col: str, text_col: str, n: int):
-    """(id, __wh) — one row per doc with the per-window g-term arrays,
-    computed through chained projections so the token-hash array is
-    materialized once per row (CollapseProject keeps multi-referenced
-    non-trivial aliases as separate projections)."""
+def _fp_window_frame(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(id, __t, __i, __p) — one row per n-token window (``__i`` window
+    ordinal, ``__p`` 1-based start), plus one NULL-window row per
+    windowless doc (``posexplode_outer`` over the empty start array)."""
     toks = df.select(
         F.col(id_col).alias("id"), _token_split(text_col).alias("__t")
     )
-    hashed = toks.select(
+    return toks.select(
         "id",
-        F.transform("__t", lambda t: F.xxhash64(t)).alias("__th"),
-        window_start_seq(F.col("__t"), n).alias("__ws"),
+        "__t",
+        F.posexplode_outer(window_start_seq(F.col("__t"), n)).alias(
+            "__i", "__p"
+        ),
     )
-    return hashed.select(
-        "id", _fp_g_arrays(F.col("__th"), F.col("__ws"), n).alias("__wh")
-    )
+
+
+def _fp_terms(n: int) -> list:
+    """The n position-keyed combine terms g(r, tok_r) =
+    xxhash64(r, xxhash64(token)) as UNROLLED plain columns over the
+    window frame — every term is whole-stage-codegen'd (the earlier
+    higher-order-function formulation evaluated each lambda on the
+    interpreted path, which is what made the first fp engine lose its
+    A/B; see the key-space block above)."""
+    return [
+        F.xxhash64(
+            F.lit(r), F.xxhash64(F.element_at(F.col("__t"), F.col("__p") + r))
+        )
+        for r in range(n)
+    ]
+
+
+def _fp_mask_terms(n: int) -> list:
+    """g(j, mask) constants — foldable literals at optimization time."""
+    return [
+        F.xxhash64(F.lit(j), F.xxhash64(F.lit(_FP_MASK))) for j in range(n)
+    ]
+
+
+def _xor_fold(cols: list):
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = acc.bitwiseXOR(c)
+    return acc
 
 
 def fp_window_rows(
@@ -1119,35 +1217,78 @@ def fp_window_rows(
     """One row per n-token window — (id, __i, __fp) verbatim or
     (id, __i, __v array<long>) masked — PLUS one NULL-window row per
     windowless doc, so per-doc aggregates need no restore join."""
-    wh = _fp_doc_frame(df, id_col, text_col, n)
+    w = _fp_window_frame(df, id_col, text_col, n)
+    # project the n string hashes ONCE per window: each term is
+    # referenced by S and by its variant, and a multi-referenced
+    # non-cheap alias is kept as its own projection (CollapseProject's
+    # rule), so the expensive xxhash64(token) runs n times per window,
+    # not n² times re-inlined per variant
+    gcols = [f"__g{r}" for r in range(n)]
+    w = w.select(
+        "id", "__i", "__p",
+        *[t.alias(g) for t, g in zip(_fp_terms(n), gcols)],
+    )
+    s = _xor_fold([F.col(g) for g in gcols])
+    guard = F.col("__p").isNotNull()
     if variants:
-        arr = _fp_variants(F.col("__wh"), n)
-        return wh.select("id", F.posexplode_outer(arr).alias("__i", "__v"))
-    arr = _fp_verbatim(F.col("__wh"))
-    return wh.select("id", F.posexplode_outer(arr).alias("__i", "__fp"))
+        masks = _fp_mask_terms(n)
+        varr = F.array(
+            *[
+                s.bitwiseXOR(F.col(gcols[j])).bitwiseXOR(masks[j])
+                for j in range(n)
+            ]
+        )
+        return w.select("id", "__i", F.when(guard, varr).alias("__v"))
+    return w.select("id", "__i", F.when(guard, s).alias("__fp"))
+
+
+def _fp_keyed_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, outer: bool
+) -> DataFrame:
+    """(id, __pos, __key) variant rows via an exploded INDEX sequence.
+
+    Exploding the computed variant ARRAY triggers
+    ``InferFiltersFromGenerate``: the inferred ``size(arr) > 0``
+    predicate is pushed below the hash projection and RE-INLINES the
+    whole n²-term hash tree into a Filter that runs per window
+    (measured 2-4× the string engine's cost — the second fp A/B loss).
+    Exploding ``sequence(0, n-1)`` instead keeps the inferred filter a
+    literal-size check; the hashes stay projected exactly once."""
+    w = _fp_window_frame(df, id_col, text_col, n)
+    gcols = [f"__g{r}" for r in range(n)]
+    w = w.select(
+        "id", "__i", "__p",
+        *[t.alias(g) for t, g in zip(_fp_terms(n), gcols)],
+    )
+    s = _xor_fold([F.col(g) for g in gcols])
+    guard = F.col("__p").isNotNull()
+    jseq = F.when(guard, F.sequence(F.lit(0), F.lit(n - 1)))
+    explode_fn = F.explode_outer if outer else F.explode
+    w = w.select(
+        "id",
+        "__i",
+        s.alias("__s"),
+        F.array(*[F.col(g) for g in gcols]).alias("__ga"),
+        explode_fn(jseq).alias("__j"),
+    )
+    mask_arr = F.array(*_fp_mask_terms(n))  # foldable constants
+    key = F.when(
+        F.col("__j").isNotNull(),
+        F.col("__s")
+        .bitwiseXOR(F.element_at("__ga", F.col("__j") + 1))
+        .bitwiseXOR(F.element_at(mask_arr, F.col("__j") + 1)),
+    )
+    return w.select("id", F.col("__i").alias("__pos"), key.alias("__key"))
 
 
 def fp_variant_rows(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(id, __pos, __key) — one row per (window, masked variant), plus
-    one NULL row per windowless doc: the exploded shape the shuffle-hash
-    (corpus-sized eval) regime joins on."""
-    wh = _fp_doc_frame(df, id_col, text_col, n)
-    varr = _fp_variants(F.col("__wh"), n)
-    pairs = F.flatten(
-        F.transform(
-            varr,
-            lambda w, i: F.transform(
-                w, lambda k: F.struct(i.alias("pos"), k.alias("key"))
-            ),
-        )
-    )
-    return wh.select("id", F.explode_outer(pairs).alias("__pk")).select(
-        "id",
-        F.col("__pk.pos").alias("__pos"),
-        F.col("__pk.key").alias("__key"),
-    )
+    one NULL row per windowless doc: the exploded shape both probe
+    regimes join on (``__pos`` is the window ordinal, so collapsing
+    multi-variant matches back to one window is a (id, __pos) agg)."""
+    return _fp_keyed_rows(df, id_col, text_col, n, outer=True)
 
 
 def fp_eval_keys(
@@ -1155,14 +1296,16 @@ def fp_eval_keys(
 ) -> DataFrame:
     """The distinct eval-side fingerprint set (__k long) — the probe
     side, built through the identical construction."""
-    wh = _fp_doc_frame(
-        eval_df.select(F.lit(0).alias("__id0"), text_col), "__id0", text_col, n
-    )
+    src = eval_df.select(F.lit(0).alias("__id0"), text_col)
     if variants:
-        keys = F.explode(F.flatten(_fp_variants(F.col("__wh"), n)))
-    else:
-        keys = F.explode(_fp_verbatim(F.col("__wh")))
-    return wh.select(keys.alias("__k")).distinct()
+        rows = _fp_keyed_rows(src, "__id0", text_col, n, outer=False)
+        return rows.select(F.col("__key").alias("__k")).distinct()
+    rows = fp_window_rows(src, "__id0", text_col, n, variants=False)
+    return (
+        rows.filter(F.col("__fp").isNotNull())
+        .select(F.col("__fp").alias("__k"))
+        .distinct()
+    )
 
 
 def gram_array(text_col: str, n: int):

@@ -510,3 +510,159 @@ def test_skipgram_contamination_one_substitution_tolerance(spark):
         t2, ev, "doc_id", "text", n=8, eval_small=True
     ).collect()[0]
     assert (row["n_windows"], row["n_contaminated"]) == (3, 1)
+
+
+class TestContaminationOnetask:
+    """The one-Arrow-task contamination tier must be ROW-IDENTICAL to
+    the distributed plans it strategy-routes below CONTAM_TASK_CAP
+    (round 15 — the q27/q66 small-corpus tier rule applied to q80/q81/
+    q82), including on hostile text (embedded \\x01, unicode
+    whitespace, NULL/empty/short docs)."""
+
+    def _flagged(self, df):
+        return df.select(
+            "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("__ev")
+        )
+
+    def _rows(self, df):
+        return [tuple(r) for r in df.orderBy("id").collect()]
+
+    @pytest.mark.parametrize("mode", ["ngram", "skipgram"])
+    def test_matches_distributed_on_fixture(self, docs, mode):
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        ev = docs.filter(F.col("doc_id") % 10 == 0)
+        if mode == "ngram":
+            dist = corpus.ngram_contamination(
+                train, ev, "doc_id", "text", n=8, eval_small=True
+            )
+        else:
+            dist = corpus.skipgram_contamination(
+                train, ev, "doc_id", "text", n=8, eval_small=True
+            )
+        one = corpus.contamination_onetask(
+            self._flagged(docs), "doc_id", "text", "__ev", n=8, mode=mode
+        )
+        assert self._rows(one) == self._rows(dist)
+
+    @pytest.mark.parametrize("mode", ["ngram", "skipgram"])
+    def test_matches_shuffle_regime_on_fixture(self, docs, mode):
+        # eval_small=False drives the shuffle-hash probe — both
+        # distributed regimes must equal the kernel
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        ev = docs.filter(F.col("doc_id") % 10 == 0)
+        fn = (
+            corpus.ngram_contamination
+            if mode == "ngram"
+            else corpus.skipgram_contamination
+        )
+        dist = fn(train, ev, "doc_id", "text", n=8, eval_small=False)
+        one = corpus.contamination_onetask(
+            self._flagged(docs), "doc_id", "text", "__ev", n=8, mode=mode
+        )
+        assert self._rows(one) == self._rows(dist)
+
+    def test_matches_on_hostile_text(self, spark):
+        rows = [
+            (0, "alpha bravo charlie delta echo foxtrot golf hotel"),  # eval
+            (10, "mask \x01 embedded literal token here extra pad"),   # eval
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel"),  # verbatim
+            (2, "alpha bravo charlie delta echo foxtrot golf india"),  # 1 sub
+            (3, "alpha bravo charlie delta echo foxtrot kilo india"),  # 2 subs
+            (4, "ALPHA\tbravo  charlie delta echo foxtrot golf hotel"),
+            (5, "short text"),
+            (6, ""),
+            (7, None),
+            (8, "mask stub embedded literal token here extra pad"),    # \x01 aligns
+            (9, "nbsp joined token one two three four five six seven"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        train = df.filter(F.col("doc_id") % 10 != 0)
+        ev = df.filter(F.col("doc_id") % 10 == 0)
+        for mode in ("ngram", "skipgram"):
+            fn = (
+                corpus.ngram_contamination
+                if mode == "ngram"
+                else corpus.skipgram_contamination
+            )
+            dist = fn(train, ev, "doc_id", "text", n=8, eval_small=True)
+            one = corpus.contamination_onetask(
+                self._flagged(df), "doc_id", "text", "__ev", n=8, mode=mode
+            )
+            assert self._rows(one) == self._rows(dist), mode
+
+    def test_matches_arrival_plan(self, docs):
+        # the q82 shape: batch = upper-id half of the train split
+        from evm_indexer_spark.streaming.contam_stream import (
+            contamination_against, mode_keys,
+        )
+
+        row = docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        split = (int(row.lo) + int(row.hi) + 1) // 2
+        ev = docs.filter(F.col("doc_id") % 10 == 0)
+        batch = docs.filter(
+            (F.col("doc_id") % 10 != 0) & (F.col("doc_id") >= split)
+        )
+        grams = mode_keys(ev, "text", 8, "skipgram").select("gram").distinct()
+        dist = contamination_against(
+            batch, grams, "doc_id", "text", n=8, mode="skipgram",
+            eval_small=True,
+        )
+        flagged = ev.select(
+            "doc_id", "text", F.lit(True).alias("__ev")
+        ).unionByName(
+            batch.select("doc_id", "text", F.lit(False).alias("__ev"))
+        )
+        one = corpus.contamination_onetask(
+            flagged, "doc_id", "text", "__ev", n=8, mode="skipgram"
+        )
+        assert self._rows(one) == self._rows(dist)
+
+
+class TestFp64KeySpace:
+    """The fp64 fingerprint key space must match the byte-exact string
+    engine row-for-row (the key-space block's collision bound makes a
+    disagreement on these corpora effectively impossible — a mismatch
+    means the construction drifted)."""
+
+    @pytest.mark.parametrize("mode", ["ngram", "skipgram"])
+    @pytest.mark.parametrize("small", [True, False])
+    def test_fp64_matches_string_engine(self, docs, mode, small):
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        ev = docs.filter(F.col("doc_id") % 10 == 0)
+        fn = (
+            corpus.ngram_contamination
+            if mode == "ngram"
+            else corpus.skipgram_contamination
+        )
+        a = fn(train, ev, "doc_id", "text", n=8, eval_small=small,
+               keys="string").orderBy("id").collect()
+        b = fn(train, ev, "doc_id", "text", n=8, eval_small=small,
+               keys="fp64").orderBy("id").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_fp64_handles_windowless_and_mask_tokens(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "alpha bravo charlie delta echo foxtrot golf hotel"),
+                (10, "mask \x01 embedded literal token here extra pad"),
+                (1, "alpha bravo charlie delta echo foxtrot golf india"),
+                (5, "short"),
+                (6, ""),
+                (7, None),
+                (8, "mask stub embedded literal token here extra pad"),
+            ],
+            "doc_id long, text string",
+        )
+        train = df.filter(F.col("doc_id") % 10 != 0)
+        ev = df.filter(F.col("doc_id") % 10 == 0)
+        a = corpus.skipgram_contamination(
+            train, ev, "doc_id", "text", n=8, eval_small=True,
+            keys="string",
+        ).orderBy("id").collect()
+        b = corpus.skipgram_contamination(
+            train, ev, "doc_id", "text", n=8, eval_small=True,
+            keys="fp64",
+        ).orderBy("id").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
