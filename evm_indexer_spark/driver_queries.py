@@ -2322,6 +2322,16 @@ def q73(spark, sf):
     mark-duplicate-spans pass, at O(total windows) with no all-pairs
     stage."""
     doc = load_table(spark, sf, "documents")
+    # STRATEGY-routed small-corpus tier (round 15, the q80/q81 pattern):
+    # with every row flagged batch the one-task kernel computes exactly
+    # the global >1 rule; the distributed analytic-window plan is the
+    # 100-TB path, sf1-gated. Footer-read routing, zero plan-build jobs.
+    n_docs = table_rowcount(sf, "documents")
+    if n_docs is not None and n_docs <= corpus.CONTAM_TASK_CAP:
+        return corpus.dup_window_spans_onetask(
+            doc.select("doc_id", "text", F.lit(True).alias("__b")),
+            "doc_id", "text", "__b", window_n=8,
+        )
     return corpus.duplicate_window_spans(doc, "doc_id", "text", window_n=8)
 
 
@@ -2485,6 +2495,21 @@ def q76(spark, sf):
         row = doc.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
         rng = (row.lo, row.hi)
     split = (int(rng[0]) + int(rng[1]) + 1) // 2
+    # STRATEGY-routed small-corpus tier (round 15): the arrival flags
+    # are hist_occ + batch_occ > 1 — exactly the total-count rule the
+    # one-task kernel applies when history rides along unflagged (the
+    # identity incremental_dup_window_stats' docstring derives). The
+    # REAL O(batch) stream plan runs above the cap, sf1-gated.
+    n_docs = table_rowcount(sf, "documents")
+    if n_docs is not None and n_docs <= corpus.CONTAM_TASK_CAP:
+        from .operators.corpus import dup_window_spans_onetask
+
+        flagged = doc.select(
+            "doc_id", "text", (F.col("doc_id") >= split).alias("__b")
+        )
+        return dup_window_spans_onetask(
+            flagged, "doc_id", "text", "__b", window_n=8
+        )
     hist = (
         _window_hashes(doc.filter(F.col("doc_id") < split), "doc_id", "text", 8)
         .groupBy("h")

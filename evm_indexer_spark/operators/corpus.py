@@ -1530,6 +1530,118 @@ def incremental_dup_window_stats(
     return _span_stats(batch, id_col, text_col, flagged, window_n)
 
 
+def dup_window_spans_onetask(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_flag_col: str,
+    window_n: int = 8,
+) -> DataFrame:
+    """The duplicated-span audit in ONE Arrow task, for corpora under
+    ``CONTAM_TASK_CAP`` (the q27/q66/q80 small-corpus tier applied to
+    q73/q76). *docs* carries history AND batch rows with
+    *batch_flag_col* true on the scored (batch) side; a batch window is
+    flagged iff its hash count over history + batch exceeds one —
+    with every row flagged batch this is exactly
+    ``duplicate_window_spans``'s global rule, with a history split it
+    is ``incremental_dup_window_stats``'s arrival rule (the identity
+    its docstring derives). Tokenization is the Python twin of the
+    operator's ``split(lower(text), '\\s+')`` (ASCII class, trailing
+    empties kept — re.split matches Spark's limit=-1); hashes are the
+    same md5-60 ints, memoized per distinct window string. Output
+    contract and zero-fill semantics are ``_span_stats``'s, exact
+    integers. The distributed plans remain the 100-TB path (sf1-gated)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType,
+    )
+
+    ws = re.compile(r"\s+", re.ASCII)
+    n = window_n
+    schema = StructType(
+        [
+            StructField("doc_id", docs.schema[id_col].dataType, False),
+            StructField("n_tokens", LongType(), True),
+            StructField("n_windows", LongType(), False),
+            StructField("dup_windows", LongType(), False),
+            StructField("covered_tokens", LongType(), False),
+        ]
+    )
+
+    def _score(batches):
+        from collections import Counter
+
+        memo: dict = {}
+        counts: Counter = Counter()
+        rows: list = []  # (id, n_tokens, hashes list or None, is_batch)
+        for pdf in batches:
+            for did, t, fl in zip(
+                pdf[id_col], pdf[text_col], pdf[batch_flag_col]
+            ):
+                if t is None:
+                    rows.append((did, None, None, bool(fl)))
+                    continue
+                toks = ws.split(t.lower())
+                if len(toks) < n:
+                    rows.append((did, len(toks), None, bool(fl)))
+                    continue
+                hs = []
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i : i + n])
+                    h = memo.get(g)
+                    if h is None:
+                        h = int(
+                            hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        if len(memo) < _MEMO_CAP_LOCAL:
+                            memo[g] = h
+                    hs.append(h)
+                counts.update(hs)
+                rows.append((did, len(toks), hs, bool(fl)))
+        ids, ntk, nwd, dwd, cov = [], [], [], [], []
+        for did, ntok, hs, fl in rows:
+            if not fl:
+                continue
+            ids.append(did)
+            ntk.append(ntok)
+            if hs is None:
+                nwd.append(0)
+                dwd.append(0)
+                cov.append(0)
+                continue
+            dup_pos = [i for i, h in enumerate(hs) if counts[h] > 1]
+            nwd.append(len(hs))
+            dwd.append(len(dup_pos))
+            c = 0
+            for j, p in enumerate(dup_pos):
+                if j + 1 < len(dup_pos):
+                    c += min(n, dup_pos[j + 1] - p)
+                else:
+                    c += n
+            cov.append(c)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype=object),
+                "n_tokens": pd.Series(ntk, dtype=object),
+                "n_windows": pd.Series(nwd, dtype="int64"),
+                "dup_windows": pd.Series(dwd, dtype="int64"),
+                "covered_tokens": pd.Series(cov, dtype="int64"),
+            }
+        )
+
+    return (
+        docs.select(id_col, text_col, batch_flag_col)
+        .coalesce(1)
+        .mapInPandas(_score, schema)
+    )
+
+
+_MEMO_CAP_LOCAL = 1 << 20  # distinct-gram md5 memo bound per task
+
+
 def pii_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Typed PII detection + redaction, entirely native Column regex
     (JVM-side, whole-stage codegen — a pure map, no UDF, no shuffle):

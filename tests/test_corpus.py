@@ -666,3 +666,62 @@ class TestFp64KeySpace:
             keys="fp64",
         ).orderBy("id").collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestDupWindowOnetask:
+    """The one-task duplicated-span tier must be ROW-IDENTICAL to the
+    distributed plans it strategy-routes below CONTAM_TASK_CAP."""
+
+    def _rows(self, df):
+        return [tuple(r) for r in df.orderBy("doc_id").collect()]
+
+    def test_matches_batch_operator(self, docs):
+        dist = corpus.duplicate_window_spans(docs, "doc_id", "text", 8)
+        one = corpus.dup_window_spans_onetask(
+            docs.select("doc_id", "text", F.lit(True).alias("__b")),
+            "doc_id", "text", "__b", window_n=8,
+        )
+        assert self._rows(one) == self._rows(dist)
+
+    def test_matches_incremental_operator(self, docs):
+        from evm_indexer_spark.operators.corpus import (
+            _window_hashes, incremental_dup_window_stats,
+        )
+
+        row = docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        split = (int(row.lo) + int(row.hi) + 1) // 2
+        hist = (
+            _window_hashes(
+                docs.filter(F.col("doc_id") < split), "doc_id", "text", 8
+            )
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("occ"))
+        )
+        batch = docs.filter(F.col("doc_id") >= split)
+        dist = incremental_dup_window_stats(batch, hist, "doc_id", "text", 8)
+        one = corpus.dup_window_spans_onetask(
+            docs.select(
+                "doc_id", "text", (F.col("doc_id") >= split).alias("__b")
+            ),
+            "doc_id", "text", "__b", window_n=8,
+        )
+        assert self._rows(one) == self._rows(dist)
+
+    def test_hostile_rows(self, spark):
+        rows = [
+            (1, "a b c d e f g h a b c d e f g h pad"),  # self-dup
+            (2, "a b c d e f g h unique tail here now"),
+            (3, "short"),
+            (4, ""),
+            (5, None),
+            (6, " leading  space\tand trailing "),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        dist = corpus.duplicate_window_spans(df, "doc_id", "text", 8)
+        one = corpus.dup_window_spans_onetask(
+            df.select("doc_id", "text", F.lit(True).alias("__b")),
+            "doc_id", "text", "__b", window_n=8,
+        )
+        assert self._rows(one) == self._rows(dist)
