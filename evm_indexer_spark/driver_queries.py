@@ -2789,6 +2789,18 @@ def q79(spark, sf):
     qv = _query_vec(spark, sf)
     n = table_rowcount(sf, "embeddings")
     n = emb.count() if n is None else n
+    # STRATEGY-routed small-corpus tier (round 15, the q35 pattern
+    # applied to the retrieve pipeline): below half the brute cap the
+    # one-Arrow-task kernel trains, plants, encodes, ADC-shortlists and
+    # exact-reranks in a single task — identity with the distributed
+    # plan pinned in tests/test_similarity.py; the distributed
+    # train->encode->ADC->re-rank plan stays the at-scale path and is
+    # gated by the sf1 replica (20k vectors, above this cap).
+    if n <= dedup.BRUTE_TASK_CAP // 2:
+        return similarity.pq_ann_onetask(
+            emb, "vec_id", "embedding", _query_vec(spark, sf),
+            k=10, n_candidates=40, sample_rows=20_000, round_digits=4,
+        )
     # 20k-row training cap: at every gate SF the corpus is smaller, so
     # the sample — and therefore the codebooks — is bit-identical to
     # the library's 50k default (pinned by test_pq_train_sample_cap);

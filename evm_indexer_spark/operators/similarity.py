@@ -1597,35 +1597,59 @@ def pq_train(
     if not isinstance(df.schema[id_col].dataType, IntegralType):
         raise ValueError("pq_train requires an integral id column")
     if local_sample is not None:
-        import hashlib
+        return _pq_train_pairs(
+            local_sample, n_subspaces, n_centroids, iters, scale, sample_rows
+        )
+    q = _spark_quantize(F.col(vec_col), scale)
+    rows = (
+        df.select(F.col(id_col).alias("id"), q.alias("q"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train a quantizer on an empty corpus")
+    ids = [r["id"] for r in rows]
+    qm = np.array([r["q"] for r in rows], dtype=np.int64)
+    return _pq_books_from_sample(ids, qm, n_subspaces, n_centroids, iters)
 
-        pairs = sorted(
-            local_sample,
-            key=lambda p: (
-                hashlib.md5(str(int(p[0])).encode()).hexdigest(),
-                int(p[0]),
-            ),
-        )[:sample_rows]
-        if not pairs:
-            raise ValueError("cannot train a quantizer on an empty corpus")
-        ids = [int(p[0]) for p in pairs]
-        qm = _quantize_query_half_up(
-            np.array([[float(x) for x in p[1]] for p in pairs],
-                     dtype=np.float64),
-            scale,
-        )
-    else:
-        q = _spark_quantize(F.col(vec_col), scale)
-        rows = (
-            df.select(F.col(id_col).alias("id"), q.alias("q"))
-            .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-            .limit(sample_rows)
-            .collect()
-        )
-        if not rows:
-            raise ValueError("cannot train a quantizer on an empty corpus")
-        ids = [r["id"] for r in rows]
-        qm = np.array([r["q"] for r in rows], dtype=np.int64)
+
+def _pq_train_pairs(
+    local_sample: list,
+    n_subspaces: int,
+    n_centroids: int,
+    iters: int,
+    scale: int,
+    sample_rows: int,
+) -> np.ndarray:
+    """The pure-local half of ``pq_train``: deterministic (md5(id), id)
+    sampling + the pinned bit-identical quantizer twin + the Lloyd
+    loop, with no Spark session anywhere — callable on the driver (the
+    footer-gated local_sample path) or INSIDE an Arrow task (the q79
+    one-task tier, round 15)."""
+    import hashlib
+
+    pairs = sorted(
+        local_sample,
+        key=lambda p: (
+            hashlib.md5(str(int(p[0])).encode()).hexdigest(),
+            int(p[0]),
+        ),
+    )[:sample_rows]
+    if not pairs:
+        raise ValueError("cannot train a quantizer on an empty corpus")
+    ids = [int(p[0]) for p in pairs]
+    qm = _quantize_query_half_up(
+        np.array([[float(x) for x in p[1]] for p in pairs],
+                 dtype=np.float64),
+        scale,
+    )
+    return _pq_books_from_sample(ids, qm, n_subspaces, n_centroids, iters)
+
+
+def _pq_books_from_sample(
+    ids: list, qm: np.ndarray, n_subspaces: int, n_centroids: int, iters: int
+) -> np.ndarray:
     dim = qm.shape[1]
     if dim % n_subspaces:
         raise ValueError(
@@ -1787,3 +1811,155 @@ def pq_refine_topk(
         "inner",
     ).select(df.columns)
     return cosine_topk(kept, id_col, vec_col, query, k, round_digits=round_digits)
+
+
+def pq_ann_onetask(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_candidates: int = 40,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    iters: int = 3,
+    scale: int = 1000,
+    sample_rows: int = 20_000,
+    round_digits: int = 4,
+    planted: int = 10,
+) -> DataFrame:
+    """q79's ENTIRE two-regime PQ pipeline — train, plant, encode,
+    ADC-shortlist, exact re-rank, exact total scan — in ONE Arrow task
+    (the q27/q35 small-corpus tier applied to the retrieve pipeline).
+
+    Below the cap the distributed plan is a driver-side pyarrow read +
+    Lloyd fit per invocation plus four Python-boundary stages around a
+    2000×64 matmul. Here the task's own input rows ARE the training
+    sample source (same (md5(id), id) order via ``_pq_train_pairs``),
+    the planted rows are synthesized in-task with the SAME float32
+    truncation the JVM literal cast applies, quantization goes through
+    ``_quantize_query_half_up`` (the pinned bit-identical twin of
+    ``_spark_quantize``), codes/ADC use the same exact-int64 argmin /
+    table-lookup arithmetic, and the cosine formula is
+    ``cosine_scores_batch``'s numpy expression verbatim. Ranking uses
+    HALF_UP-rounded scores through the ``Decimal(repr(x))`` twin of
+    ``F.round`` (NaN ordered first on descending, as Spark orders it),
+    so row selection matches the JVM plan bit-for-bit. Output:
+    (regime, vec_id, score double) — scores already rounded.
+
+    The distributed plan remains the at-scale path; callers route by
+    footer rowcount and the sf1 replica gates the distributed tier."""
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    qv64 = np.array([float(x) for x in query], dtype=np.float64)
+    qf32 = qv64.astype(np.float32).astype(np.float64)  # the literal cast
+    schema = StructType(
+        [
+            StructField("regime", StringType(), False),
+            StructField("vec_id", df.schema[id_col].dataType, True),
+            StructField("score", DoubleType(), True),
+        ]
+    )
+
+    def _round_hu(s: float) -> float:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if math.isnan(s) or math.isinf(s):
+            return s
+        return float(
+            Decimal(repr(s)).quantize(
+                Decimal(1).scaleb(-round_digits), ROUND_HALF_UP
+            )
+        )
+
+    def _topk(ids: list, scores: np.ndarray, kk: int) -> list:
+        import math
+
+        # the distributed plan's scorer is a pandas_udf: Arrow converts
+        # NaN cosines to NULL, and F.desc orders NULLS LAST — mirror
+        # that (NaN rows rank after every real score, ties by id)
+        rounded = [_round_hu(float(s)) for s in scores]
+        order = sorted(
+            range(len(ids)),
+            key=lambda i: (
+                math.isnan(rounded[i]),  # NULLs (NaN) last
+                -rounded[i] if not math.isnan(rounded[i]) else 0.0,
+                ids[i],
+            ),
+        )
+        return [
+            (ids[i], None if math.isnan(rounded[i]) else rounded[i])
+            for i in order[:kk]
+        ]
+
+    def _all(batches):
+        ids: list = []
+        mats: list = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids.extend(pdf[id_col].tolist())
+            mats.append(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+        if not ids:
+            yield pd.DataFrame({"regime": [], "vec_id": [], "score": []})
+            return
+        m = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        books = _pq_train_pairs(
+            list(zip(ids, m)), n_subspaces, n_centroids, iters, scale,
+            sample_rows,
+        )
+        # augment with the planted copies (ids -planted..-1, the query
+        # vector through the JVM float-literal cast)
+        aug_ids = list(range(-planted, 0)) + list(ids)
+        aug = np.concatenate([np.tile(qf32, (planted, 1)), m])
+        # encode: same exact-int64 nearest-centroid argmin as pq_encode
+        qm = _quantize_query_half_up(aug, scale)
+        n_sub, _, d = books.shape
+        codes = np.empty((len(aug_ids), n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            sub = qm[:, s * d : (s + 1) * d]
+            dist = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = dist.argmin(axis=1)
+        # ADC shortlist: same integer table as pq_topk, (dist asc, id)
+        qq = _quantize_query_half_up(qv64, scale)
+        table = np.stack(
+            [
+                ((books[s] - qq[s * d : (s + 1) * d][None, :]) ** 2).sum(
+                    axis=1
+                )
+                for s in range(n_sub)
+            ]
+        )
+        adc = table[np.arange(n_sub)[None, :], codes].sum(axis=1)
+        short = sorted(
+            range(len(aug_ids)), key=lambda i: (adc[i], aug_ids[i])
+        )[:n_candidates]
+        # exact cosine: cosine_scores_batch's numpy expression verbatim
+        qn = float(np.sqrt((qv64 * qv64).sum()))
+
+        def _cos(rows: np.ndarray) -> np.ndarray:
+            norms = np.sqrt((rows * rows).sum(axis=1)) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return np.where(norms > 0, (rows @ qv64) / norms, 0.0)
+
+        sel = _topk(
+            [aug_ids[i] for i in short], _cos(aug[short]), k
+        )
+        tot = _topk(ids, _cos(m), k)
+        yield pd.DataFrame(
+            {
+                "regime": ["selective_planted"] * len(sel)
+                + ["total"] * len(tot),
+                "vec_id": pd.Series(
+                    [p[0] for p in sel] + [p[0] for p in tot], dtype=object
+                ),
+                "score": [p[1] for p in sel] + [p[1] for p in tot],
+            }
+        )
+
+    return (
+        df.select(id_col, vec_col).coalesce(1).mapInPandas(_all, schema)
+    )

@@ -916,3 +916,78 @@ def test_embedding_pairs_onetask_matches_distributed(spark, emb):
         new_flag_col="is_new",
     ).collect()))
     assert inc == one_f and len(one_f) > 0
+
+
+def _q79_distributed(spark, emb, query):
+    """The q79 distributed two-regime construction, verbatim."""
+    books = similarity.pq_train(
+        emb, "vec_id", "embedding", n_subspaces=8, sample_rows=20_000
+    )
+    planted = spark.range(-10, 0, 1, 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in query])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(planted).coalesce(1)
+    enc = similarity.pq_encode(aug, "vec_id", "embedding", books)
+    tot = similarity.cosine_topk(
+        aug.filter(F.col("vec_id") >= 0), "vec_id", "embedding", query,
+        k=10, round_digits=4,
+    ).select(F.lit("total").alias("regime"), "vec_id", "score")
+    sel = similarity.pq_refine_topk(
+        aug, "vec_id", "embedding", books, query,
+        k=10, n_candidates=40, round_digits=4, encoded=enc,
+    ).select(F.lit("selective_planted").alias("regime"), "vec_id", "score")
+    return sel.unionByName(tot)
+
+
+def test_pq_ann_onetask_matches_distributed(spark):
+    # float-typed vectors (the fixture schema) so the planted literal
+    # cast exercises the same float32 truncation as the entry
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    one = similarity.pq_ann_onetask(
+        emb, "vec_id", "embedding", query,
+        k=10, n_candidates=40, sample_rows=20_000, round_digits=4,
+    ).orderBy("regime", "vec_id").collect()
+    dist = (
+        _q79_distributed(spark, emb, query)
+        .orderBy("regime", "vec_id")
+        .collect()
+    )
+    assert [tuple(r) for r in one] == [tuple(r) for r in dist]
+
+
+def test_pq_ann_onetask_matches_distributed_on_hostile_vectors(spark):
+    import math
+
+    base = load_table(spark, SF_DIR, "embeddings").limit(50)
+    dim = len(base.first()["embedding"])
+    hostile = spark.createDataFrame(
+        [
+            (900, [float("nan")] * dim),
+            (901, [float("inf")] * dim),
+            (902, [0.0] * dim),
+            (903, [-float("inf")] + [1.0] * (dim - 1)),
+        ],
+        f"vec_id long, embedding array<float>",
+    )
+    emb = base.select("vec_id", "embedding").unionByName(hostile)
+    query = [
+        float(x)
+        for x in base.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    one = similarity.pq_ann_onetask(
+        emb, "vec_id", "embedding", query,
+        k=10, n_candidates=40, sample_rows=20_000, round_digits=4,
+    ).orderBy("regime", "vec_id").collect()
+    dist = (
+        _q79_distributed(spark, emb, query)
+        .orderBy("regime", "vec_id")
+        .collect()
+    )
+    assert [tuple(r) for r in one] == [tuple(r) for r in dist]
