@@ -96,11 +96,25 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
     # q70); spreading parallelizes the partials — measured 0.88/0.96/1.03
     # unspread vs 0.70/0.71/1.02 spread warm at sf0.1 (4 runs each).
     # At real scale (many row groups) spread_small_scan is a no-op.
-    li = spread_small_scan(load_table(spark, sf, "lineitem"))
+    # Round 15 (guide §2.3, project before the exchange): filter and
+    # prune to the 6 consumed columns BEFORE the spread repartition —
+    # the round-robin exchange otherwise ships all 16 lineitem columns
+    # (1.04 → 0.72s interleaved medians at sf0.1; rows identical, the
+    # projection/filter commute with repartition).
+    li = spread_small_scan(
+        load_table(spark, sf, "lineitem")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        )
+        .filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
+    )
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").cast("double").alias("sum_base_price"),

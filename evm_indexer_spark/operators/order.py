@@ -93,7 +93,7 @@ def global_row_number(
     num_partitions: int | None = None,
     start: int = 1,
     n_rows_hint: int | None = None,
-    small_below: int = 2_000_000,
+    small_below: int = 300_000,
     key_range_hint: tuple | None = None,
 ) -> DataFrame:
     """Assign consecutive global row ids (``start``, ``start``+1, ...)
@@ -108,9 +108,12 @@ def global_row_number(
     ``n_rows_hint``: caller-known row count (e.g. from parquet footer
     statistics — ``sources.tables.table_rowcount``). When provided and
     ≤ ``small_below``, the single-partition window plan is used
-    instead: below ~2M narrow rows, one sort task beats the two-phase
-    formulation (scheduling floors dominate). The hint routes the PLAN
-    only; results are identical (the key is a total order).
+    instead: below a few hundred thousand narrow rows one sort task
+    beats the two-phase formulation (scheduling floors dominate; the
+    round-15 JVM-window rewrite moved the measured crossover — 60k
+    rows: 0.29s single vs 0.81s two-phase; 600k rows: 0.95 vs 0.83 —
+    so the default sits at 300k). The hint routes the PLAN only;
+    results are identical (the key is a total order).
 
     ``key_range_hint``: caller-known (min, max) of the FIRST order
     column (``sources.tables.table_column_range``) — with it the
