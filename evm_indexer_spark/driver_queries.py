@@ -671,6 +671,16 @@ def q28(spark, sf):
     doc = load_table(spark, sf, "documents")
     n = table_rowcount(sf, "documents")
     n = doc.count() if n is None else n
+    if n <= dedup.BRUTE_TASK_CAP:
+        # one-Arrow-task tier (the q27/q35/q79/q80-family small-corpus
+        # routing): the distributed group plan is one signing task plus
+        # three AQE stages of scheduling floor at this scale — 0.94 →
+        # 0.60s interleaved same-session noop medians at sf0.1 (gated
+        # r15 window had the group plan at 0.66 warm); identity with
+        # both distributed pair sources pinned in tests/test_dedup.py
+        return dedup.simhash_pairs_onetask(
+            doc, "doc_id", "text", max_hamming=3, n_blocks=4, n_bits=60
+        )
     return dedup.simhash_near_duplicates(
         doc,
         "doc_id",

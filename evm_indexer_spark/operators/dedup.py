@@ -887,10 +887,6 @@ def _simhash_signatures_pandas(
     hashing — 2.3s for 5k docs at sf0.1 where this pass runs ~0.4s
     (same constant q65's counter path shed). The signature subtree is
     evaluated once per join SIDE downstream, so the saving doubles."""
-    import re
-    from hashlib import md5
-
-    import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
@@ -899,16 +895,10 @@ def _simhash_signatures_pandas(
             StructField("sig", LongType(), False),
         ]
     )
-    ws = re.compile(r"\s+", re.ASCII)
-    strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
-    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64)).astype(
-        np.uint64
-    )
 
     def _partial(batches):
         import pandas as pd
 
-        shifts = np.arange(n_bits, dtype=np.uint64)
         # token -> md5_60 memo, shared across batches: token vocabularies
         # repeat heavily (8.7k occurrences per distinct token on the
         # sf0.1 fixture; md5 was 0.36s per signature pass there, 0.08s
@@ -917,33 +907,139 @@ def _simhash_signatures_pandas(
         # are computed directly, values identical.
         memo: dict = {}
         for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                if t is None:
-                    continue  # the JVM explode drops null-text docs too
-                toks = ws.split(strip.sub("", t.lower()))[: (1 << 21) - 1]
-                h = np.empty(len(toks), dtype=np.uint64)
-                for i, tok in enumerate(toks):
-                    v = memo.get(tok)
-                    if v is None:
-                        v = int(md5(tok.encode()).hexdigest()[:15], 16)
-                        if len(memo) < _MEMO_CAP:
-                            memo[tok] = v
-                    h[i] = v
-                ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
-                # reinterpret as signed so bit 63 (n_bits=64) round-trips
-                # to the same negative long the JVM shiftleft produces
-                sig = int(
-                    weights[2 * ones > len(toks)]
-                    .sum(dtype=np.uint64)
-                    .astype(np.int64)
-                )
-                ids.append(doc_id)
-                sigs.append(sig)
+            ids, sigs = _simhash_sig_rows(
+                pdf[id_col], pdf[text_col], n_bits, memo
+            )
             if ids:
                 yield pd.DataFrame({"id": ids, "sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(_partial, schema)
+
+
+def _simhash_sig_rows(
+    id_vals, text_vals, n_bits: int, memo: dict
+) -> tuple[list, list]:
+    """md5_60-family SimHash signatures for a batch of documents — the
+    ONE Python signing kernel (``_simhash_signatures_pandas`` and
+    ``simhash_pairs_onetask`` both call this, so bit-identity between
+    the distributed and one-task tiers is by construction, not by
+    parallel maintenance). Null texts are dropped, mirroring the JVM
+    explode. Returns (ids, sigs) with sigs as signed-int64 Python ints."""
+    import re
+    from hashlib import md5
+
+    import numpy as np
+
+    ws = re.compile(r"\s+", re.ASCII)
+    strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64)).astype(
+        np.uint64
+    )
+    shifts = np.arange(n_bits, dtype=np.uint64)
+    ids, sigs = [], []
+    for doc_id, t in zip(id_vals, text_vals):
+        if t is None:
+            continue  # the JVM explode drops null-text docs too
+        toks = ws.split(strip.sub("", t.lower()))[: (1 << 21) - 1]
+        h = np.empty(len(toks), dtype=np.uint64)
+        for i, tok in enumerate(toks):
+            v = memo.get(tok)
+            if v is None:
+                v = int(md5(tok.encode()).hexdigest()[:15], 16)
+                if len(memo) < _MEMO_CAP:
+                    memo[tok] = v
+            h[i] = v
+        ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+        # reinterpret as signed so bit 63 (n_bits=64) round-trips
+        # to the same negative long the JVM shiftleft produces
+        sig = int(
+            weights[2 * ones > len(toks)]
+            .sum(dtype=np.uint64)
+            .astype(np.int64)
+        )
+        ids.append(doc_id)
+        sigs.append(sig)
+    return ids, sigs
+
+
+def simhash_pairs_onetask(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    n_bits: int = 60,
+) -> DataFrame:
+    """The ENTIRE SimHash pipeline — sign, block-bucket, verify — in ONE
+    Arrow task, for corpora that fit one worker (md5_60 family only;
+    callers bound the input by ``BRUTE_TASK_CAP`` from parquet footers,
+    the same small-corpus tier rule as ``minhash_pairs_onetask``). The
+    100-TB path remains ``simhash_near_duplicates``' distributed plans.
+
+    Why it exists: below ~20k docs the distributed group path is one
+    Arrow signing task plus three AQE stages (block explode+exchange,
+    bucket group, pair dedup exchange) of scheduling floor around
+    <0.1s of bucket work. Semantics are identical to
+    ``simhash_near_duplicates(token_hash="md5_60")``: same signatures
+    (shared ``_simhash_sig_rows`` kernel), same pigeonhole block keys,
+    same hamming verification, duplicate pairs from multi-block
+    collisions emitted once.
+
+    Returns (id_a, id_b, hamming int), id_a < id_b.
+    """
+    assert n_bits % n_blocks == 0
+    width = n_bits // n_blocks
+    mask = (1 << width) - 1
+    u64 = (1 << 64) - 1  # unsigned view: JVM shiftrightunsigned twin
+    max_h = int(max_hamming)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id_a", df.schema[id_col].dataType, False),
+            StructField("id_b", df.schema[id_col].dataType, False),
+            StructField("hamming", IntegerType(), False),
+        ]
+    )
+
+    def _all(batches):
+        import pandas as pd
+
+        memo: dict = {}
+        ids: list = []
+        usigs: list = []
+        for pdf in batches:
+            bids, bsigs = _simhash_sig_rows(
+                pdf[id_col], pdf[text_col], n_bits, memo
+            )
+            ids.extend(bids)
+            usigs.extend(s & u64 for s in bsigs)
+        buckets: dict = {}  # (blk, block value) -> [row index]
+        for i, s in enumerate(usigs):
+            for b in range(n_blocks):
+                buckets.setdefault((b, (s >> (b * width)) & mask), []).append(i)
+        seen = set()
+        ra, rb, rh = [], [], []
+        for grp in buckets.values():
+            if len(grp) < 2:
+                continue
+            for x in range(len(grp) - 1):
+                for y in range(x + 1, len(grp)):
+                    i, j = grp[x], grp[y]
+                    # least/greatest keying, exactly the group path
+                    # (callers guarantee unique ids, as for minhash)
+                    p = (i, j) if ids[i] < ids[j] else (j, i)
+                    if p in seen:
+                        continue
+                    seen.add(p)
+                    h = (usigs[i] ^ usigs[j]).bit_count()
+                    if h <= max_h:
+                        ra.append(ids[p[0]])
+                        rb.append(ids[p[1]])
+                        rh.append(h)
+        yield pd.DataFrame({"id_a": ra, "id_b": rb, "hamming": rh})
+
+    return df.select(id_col, text_col).coalesce(1).mapInPandas(_all, schema)
 
 
 def simhash_signatures(

@@ -189,6 +189,37 @@ def test_pair_sources_identical(spark, corpus):
     assert sa == sb
 
 
+def test_simhash_onetask_identical(spark, corpus):
+    """The one-Arrow-task SimHash tier must be byte-identical to BOTH
+    distributed pair sources on the md5_60 family — including the
+    hostile-text classes (empty text, whitespace-only, unicode, null,
+    punct-only) the adversarial fixture exercises, and pairs colliding
+    in more than one block (emitted once by every tier)."""
+    hostile = spark.createDataFrame(
+        [
+            (300, ""),
+            (301, "   "),
+            (302, None),
+            (303, "Ünïcödé tøkens and ascii mixed"),
+            (304, "punct!!! only??? ..."),
+            (305, "punct!!! only??? ..."),  # identical: 0-hamming pair
+        ],
+        "doc_id long, text string",
+    )
+    df = corpus.unionByName(hostile)
+    kw = dict(max_hamming=3, n_blocks=4)
+    one = sorted(map(tuple, dedup.simhash_pairs_onetask(
+        df, "doc_id", "text", n_bits=60, **kw).collect()))
+    grp = sorted(map(tuple, dedup.simhash_near_duplicates(
+        df, "doc_id", "text", token_hash="md5_60", n_bits=60,
+        pair_source="group", **kw).collect()))
+    jn = sorted(map(tuple, dedup.simhash_near_duplicates(
+        df, "doc_id", "text", token_hash="md5_60", n_bits=60,
+        pair_source="join", **kw).collect()))
+    assert one == grp == jn
+    assert (304, 305, 0) in one  # identical docs collide in all blocks
+
+
 def test_incremental_pair_sources_identical(spark, corpus):
     from pyspark.sql import functions as F
 
