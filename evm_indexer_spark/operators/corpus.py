@@ -798,6 +798,7 @@ def contamination_onetask(
     window)."""
     import re
 
+    import numpy as np
     from pyspark.sql.types import (
         BooleanType, LongType, StructField, StructType,
     )
@@ -826,52 +827,132 @@ def contamination_onetask(
             return len(t) - n + 1
         return 0
 
+    # Probe engine (round 15, guide §4.2 — vectorized native code inside
+    # the kernel): tokens are interned to dense int ids, every window
+    # gets a 64-bit polynomial hash H = Σ r[tid_{s+j}]·p^j (uint64
+    # wraparound), and a masked skip-gram variant at position j is the
+    # O(1) adjustment H + (r[MASK] − r[tid_{s+j}])·p^j — so the whole
+    # variant matrix is a handful of numpy ops instead of ~2M Python
+    # string joins (1.0→0.4s kernel on the sf0.1 fixture, probe twin
+    # committed equal to the string form). Hash equality is only a
+    # FILTER: every candidate is verified against the exact token-id
+    # tuple, so collisions cannot flip an answer (no false negatives by
+    # construction — equal windows hash equal). The mask id is also the
+    # interned id of a literal "\x01" token, preserving the distributed
+    # path's mask-collision semantics bit for bit on hostile text.
+    _MASK = 0
+
+    def _splitmix64(x):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    n_var = n if mode == "skipgram" else 1
+
     def _score(batches):
-        eval_keys: set = set()
-        train: list = []  # (id, tokens)
+        tok_id: dict = {"\x01": _MASK}
+        train: list = []  # (id, token ids, n_windows)
+        evals: list = []
         for pdf in batches:
             for did, t, fl in zip(
                 pdf[id_col], pdf[text_col], pdf[eval_flag_col]
             ):
                 toks = _tokens(t) if t is not None else [""]
-                if fl:
-                    k = _wins(toks)
-                    if mode == "ngram":
-                        for i in range(k):
-                            eval_keys.add(" ".join(toks[i : i + n]))
-                    else:
-                        for i in range(k):
-                            w = toks[i : i + n]
-                            for j in range(n):
-                                kept = w[j]
-                                w[j] = "\x01"
-                                eval_keys.add(" ".join(w))
-                                w[j] = kept
+                k = _wins(toks)
+                g = tok_id.get
+                tids = []
+                for tk in toks:
+                    v = g(tk)
+                    if v is None:
+                        v = len(tok_id)
+                        tok_id[tk] = v
+                    tids.append(v)
+                (evals if fl else train).append((did, tids, k))
+        with np.errstate(over="ignore"):
+            r = _splitmix64(np.arange(1, len(tok_id) + 1, dtype=np.uint64))
+            pw = np.empty(n, dtype=np.uint64)
+            acc = np.uint64(1)
+            p_mult = np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+            for i in range(n):
+                pw[i] = acc
+                acc = acc * p_mult
+            rmask = r[_MASK]
+
+            def _variant_hashes(docs):
+                """(W, n_var) variant-hash matrix over every valid
+                window of *docs*, plus per-window doc index / local
+                position and the kept docs' token-id lists."""
+                kept = [(t, k) for _, t, k in docs if k > 0]
+                ks = np.array([k for _, k in kept], dtype=np.int64)
+                if not len(kept):
+                    z = np.empty(0, dtype=np.int64)
+                    return np.empty((0, n_var), dtype=np.uint64), z, z, []
+                lens = np.array([len(t) for t, _ in kept], dtype=np.int64)
+                allt = np.fromiter(
+                    (x for t, _ in kept for x in t),
+                    dtype=np.int64,
+                    count=int(lens.sum()),
+                )
+                offs = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                rall = r[allt]
+                sw = np.lib.stride_tricks.sliding_window_view(rall, n)
+                h_all = (sw * pw).sum(axis=1, dtype=np.uint64)
+                w_total = int(ks.sum())
+                win_doc = np.repeat(np.arange(len(ks)), ks)
+                kcum = np.zeros(len(ks), dtype=np.int64)
+                np.cumsum(ks[:-1], out=kcum[1:])
+                win_local = np.arange(w_total) - kcum[win_doc]
+                starts = offs[win_doc] + win_local
+                hv = h_all[starts]
+                if mode == "ngram":
+                    vm = hv.reshape(-1, 1)
                 else:
-                    train.append((did, toks))
-        ids, nw, nc, flag = [], [], [], []
-        for did, toks in train:
-            k = _wins(toks)
-            hits = 0
-            if mode == "ngram":
-                for i in range(k):
-                    if " ".join(toks[i : i + n]) in eval_keys:
-                        hits += 1
-            else:
-                for i in range(k):
-                    w = toks[i : i + n]
+                    vm = np.empty((w_total, n), dtype=np.uint64)
+                    adj = rmask - rall
                     for j in range(n):
-                        kept = w[j]
-                        w[j] = "\x01"
-                        hit = " ".join(w) in eval_keys
-                        w[j] = kept
-                        if hit:
-                            hits += 1
-                            break
+                        vm[:, j] = hv + adj[starts + j] * pw[j]
+                return vm, win_doc, win_local, [t for t, _ in kept]
+
+            e_vm, e_doc, e_loc, e_tids = _variant_hashes(evals)
+            t_vm, t_doc, t_loc, t_tids = _variant_hashes(train)
+            cand = np.isin(t_vm, np.unique(e_vm.ravel()))
+            cand_rows = np.nonzero(cand.any(axis=1))[0]
+            # exact verification: bucket the eval variants whose hash
+            # appears among candidates, then compare token-id tuples
+            e_hit = np.isin(e_vm, np.unique(t_vm[cand]))
+            bucket: dict = {}
+            for wi, j in zip(*np.nonzero(e_hit)):
+                w = list(e_tids[e_doc[wi]][e_loc[wi] : e_loc[wi] + n])
+                if mode == "skipgram":
+                    w[j] = _MASK
+                bucket.setdefault(int(e_vm[wi, j]), set()).add(tuple(w))
+            hits = np.zeros(t_vm.shape[0], dtype=bool)
+            for wi in cand_rows:
+                base = t_tids[t_doc[wi]][t_loc[wi] : t_loc[wi] + n]
+                for j in np.nonzero(cand[wi])[0]:
+                    w = list(base)
+                    if mode == "skipgram":
+                        w[j] = _MASK
+                    es = bucket.get(int(t_vm[wi, j]))
+                    if es is not None and tuple(w) in es:
+                        hits[wi] = True
+                        break
+            hit_counts = np.zeros(max(len(t_tids), 1), dtype=np.int64)
+            np.add.at(hit_counts, t_doc, hits)
+        ids, nw, nc, flag = [], [], [], []
+        gi = 0
+        for did, _tids, k in train:
+            if k > 0:
+                h = int(hit_counts[gi])
+                gi += 1
+            else:
+                h = 0
             ids.append(did)
             nw.append(k)
-            nc.append(hits)
-            flag.append(hits >= min_hits)
+            nc.append(h)
+            flag.append(h >= min_hits)
         yield pd.DataFrame(
             {
                 "id": pd.Series(ids, dtype=object),
