@@ -2050,16 +2050,13 @@ def q68(spark, sf):
     ``mapInPandas`` maps — payloads never leave executors, no shuffle.
     Beyond-reference multimodal family (the reference engine has no
     media path)."""
-    from .operators.partitioning import spread_small_scan
-
-    # codec work is CPU-bound Arrow map work; a single-row-group scan
-    # would serialize it (same starvation fix as q27/q28/q65)
-    # only doc_id feeds the synthesizer: project BEFORE the spread so
-    # the repartition ships 8-byte ids, not full document text.
     # Round 15: fused one-task round-trip (multimodal.jpeg_roundtrip_stats)
     # — the two-stage synth->decode pipeline crossed the Arrow boundary
     # 4x per payload; identity with the composition is pytest-pinned.
-    doc = spread_small_scan(load_table(spark, sf, "documents").select("doc_id"))
+    # The operator itself partitions ids by the pixel formula's
+    # congruence class (duplicate payloads co-locate with the memo),
+    # which subsumes the old round-robin spread.
+    doc = load_table(spark, sf, "documents").select("doc_id")
     return multimodal.jpeg_roundtrip_stats(
         doc, width=32, height=24, quality=100
     ).select(
@@ -2099,10 +2096,9 @@ def q69(spark, sf):
     per-payload sample statistics. Both stages are Arrow-batched
     ``mapInPandas`` maps — no shuffle, payloads never leave executors.
     Beyond-reference multimodal family."""
-    from .operators.partitioning import spread_small_scan
-
-    # Round 15: fused one-task round-trip (flac_roundtrip_stats) — see q68
-    doc = spread_small_scan(load_table(spark, sf, "documents").select("doc_id"))
+    # Round 15: fused one-task round-trip (flac_roundtrip_stats) — see
+    # q68, including the operator-side congruence-class partitioning
+    doc = load_table(spark, sf, "documents").select("doc_id")
     return multimodal.flac_roundtrip_stats(
         doc, n_samples=2048, sample_rate=16_000
     ).select(
@@ -2267,10 +2263,9 @@ def q72(spark, sf):
     ``mapInPandas`` maps — payloads never leave executors, no shuffle.
     Beyond-reference multimodal family (closes the last honest codec
     stub; motion-compensated profiles remain a native-codec job)."""
-    from .operators.partitioning import spread_small_scan
-
-    # Round 15: fused one-task round-trip (h264_roundtrip_stats) — see q68
-    doc = spread_small_scan(load_table(spark, sf, "documents").select("doc_id"))
+    # Round 15: fused one-task round-trip (h264_roundtrip_stats) — see
+    # q68, including the operator-side congruence-class partitioning
+    doc = load_table(spark, sf, "documents").select("doc_id")
     return multimodal.h264_roundtrip_stats(
         doc, width=32, height=16, n_frames=2
     ).select(

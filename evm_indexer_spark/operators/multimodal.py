@@ -578,6 +578,26 @@ def h264_frame_features(
 _ROUNDTRIP_MEMO_CAP = 1 << 14  # entries/task; keys are ~1-4 KB of content
 
 
+def _class_partitioned_ids(documents: DataFrame, class_mod: int) -> DataFrame:
+    """doc_id-only frame hash-partitioned by the synth formula's
+    congruence class: every roundtrip operator's payload is a pure
+    function of ``doc_id % class_mod`` (2048 for the FLAC waveform,
+    256 for the JPEG/H.264 pixel formulas), so partitioning on the
+    class lands every duplicate payload in the task whose memo already
+    holds its round-trip. Distinct codec work per task drops from
+    ~rows/tasks (round-robin spread) to ~class_mod/tasks — measured
+    q69: ~156 → ~64 FLAC trips/task at sf0.1, and the ratio widens
+    with SF since class_mod is fixed. This is the guide §2.3 move:
+    shuffle 8 bytes of id per row to place the heavy compute, never
+    the payloads. Placement only — the kernels' outputs are row-wise
+    and memo-cached, so results are identical under any partitioning.
+    ``class_mod ≫ partitions`` keeps the hash spread even (§2.5)."""
+    target = documents.sparkSession.sparkContext.defaultParallelism
+    return documents.select("doc_id").repartition(
+        target, F.pmod(F.col("doc_id"), F.lit(class_mod))
+    )
+
+
 def flac_roundtrip_stats(
     documents: DataFrame, n_samples: int = 2048, sample_rate: int = 16_000
 ) -> DataFrame:
@@ -627,7 +647,7 @@ def flac_roundtrip_stats(
                 out["s_sum"].append(st[3])
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id").mapInPandas(
+    return _class_partitioned_ids(documents, 2048).mapInPandas(
         gen,
         schema=(
             "doc_id long, sample_rate long, n_samples long, "
@@ -692,7 +712,7 @@ def jpeg_roundtrip_stats(
                 out["px_sum"].append(st[4])
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id").mapInPandas(
+    return _class_partitioned_ids(documents, 256).mapInPandas(
         gen,
         schema=(
             "doc_id long, width long, height long, "
@@ -763,7 +783,7 @@ def h264_roundtrip_stats(
                 out["y_sum"].append(st[5])
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id").mapInPandas(
+    return _class_partitioned_ids(documents, 256).mapInPandas(
         gen,
         schema=(
             "doc_id long, n_frames long, width long, height long, "
