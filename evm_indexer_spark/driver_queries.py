@@ -2529,8 +2529,16 @@ def q76(spark, sf):
         return dup_window_spans_onetask(
             flagged, "doc_id", "text", "__b", window_n=8
         )
+    from .operators.partitioning import spread_small_scan
+
+    # spread the history scan too: the md5 window pass is the cost and
+    # a single-row-group fixture otherwise signs the whole history in
+    # one task (round 16, same fix as duplicate_window_spans)
     hist = (
-        _window_hashes(doc.filter(F.col("doc_id") < split), "doc_id", "text", 8)
+        _window_hashes(
+            spread_small_scan(doc.filter(F.col("doc_id") < split)),
+            "doc_id", "text", 8,
+        )
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
     )

@@ -1465,12 +1465,13 @@ def _window_hashes(
 
 
 def _span_stats(
-    df: DataFrame, id_col: str, text_col: str, flagged: DataFrame, n: int
+    df: DataFrame, id_col: str, text_col: str, dup_rows: DataFrame, n: int
 ) -> DataFrame:
-    """Fold per-window dup flags into per-doc span statistics.
+    """Fold duplicated-window rows into per-doc span statistics.
 
-    *flagged*: (id, pos, dup boolean) — one row per window of the docs
-    in *df*. Output: doc_id, n_tokens, n_windows, dup_windows,
+    *dup_rows*: (id, pos) — one row per FLAGGED window of the docs in
+    *df* (round 16: unflagged windows no longer flow here at all, see
+    below). Output: doc_id, n_tokens, n_windows, dup_windows,
     covered_tokens (distinct token positions under ≥1 flagged window —
     overlapping spans union, never sum).
 
@@ -1482,37 +1483,28 @@ def _span_stats(
     shuffle by n× (8× here; at sf10 that explode carried 190M rows).
 
     Round 15: the window/dup-window counts and the covered-span union
-    fold into ONE aggregate over ONE evaluation of *flagged* — the
-    previous wagg ⟕ cov pair consumed *flagged* twice, and Spark
-    re-evaluated the whole upstream pipeline (tokenize + explode + md5
-    + hash exchange + analytic count, plus the history join in the
-    incremental form) once per consumer. The nearest-FOLLOWING-dup
-    distance comes from a running ``last(…, ignorenulls)`` over
-    (id ORDER BY pos DESC) — with descending order the already-seen
-    rows are exactly the larger positions, so the frame
-    (unboundedPreceding, -1) is a growing frame (O(rows) execution,
-    never the shrinking unboundedFollowing form) and its last non-null
-    dup position IS the next flagged window start. Identical output:
-    interleaved medians q73 1.56→1.18s, q76 2.14→1.43s at sf0.1
-    (tools/ab_entries.py, steal 1.22%)."""
+    fold into ONE aggregate over ONE evaluation of the flagged frame.
+    Round 16 (guide §2.3 — shuffle fewer bytes): only DUP rows reach
+    the id-partitioned exchange/sort/window. ``n_windows`` never
+    needed the unflagged rows — it equals ``max(n_tokens − n + 1, 0)``
+    by construction (the window explode emits exactly
+    ``size(t) − n + 1`` rows for ``size(t) ≥ n`` and none otherwise),
+    so it is computed in the restore projection from the same
+    tokenization that already produces ``n_tokens``. The
+    nearest-FOLLOWING-dup distance is now a plain ``lag(pos)`` over
+    (id ORDER BY pos DESC) — over dup-only rows the previous row IS
+    the next flagged window start (identical to the round-15
+    ``last(when(dup, pos))`` growing frame restricted to dup rows)."""
     from pyspark.sql import Window as W
 
-    run = W.partitionBy("id").orderBy(F.desc("pos")).rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    nxt_dup = F.last(
-        F.when(F.col("dup"), F.col("pos")), ignorenulls=True
-    ).over(run)
-    seg = F.when(
-        F.col("dup"),
-        F.least(F.lit(n), F.coalesce(nxt_dup - F.col("pos"), F.lit(n))),
-    )
+    run = W.partitionBy("id").orderBy(F.desc("pos"))
+    nxt_dup = F.lag("pos").over(run)
+    seg = F.least(F.lit(n), F.coalesce(nxt_dup - F.col("pos"), F.lit(n)))
     agg = (
-        flagged.withColumn("seg", seg)
+        dup_rows.withColumn("seg", seg)
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.col("dup").cast("long")).alias("dup_windows"),
+            F.count(F.lit(1)).alias("dup_windows"),
             F.sum("seg").cast("long").alias("covered_tokens"),
         )
     )
@@ -1522,12 +1514,15 @@ def _span_stats(
         .cast("long")
         .alias("n_tokens"),
     )
+    n_windows = F.when(
+        F.col("n_tokens") >= n, F.col("n_tokens") - n + 1
+    ).otherwise(F.lit(0))
     return (
         base.join(agg, "id", "left")
         .select(
             F.col("id").alias("doc_id"),
             "n_tokens",
-            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            n_windows.cast("long").alias("n_windows"),
             F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
             F.coalesce("covered_tokens", F.lit(0))
             .cast("long")
@@ -1552,23 +1547,37 @@ def duplicate_window_spans(
     summed). Documents shorter than ``window_n`` tokens report zero
     windows.
 
-    Scale shape: one tokenize pass; the corpus-wide occurrence count
-    is a single analytic window partitioned by the 60-bit window hash
-    (uniform key — one shuffle, no join against a count table); span
-    union is a partition-local explode + distinct keyed by doc. No
+    Scale shape (round 16, guide §2.2/§2.3): ONE tokenize+hash pass —
+    the scan is spread when its split count starves the executors
+    (``spread_small_scan``; at sf1 the single-row-group fixture ran
+    the whole md5 pass in ONE task, 3.9s of the 6.9s total) — one
+    analytic count over the 60-bit window hash partitioning (uniform
+    key — one shuffle of slim (id, pos, h) rows, no join against a
+    count table, and the single-consumer shape evaluates the md5 pass
+    exactly once: a count-aggregate + hash-join-back formulation was
+    measured here and LOST because per-branch column pruning makes
+    the two exchanges non-identical, defeating exchange reuse and
+    running the whole hash pass twice), then only the rows whose hash
+    repeats survive into the per-doc span fold (``_span_stats``). No
     all-pairs stage anywhere — cost is O(total windows), and every
     hash is the engine-portable md5-60 form, so the flags themselves
     (not just aggregate counts) reproduce in any engine (q73 oracle).
     """
     from pyspark.sql import Window as W
 
-    win = _window_hashes(df, id_col, text_col, window_n)
-    flagged = win.select(
-        "id",
-        "pos",
-        (F.count(F.lit(1)).over(W.partitionBy("h")) > 1).alias("dup"),
+    win = _window_hashes(
+        spread_small_scan(df), id_col, text_col, window_n
     )
-    return _span_stats(df, id_col, text_col, flagged, window_n)
+    dup = (
+        win.select(
+            "id",
+            "pos",
+            (F.count(F.lit(1)).over(W.partitionBy("h")) > 1).alias("dup"),
+        )
+        .filter(F.col("dup"))
+        .select("id", "pos")
+    )
+    return _span_stats(df, id_col, text_col, dup, window_n)
 
 
 def incremental_dup_window_stats(
@@ -1589,26 +1598,29 @@ def incremental_dup_window_stats(
     identity: DuckDB recomputes the FULL-corpus batch truth and
     restricts it to arriving ids.
 
-    Cost is O(batch windows): one window pass over the batch, one
-    analytic count, one hash equi-join against the slim (h, occ)
-    index — the history text is never re-tokenized. Same
+    Cost is O(batch windows): one window pass over the batch (scan
+    spread when starved, exactly as ``duplicate_window_spans``; the
+    single-consumer analytic count keeps the md5 pass evaluated once —
+    see that docstring for the measured count-agg-join-back negative),
+    one analytic count, one hash equi-join against the slim (h, occ)
+    index, and only flagged rows reach the per-doc span fold (round
+    16). The history text is never re-tokenized. Same
     O(batch)-not-O(corpus) shape as dedup/audit-on-arrival."""
     from pyspark.sql import Window as W
 
-    win = _window_hashes(batch, id_col, text_col, window_n)
+    win = _window_hashes(
+        spread_small_scan(batch), id_col, text_col, window_n
+    )
     hist = history_hashes.groupBy("h").agg(F.sum("occ").alias("hist_occ"))
-    flagged = (
+    dup = (
         win.withColumn("bc", F.count(F.lit(1)).over(W.partitionBy("h")))
         .join(hist, "h", "left")
-        .select(
-            "id",
-            "pos",
-            (
-                F.coalesce(F.col("hist_occ"), F.lit(0)) + F.col("bc") > 1
-            ).alias("dup"),
+        .filter(
+            F.coalesce(F.col("hist_occ"), F.lit(0)) + F.col("bc") > 1
         )
+        .select("id", "pos")
     )
-    return _span_stats(batch, id_col, text_col, flagged, window_n)
+    return _span_stats(batch, id_col, text_col, dup, window_n)
 
 
 def dup_window_spans_onetask(
