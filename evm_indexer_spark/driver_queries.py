@@ -64,6 +64,35 @@ def _dec(col, p=18, s=2):
     )
 
 
+# -- one-task tier byte gates (round 16) -------------------------------------
+#
+# Every one-task route (q27/q28/q35/q40/q66/q67/q73/q76/q79/q80-q83)
+# used to gate on footer ROWCOUNT alone; a corpus that lands just under
+# the row cap with pathological per-row payloads (few rows × megabyte
+# documents, or huge embedding dims) would serialize real work into one
+# Arrow task while the distributed plan handles it fine. The gates below
+# bound the task's INPUT BYTES from the same parquet footer metadata
+# (``table_column_bytes`` — zero plan-build jobs; None, i.e. footerless
+# or non-local sources, routes DISTRIBUTED, the always-correct path).
+#
+# Cap calibration (measured, see OPTIMIZATION_r16.md "byte gates"):
+# the text kernels process ~1.5 MB of footer text in ~0.2-0.5 s of
+# single-task Python at sf0.1 and ~15 MB in ~4 s (the sf1 single-task
+# md5 probe) — the distributed plans beat one task well before that, so
+# the text cap sits at 8 MB (~5× the sf0.1 gate volume, comfortably
+# inside the measured-win region at the sf0.3 crossover point). The
+# vector kernels are one numpy matmul whose input at sf1 is 3.5 MB of
+# footer bytes; 32 MB (~20k rows × dim 400 float32) bounds the matmul
+# and the candidate verify far below single-task pain.
+ONETASK_TEXT_BYTES_CAP = 8 << 20
+ONETASK_VEC_BYTES_CAP = 32 << 20
+
+
+def _onetask_bytes_ok(sf: str, table: str, col: str, cap: int) -> bool:
+    b = table_column_bytes(sf, table, col)
+    return b is not None and b <= cap
+
+
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-style pricing summary (scan + filter + groupBy agg).
 # GroupBy does not exist in the reference (SURVEY §2.4) — this demonstrates
@@ -591,7 +620,9 @@ def q27(spark, sf):
     n = table_rowcount(sf, "documents")
     n = doc.count() if n is None else n
     nh, b = dedup.banding_for_corpus(n)
-    if n <= dedup.BRUTE_TASK_CAP:
+    if n <= dedup.BRUTE_TASK_CAP and _onetask_bytes_ok(
+        sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
+    ):
         # one-Arrow-task tier: the distributed plan is 11 AQE jobs of
         # ~0.2s scheduling floor against ~0.5s of compute at this scale
         # (2.4s → 1.0s warm at sf0.1, r7 medians); same blake2b-family
@@ -671,7 +702,9 @@ def q28(spark, sf):
     doc = load_table(spark, sf, "documents")
     n = table_rowcount(sf, "documents")
     n = doc.count() if n is None else n
-    if n <= dedup.BRUTE_TASK_CAP:
+    if n <= dedup.BRUTE_TASK_CAP and _onetask_bytes_ok(
+        sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
+    ):
         # one-Arrow-task tier (the q27/q35/q79/q80-family small-corpus
         # routing): the distributed group plan is one signing task plus
         # three AQE stages of scheduling floor at this scale — 0.94 →
@@ -1054,7 +1087,13 @@ def q35(spark, sf):
     # Six tables put the expected misses at << 1 through sf10 while the
     # exact verification stage keeps precision at 1.0.
     n = table_rowcount(sf, "embeddings")
-    if n is not None and 2 * n <= dedup.BRUTE_TASK_CAP:
+    if (
+        n is not None
+        and 2 * n <= dedup.BRUTE_TASK_CAP
+        and _onetask_bytes_ok(
+            sf, "embeddings", "embedding", ONETASK_VEC_BYTES_CAP // 2
+        )
+    ):
         # one-Arrow-task tier (the q27/q66/q83 routing applied to
         # embeddings): 1.39s -> ~0.45s warm at sf0.1 (round-15 medians)
         # — below the cap the distributed plan is stage floors and four
@@ -1921,7 +1960,9 @@ def q66(spark, sf):
         n, rng = row.n, (row.lo, row.hi)
     split = (int(rng[0]) + int(rng[1]) + 1) // 2
     nh, b = dedup.banding_for_corpus(n)
-    if n <= dedup.BRUTE_TASK_CAP:
+    if n <= dedup.BRUTE_TASK_CAP and _onetask_bytes_ok(
+        sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
+    ):
         # one-Arrow-task tier (same routing as q27): the flagged bucket
         # pass runs in-task over the whole small corpus — 2.8s → 1.0s
         # warm at sf0.1 (r7 medians). The O(batch)-not-O(corpus)
@@ -1992,7 +2033,13 @@ def q67(spark, sf):
     )
     corpus = emb.unionByName(perturbed)
     n = table_rowcount(sf, "embeddings")
-    if n is not None and 2 * n <= dedup.BRUTE_TASK_CAP:
+    if (
+        n is not None
+        and 2 * n <= dedup.BRUTE_TASK_CAP
+        and _onetask_bytes_ok(
+            sf, "embeddings", "embedding", ONETASK_VEC_BYTES_CAP // 2
+        )
+    ):
         # one-Arrow-task tier (the q66 routing applied to embeddings):
         # the flagged bucket pass runs in-task over the whole small
         # corpus — 1.52s -> ~0.5s warm at sf0.1 (round-15 medians),
@@ -2346,7 +2393,13 @@ def q73(spark, sf):
     # the global >1 rule; the distributed analytic-window plan is the
     # 100-TB path, sf1-gated. Footer-read routing, zero plan-build jobs.
     n_docs = table_rowcount(sf, "documents")
-    if n_docs is not None and n_docs <= corpus.CONTAM_TASK_CAP:
+    if (
+        n_docs is not None
+        and n_docs <= corpus.CONTAM_TASK_CAP
+        and _onetask_bytes_ok(
+            sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
+        )
+    ):
         return corpus.dup_window_spans_onetask(
             doc.select("doc_id", "text", F.lit(True).alias("__b")),
             "doc_id", "text", "__b", window_n=8,
@@ -2520,7 +2573,13 @@ def q76(spark, sf):
     # identity incremental_dup_window_stats' docstring derives). The
     # REAL O(batch) stream plan runs above the cap, sf1-gated.
     n_docs = table_rowcount(sf, "documents")
-    if n_docs is not None and n_docs <= corpus.CONTAM_TASK_CAP:
+    if (
+        n_docs is not None
+        and n_docs <= corpus.CONTAM_TASK_CAP
+        and _onetask_bytes_ok(
+            sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
+        )
+    ):
         from .operators.corpus import dup_window_spans_onetask
 
         flagged = doc.select(
@@ -2823,7 +2882,9 @@ def q79(spark, sf):
     # plan pinned in tests/test_similarity.py; the distributed
     # train->encode->ADC->re-rank plan stays the at-scale path and is
     # gated by the sf1 replica (20k vectors, above this cap).
-    if n <= dedup.BRUTE_TASK_CAP // 2:
+    if n <= dedup.BRUTE_TASK_CAP // 2 and _onetask_bytes_ok(
+        sf, "embeddings", "embedding", ONETASK_VEC_BYTES_CAP
+    ):
         return similarity.pq_ann_onetask(
             emb, "vec_id", "embedding", _query_vec(spark, sf),
             k=10, n_candidates=40, sample_rows=20_000, round_digits=4,
@@ -2971,7 +3032,13 @@ def q80(spark, sf):
     # the distributed broadcast/shuffle plan is the 100-TB path and
     # stays gated by the sf1 replica.
     n_docs = table_rowcount(sf, "documents")
-    if n_docs is not None and n_docs <= corpus.CONTAM_TASK_CAP:
+    if (
+        n_docs is not None
+        and n_docs <= corpus.CONTAM_TASK_CAP
+        and _onetask_bytes_ok(
+            sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
+        )
+    ):
         flagged = doc.select(
             "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("__ev")
         )
@@ -3047,7 +3114,13 @@ def q81(spark, sf):
     doc = load_table(spark, sf, "documents")
     # STRATEGY-routed small-corpus tier (round 15) — see q80
     n_docs = table_rowcount(sf, "documents")
-    if n_docs is not None and n_docs <= corpus.CONTAM_TASK_CAP:
+    if (
+        n_docs is not None
+        and n_docs <= corpus.CONTAM_TASK_CAP
+        and _onetask_bytes_ok(
+            sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
+        )
+    ):
         flagged = doc.select(
             "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("__ev")
         )
@@ -3149,7 +3222,13 @@ def q82(spark, sf):
     # EvalGramIndex.contamination_for runs) executes above the cap and
     # stays gated by the sf1 replica.
     n_docs = table_rowcount(sf, "documents")
-    if n_docs is not None and n_docs <= corpus.CONTAM_TASK_CAP:
+    if (
+        n_docs is not None
+        and n_docs <= corpus.CONTAM_TASK_CAP
+        and _onetask_bytes_ok(
+            sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
+        )
+    ):
         flagged = ev.select(
             "doc_id", "text", F.lit(True).alias("__ev")
         ).unionByName(
@@ -3235,7 +3314,9 @@ def q83(spark, sf):
         n = doc.count()
     nh, b = dedup.banding_for_corpus(n)
     survivors = doc.filter(F.col("doc_id") % 37 != 5)
-    if n <= dedup.BRUTE_TASK_CAP:
+    if n <= dedup.BRUTE_TASK_CAP and _onetask_bytes_ok(
+        sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
+    ):
         return dedup.minhash_pairs_onetask(
             survivors, "doc_id", "text",
             num_hashes=nh, bands=b, jaccard_threshold=0.4,

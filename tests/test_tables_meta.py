@@ -64,6 +64,18 @@ class TestFooterMeta:
             f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
         ).fetchone()[0]  # last token of each doc has no separator byte
 
+    def test_column_bytes_nested_column_sums_leaves(self):
+        # parquet footers record array columns as `col.list.element`
+        # leaf paths; the embedding byte gates (q35/q67/q79) need the
+        # bare column name to resolve to the summed leaf chunks
+        eb = table_column_bytes(SF, "embeddings", "embedding")
+        assert eb is not None
+        n, dim = duckdb.sql(
+            f"SELECT count(*), max(len(embedding)) FROM "
+            f"read_parquet('{SF}/embeddings.parquet')"
+        ).fetchone()
+        assert eb >= n * dim * 4  # at least the raw float payload
+
     def test_column_bytes_missing_returns_none(self):
         assert table_column_bytes(SF, "no_such_table", "text") is None
         # a present table with an ABSENT column must be None, not 0 —
@@ -211,3 +223,71 @@ class TestBandingTiers:
         q66 = inspect.getsource(driver_queries.q66)
         assert "banding_for_corpus" in q27
         assert "banding_for_corpus" in q66
+
+
+class TestOnetaskByteGates:
+    """Round 16: every one-task tier must gate on footer BYTE volume,
+    not rowcount alone — a rowcount-small corpus with pathological
+    per-row payloads must route to the distributed plan."""
+
+    def _fat_docs_dir(self, tmp_path, n_rows=20, row_kb=600):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        text = ("lorem ipsum dolor sit amet " * (row_kb * 1024 // 27))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n_rows), pa.int64()),
+                "text": pa.array(
+                    [f"{text} tail{i}" for i in range(n_rows)]
+                ),
+                "lang": pa.array(["en"] * n_rows),
+                "n_chars": pa.array([len(text)] * n_rows, pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_helper_rejects_fat_and_footerless(self, tmp_path):
+        from evm_indexer_spark.driver_queries import (
+            ONETASK_TEXT_BYTES_CAP,
+            _onetask_bytes_ok,
+        )
+
+        d = self._fat_docs_dir(tmp_path)
+        assert table_rowcount(d, "documents") == 20
+        tb = table_column_bytes(d, "documents", "text")
+        assert tb is not None and tb > ONETASK_TEXT_BYTES_CAP
+        assert not _onetask_bytes_ok(
+            d, "documents", "text", ONETASK_TEXT_BYTES_CAP
+        )
+        # footerless/missing source: distributed (never one task)
+        assert not _onetask_bytes_ok(
+            d, "no_such_table", "text", ONETASK_TEXT_BYTES_CAP
+        )
+        # the gate fixtures themselves stay comfortably inside the cap
+        assert _onetask_bytes_ok(
+            "/root/testdata/sf0.1", "documents", "text",
+            ONETASK_TEXT_BYTES_CAP,
+        )
+
+    def test_fat_corpus_routes_distributed(self, spark, tmp_path):
+        # rowcount-small (20 docs) but bytes-huge (~12 MB of text):
+        # the q73/q27 plans must be the distributed ones, not the
+        # Coalesce(1) + single MapInPandas kernel
+        from evm_indexer_spark import driver_queries
+
+        d = self._fat_docs_dir(tmp_path)
+        qs = driver_queries.queries()
+        plan73 = qs["q73_dup_window_spans"](
+            spark, d
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "Repartition" in plan73  # the hash exchange of the
+        # distributed analytic-count plan (the one-task tier has none)
+        assert "MapInPandas" not in plan73
+        plan27 = qs["q27_dedup_minhash_lsh"](
+            spark, d
+        )._jdf.queryExecution().optimizedPlan().toString()
+        # the one-task MinHash kernel is a single map over a 1-coalesce;
+        # the distributed plan carries the banding join machinery
+        assert "Join" in plan27
