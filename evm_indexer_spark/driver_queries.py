@@ -702,7 +702,7 @@ def q28(spark, sf):
     doc = load_table(spark, sf, "documents")
     n = table_rowcount(sf, "documents")
     n = doc.count() if n is None else n
-    if n <= dedup.BRUTE_TASK_CAP and _onetask_bytes_ok(
+    if n <= dedup.SIMHASH_TASK_CAP and _onetask_bytes_ok(
         sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
     ):
         # one-Arrow-task tier (the q27/q35/q79/q80-family small-corpus
@@ -2395,7 +2395,7 @@ def q73(spark, sf):
     n_docs = table_rowcount(sf, "documents")
     if (
         n_docs is not None
-        and n_docs <= corpus.CONTAM_TASK_CAP
+        and n_docs <= corpus.DUPWIN_TASK_CAP
         and _onetask_bytes_ok(
             sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
         )
@@ -2575,7 +2575,7 @@ def q76(spark, sf):
     n_docs = table_rowcount(sf, "documents")
     if (
         n_docs is not None
-        and n_docs <= corpus.CONTAM_TASK_CAP
+        and n_docs <= corpus.DUPWIN_TASK_CAP
         and _onetask_bytes_ok(
             sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
         )

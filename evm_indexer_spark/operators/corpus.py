@@ -762,7 +762,16 @@ def _token_split(text_col: str):
     )
 
 
-CONTAM_TASK_CAP = 20_000  # same small-corpus tier bound as dedup's
+# Small-corpus one-task tier row caps, calibrated at THREE measured
+# points per family (round 16: sf0.1=5k, 2x=10k, 3x=15k docs of the
+# gate corpus — the round-15 single 20k constant was two-point
+# calibrated and overshot for the contamination kernels):
+# - contamination: one-task wins at 5k (r15: 1.00→0.43s), loses at 10k
+#   (ngram 1.04 vs 0.92s, skipgram 3.67 vs 2.31s distributed) → cap 8k.
+# - dup-window spans: one-task still wins at 15k (1.99 vs 2.53s) and
+#   the r15 sf1 point (50k) is distributed-faster → cap stays 20k.
+CONTAM_TASK_CAP = 8_000
+DUPWIN_TASK_CAP = 20_000
 
 
 def contamination_onetask(

@@ -1313,6 +1313,14 @@ def _jaccard_all_pairs_pandas(
 # "auto": one Arrow worker must hold every shingle set + pair counters
 BRUTE_TASK_CAP = 20_000
 
+# SimHash one-task cap, calibrated at three measured points (round 16:
+# the shared 20k constant was two-point calibrated): one-task wins at
+# 5k docs (r15: 0.94→0.60s), TIES the distributed group plan at 10k
+# (1.42 vs 1.41s) and loses at 15k (2.89 vs 2.19s) — the signing pass
+# is one Arrow task either way, so the distributed plan's extra AQE
+# stages amortize faster than the kernel's single-task bucket work.
+SIMHASH_TASK_CAP = 10_000
+
 
 def jaccard_all_pairs(
     df: DataFrame,
