@@ -285,7 +285,15 @@ def _band_hash_matrix(base, counts, num_hashes: int, bands: int):
     ks = (np.arange(1, num_hashes + 1, dtype=np.uint64) * GOLD)[:, None]
     band_seed = np.arange(bands, dtype=np.uint64) ^ GOLD
     member_idx = np.arange(bands) * rows_per_band
-    mixed = _mix64(base[None, :] ^ ks)  # (K, total shingles)
+    # mix DISTINCT shingle hashes once and gather per instance: shingle
+    # vocabularies repeat ~9× across near-duplicate corpora (the same
+    # redundancy the blake2b memo exploits), and the K-row splitmix
+    # chain was the kernel's dominant stage (0.46s of 0.91s at sf0.1 —
+    # round 16 profile); one gather replaces ~10 elementwise passes
+    # over the K× instance matrix. Bit-identical: same mix of the same
+    # values, duplicates resolved by indexed lookup.
+    uniq, inv = np.unique(base, return_inverse=True)
+    mixed = _mix64(uniq[None, :] ^ ks)[:, inv]  # (K, total shingles)
     offsets = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
     mins = np.minimum.reduceat(mixed, offsets, axis=1)  # (K, n_docs)
