@@ -203,20 +203,42 @@ def bpe_token_counts(
     learned pairs never contain a space), the merge chain is applied,
     and the token count is read off the symbol count minus the word
     separators. Pure Column math: a no-shuffle scan map at any scale.
+
+    Shape notes (round 16, measured at sf0.1, 5k docs / 1.5 MB text):
+
+    - The normalizer is projected as its OWN aliased column first: a
+      single inline select re-inlined the ``\\s+`` regexp_replace into
+      every reference (6 compiled Patterns in codegen — conditional
+      CASE branches defeat physical subexpression elimination), while
+      a multi-referenced non-cheap alias is exactly what
+      CollapseProject refuses to merge, so the regex runs once per row.
+    - Counts are LENGTH arithmetic, not split-to-array: every merge
+      replace removes exactly one marker and symbols always concatenate
+      to the normalized text, so ``symbols = length(rep) − length(norm)
+      − 1`` and ``words = spaces + 1`` — no per-row array
+      materialization. Together: 0.585s → 0.429s noop median,
+      bit-identical output (pinned in test_tokenizer).
     """
     norm = F.trim(
         F.regexp_replace(F.lower(_check_text_clean(F.col(text_col))), r"\s+", " ")
     )
-    rep = apply_merges(_word_rep(norm), merges)
-    n_words = F.when(norm == "", F.lit(0)).otherwise(
-        F.size(F.split(norm, " "))
+    base = df.select(F.col(id_col).alias("doc_id"), norm.alias("__norm"))
+    nc = F.col("__norm")
+    rep = apply_merges(_word_rep(nc), merges)
+    # words = space separators + 1 (norm is trimmed and single-spaced,
+    # so split(norm, ' ') would yield exactly spaces+1 tokens)
+    n_words = F.when(nc == "", F.lit(0)).otherwise(
+        F.length(nc) - F.length(F.replace(nc, F.lit(" "), F.lit(""))) + 1
     )
-    n_sym = F.greatest(F.size(F.split(rep, MARK)) - 2, F.lit(0))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    # rep is MARK ++ sym1 ++ MARK ++ ... ++ symN ++ MARK and the symbol
+    # bodies concatenate to norm under every merge (a merge only drops
+    # one delimiter), so N = length(rep) − length(norm) − 1 exactly
+    n_sym = F.greatest(F.length(rep) - F.length(nc) - 1, F.lit(0))
+    return base.select(
+        "doc_id",
         n_words.cast("long").alias("n_words"),
         # symbols = BPE tokens + (n_words - 1) space separators
-        F.when(norm == "", F.lit(0))
+        F.when(nc == "", F.lit(0))
         .otherwise(n_sym - (n_words - 1))
         .cast("long")
         .alias("n_bpe_tokens"),

@@ -147,3 +147,20 @@ def test_empty_and_whitespace_docs(spark):
     }
     assert got[0]["n_words"] == 2 and got[0]["n_bpe_tokens"] == 2
     assert got[1]["n_words"] == 0 and got[1]["n_bpe_tokens"] == 0
+
+
+def test_apply_plan_evaluates_normalizer_once(spark):
+    """The \\s+ normalizer must stay a single aliased projection:
+    inlining it into every count reference compiled SIX regex Patterns
+    per row (CASE branches defeat physical subexpression elimination)
+    and cost ~27% of the apply pass at sf0.1 (round 16)."""
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    out = tokenizer.bpe_token_counts(
+        df, "doc_id", "text", [("a", "b", 1)]
+    )
+    optimized = str(
+        out._jdf.queryExecution().optimizedPlan()
+    )
+    assert optimized.count("regexp_replace(lower(") == 1
+    # and the counts are pure length arithmetic - no per-row arrays
+    assert "split(" not in optimized
