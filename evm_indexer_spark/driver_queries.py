@@ -2447,8 +2447,16 @@ def q74(spark, sf):
     from .operators import ranking
 
     doc = load_table(spark, sf, "documents")
+    # vocabulary bytes <= total text bytes, so the footer byte cap
+    # bounds the broadcast build side; past the cap the join strategy
+    # stays the optimizer's (round 16, guide section 3.1: the static
+    # planner otherwise broadcasts the post-explode TOKEN STREAM -
+    # strictly larger than the distinct-term table)
     return ranking.dsir_scores(
-        doc, "doc_id", "text", F.col("lang") == "en"
+        doc, "doc_id", "text", F.col("lang") == "en",
+        broadcast_vocab=_onetask_bytes_ok(
+            sf, "documents", "text", ONETASK_TEXT_BYTES_CAP
+        ),
     ).select(F.col("id").alias("doc_id"), "n_tokens", "dsir_score")
 
 
