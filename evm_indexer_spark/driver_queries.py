@@ -1553,9 +1553,14 @@ def q54(spark, sf):
     if (ev.count() if n_events is None else n_events) <= 250_000:
         # bin ≈ window/12: finer bins trade a wider (slim-row) interval
         # explosion for fewer false pairs per bin — measured 3.2→2.1s
-        # at sf1, 0.73→0.46s at sf0.1 vs bin=window
+        # at sf1, 0.73→0.46s at sf0.1 vs bin=window.
+        # Points projected to the two consumed columns before binning
+        # (fewer shuffle bytes; a broadcast-intervals variant was A/B'd
+        # flat at sf0.1 AND at the 250k route boundary and rejected —
+        # see interval_join's docstring)
         joined = temporal.interval_join(
-            ev, windows, point_ts="ts", start_col="w_start", end_col="w_end",
+            ev.select("ts", "value"), windows,
+            point_ts="ts", start_col="w_start", end_col="w_end",
             bin_seconds=300,
         )
         return joined.groupBy("window_id").agg(

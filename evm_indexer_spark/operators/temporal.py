@@ -126,6 +126,14 @@ def interval_join(
     sides shuffle on it; common buckets (bursts) behave like any other
     hot groupBy key and respond to AQE skew splitting.
 
+    A broadcast-the-exploded-intervals variant was A/B'd in round 16
+    and REJECTED: interleaved fresh-plan medians were statistically
+    flat at both sf0.1 (0.478s vs 0.497s) and a synthetic 250k-event
+    corpus at the q54 route boundary (0.800s vs 0.809s) — on dense
+    data the broadcast build of |intervals| × (len/bin + 1) rows costs
+    what the two saved shuffles earn, while giving up AQE skew
+    splitting on burst bins. The shuffle join stays.
+
     Tuning: *bin_seconds* trades interval-row explosion (each interval
     appears in ceil(len/bin)+1 bins) against false candidates (every
     point meets every interval sharing its bin). For dense data, bins
