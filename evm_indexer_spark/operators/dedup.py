@@ -1022,26 +1022,36 @@ def simhash_pairs_onetask(
             )
             ids.extend(bids)
             usigs.extend(s & u64 for s in bsigs)
+        # per-row block values, precomputed once: blks[i][b]
+        blks = [
+            [(s >> (b * width)) & mask for b in range(n_blocks)]
+            for s in usigs
+        ]
         buckets: dict = {}  # (blk, block value) -> [row index]
-        for i, s in enumerate(usigs):
+        for i, bl in enumerate(blks):
             for b in range(n_blocks):
-                buckets.setdefault((b, (s >> (b * width)) & mask), []).append(i)
-        seen = set()
+                buckets.setdefault((b, bl[b]), []).append(i)
         ra, rb, rh = [], [], []
-        for grp in buckets.values():
+        for (b, _val), grp in buckets.items():
             if len(grp) < 2:
                 continue
             for x in range(len(grp) - 1):
                 for y in range(x + 1, len(grp)):
                     i, j = grp[x], grp[y]
-                    # least/greatest keying, exactly the group path
-                    # (callers guarantee unique ids, as for minhash)
-                    p = (i, j) if ids[i] < ids[j] else (j, i)
-                    if p in seen:
+                    # emit a multi-block collision only from its FIRST
+                    # colliding block: O(1) extra memory per pair where
+                    # a seen-set was O(colliding pairs) — a degenerate
+                    # near-identical corpus at the task cap collides in
+                    # every block and the set held ~n²/2 tuples
+                    # (round-15 ADVICE). Same pair set by construction.
+                    bi, bj = blks[i], blks[j]
+                    if any(bi[b2] == bj[b2] for b2 in range(b)):
                         continue
-                    seen.add(p)
                     h = (usigs[i] ^ usigs[j]).bit_count()
                     if h <= max_h:
+                        # least/greatest keying, exactly the group path
+                        # (callers guarantee unique ids, as for minhash)
+                        p = (i, j) if ids[i] < ids[j] else (j, i)
                         ra.append(ids[p[0]])
                         rb.append(ids[p[1]])
                         rh.append(h)

@@ -220,6 +220,30 @@ def test_simhash_onetask_identical(spark, corpus):
     assert (304, 305, 0) in one  # identical docs collide in all blocks
 
 
+def test_simhash_onetask_degenerate_all_blocks_collide(spark):
+    """Round-15 ADVICE scenario: a corpus of identical/near-identical
+    docs collides in EVERY pigeonhole block. The one-task tier must
+    emit each pair exactly once (first-colliding-block rule, O(1)
+    memory - no seen-set of ~n^2/2 tuples) and match the distributed
+    group path."""
+    from pyspark.sql import functions as F
+
+    n = 60
+    rows = [(i, "the same document text repeated for everyone") for i in range(n)]
+    rows += [(1000 + i, f"the same document text repeated for almost {i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(map(tuple, dedup.simhash_pairs_onetask(
+        df, "doc_id", "text", max_hamming=3, n_blocks=4, n_bits=60).collect()))
+    grp = sorted(map(tuple, dedup.simhash_near_duplicates(
+        df, "doc_id", "text", token_hash="md5_60", n_bits=60,
+        max_hamming=3, n_blocks=4, pair_source="group").collect()))
+    assert one == grp
+    # all identical docs pair up exactly once each at hamming 0
+    zero = [p for p in one if p[2] == 0 and p[0] < 1000 and p[1] < 1000]
+    assert len(zero) == n * (n - 1) // 2
+    assert len(set(zero)) == len(zero)
+
+
 def test_incremental_pair_sources_identical(spark, corpus):
     from pyspark.sql import functions as F
 
