@@ -591,11 +591,24 @@ def _class_partitioned_ids(documents: DataFrame, class_mod: int) -> DataFrame:
     shuffle 8 bytes of id per row to place the heavy compute, never
     the payloads. Placement only — the kernels' outputs are row-wise
     and memo-cached, so results are identical under any partitioning.
-    ``class_mod ≫ partitions`` keeps the hash spread even (§2.5)."""
+    ``class_mod ≫ partitions`` keeps the hash spread even (§2.5) — and
+    that assumption is GUARDED (round-15 ADVICE): a pool wider than
+    class_mod/8 falls back to the plain round-robin spread, because
+    hashing a class_mod-key domain into that many partitions leaves a
+    growing fraction empty (at partitions = keys, ~1/e of them) and
+    skews the rest. local[32] stays on the class route for both codec
+    families (256/8 = 32, 2048/8 = 256); a ≥33-way pool reverts the
+    256-class codecs, a ≥257-way pool the FLAC 2048 classes. Results
+    are identical either way — this is placement only."""
     target = documents.sparkSession.sparkContext.defaultParallelism
-    return documents.select("doc_id").repartition(
-        target, F.pmod(F.col("doc_id"), F.lit(class_mod))
-    )
+    ids = documents.select("doc_id")
+    if target > class_mod // 8:
+        # class-key hashing cannot fill this many partitions evenly;
+        # round-robin keeps every core busy (memo hit rate drops, but
+        # the per-task distinct-class count ~rows/tasks is still small
+        # relative to a pool this wide)
+        return ids.repartition(target)
+    return ids.repartition(target, F.pmod(F.col("doc_id"), F.lit(class_mod)))
 
 
 def flac_roundtrip_stats(

@@ -531,3 +531,16 @@ class TestFusedRoundtrips:
         )
         assert fused.schema == staged.schema
         assert self._sorted(fused) == self._sorted(staged)
+
+
+def test_class_partition_guard_reverts_to_round_robin(spark):
+    """Round-15 ADVICE: hashing a small congruence-class domain into a
+    pool that is not well below it leaves partitions empty/skewed - the
+    router must fall back to round-robin there, and keep the class
+    hash when the pool is comfortably narrower than the domain."""
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    wide = multimodal._class_partitioned_ids(df, 8)  # 8 classes << pool
+    assert "RoundRobinPartitioning" in wide._jdf.queryExecution().toString()
+    narrow = multimodal._class_partitioned_ids(df, 2048)
+    s = narrow._jdf.queryExecution().toString()
+    assert "pmod" in s and "RoundRobinPartitioning" not in s
