@@ -773,6 +773,14 @@ def _token_split(text_col: str):
 CONTAM_TASK_CAP = 8_000
 DUPWIN_TASK_CAP = 20_000
 
+# Train-side probe chunk for contamination_onetask, in WINDOWS: bounds
+# the per-chunk variant matrix at 2^18 × n_var uint64 (~16 MB at n=8)
+# plus same-order sliding temps, instead of a corpus-sized matrix
+# (round-15 ADVICE — GB-scale transient at the task cap with long
+# docs). Large enough that the sf0.1 fixture (~2.4M-window corpora
+# chunk ~10×) keeps full numpy vectorization per chunk.
+_PROBE_CHUNK_WINDOWS = 1 << 18
+
 
 def contamination_onetask(
     docs: DataFrame,
@@ -782,6 +790,7 @@ def contamination_onetask(
     n: int = 8,
     mode: str = "ngram",
     min_hits: int = 1,
+    probe_chunk_windows: int | None = None,
 ) -> DataFrame:
     """The ENTIRE contamination check — eval key-set build + train
     window probe — in ONE Arrow task, for corpora that fit one worker
@@ -850,6 +859,14 @@ def contamination_onetask(
     # interned id of a literal "\x01" token, preserving the distributed
     # path's mask-collision semantics bit for bit on hostile text.
     _MASK = 0
+    # captured BY VALUE at plan-build time so it ships inside the
+    # pickled closure (a module-global read would resolve against the
+    # executor's fresh import and ignore caller overrides)
+    chunk_w = (
+        probe_chunk_windows
+        if probe_chunk_windows is not None
+        else _PROBE_CHUNK_WINDOWS
+    )
 
     def _splitmix64(x):
         x = x + np.uint64(0x9E3779B97F4A7C15)
@@ -925,31 +942,70 @@ def contamination_onetask(
                 return vm, win_doc, win_local, [t for t, _ in kept]
 
             e_vm, e_doc, e_loc, e_tids = _variant_hashes(evals)
-            t_vm, t_doc, t_loc, t_tids = _variant_hashes(train)
-            cand = np.isin(t_vm, np.unique(e_vm.ravel()))
-            cand_rows = np.nonzero(cand.any(axis=1))[0]
-            # exact verification: bucket the eval variants whose hash
-            # appears among candidates, then compare token-id tuples
-            e_hit = np.isin(e_vm, np.unique(t_vm[cand]))
+            eval_uniq = np.unique(e_vm.ravel())
+            # The TRAIN side is probed in bounded WINDOW chunks
+            # (round-15 ADVICE): a monolithic t_vm at the task cap with
+            # long documents is a (windows × n_var) uint64 matrix plus
+            # same-order sliding temps — GB-scale transient memory.
+            # Only the eval matrices and the verification bucket stay
+            # resident (eval is the small side by contract); the bucket
+            # grows lazily with the candidate hashes each chunk
+            # actually needs, so every lookup sees exactly the
+            # monolithic bucket's entries for its hashes — identical
+            # results by construction.
+            kept_train = [d for d in train if d[2] > 0]
+            hit_counts = np.zeros(max(len(kept_train), 1), dtype=np.int64)
             bucket: dict = {}
-            for wi, j in zip(*np.nonzero(e_hit)):
-                w = list(e_tids[e_doc[wi]][e_loc[wi] : e_loc[wi] + n])
-                if mode == "skipgram":
-                    w[j] = _MASK
-                bucket.setdefault(int(e_vm[wi, j]), set()).add(tuple(w))
-            hits = np.zeros(t_vm.shape[0], dtype=bool)
-            for wi in cand_rows:
-                base = t_tids[t_doc[wi]][t_loc[wi] : t_loc[wi] + n]
-                for j in np.nonzero(cand[wi])[0]:
-                    w = list(base)
-                    if mode == "skipgram":
-                        w[j] = _MASK
-                    es = bucket.get(int(t_vm[wi, j]))
-                    if es is not None and tuple(w) in es:
-                        hits[wi] = True
-                        break
-            hit_counts = np.zeros(max(len(t_tids), 1), dtype=np.int64)
-            np.add.at(hit_counts, t_doc, hits)
+            bucketed: set = set()
+            i0 = 0
+            while i0 < len(kept_train):
+                i1, wsum = i0, 0
+                while i1 < len(kept_train) and (
+                    wsum == 0
+                    or wsum + kept_train[i1][2] <= chunk_w
+                ):
+                    wsum += kept_train[i1][2]
+                    i1 += 1
+                t_vm, t_doc, t_loc, t_tids = _variant_hashes(
+                    kept_train[i0:i1]
+                )
+                cand = np.isin(t_vm, eval_uniq)
+                cand_rows = np.nonzero(cand.any(axis=1))[0]
+                if len(cand_rows):
+                    # exact verification: bucket the eval variants
+                    # whose hash appears among THIS chunk's candidates
+                    # (minus already-bucketed), then compare token-id
+                    # tuples
+                    need = np.unique(t_vm[cand])
+                    new = np.array(
+                        [h for h in need.tolist() if h not in bucketed],
+                        dtype=np.uint64,
+                    )
+                    if len(new):
+                        bucketed.update(new.tolist())
+                        e_hit = np.isin(e_vm, new)
+                        for wi, j in zip(*np.nonzero(e_hit)):
+                            w = list(
+                                e_tids[e_doc[wi]][e_loc[wi] : e_loc[wi] + n]
+                            )
+                            if mode == "skipgram":
+                                w[j] = _MASK
+                            bucket.setdefault(int(e_vm[wi, j]), set()).add(
+                                tuple(w)
+                            )
+                    hits = np.zeros(t_vm.shape[0], dtype=bool)
+                    for wi in cand_rows:
+                        base = t_tids[t_doc[wi]][t_loc[wi] : t_loc[wi] + n]
+                        for j in np.nonzero(cand[wi])[0]:
+                            w = list(base)
+                            if mode == "skipgram":
+                                w[j] = _MASK
+                            es = bucket.get(int(t_vm[wi, j]))
+                            if es is not None and tuple(w) in es:
+                                hits[wi] = True
+                                break
+                    np.add.at(hit_counts, t_doc + i0, hits)
+                i0 = i1
         ids, nw, nc, flag = [], [], [], []
         gi = 0
         for did, _tids, k in train:

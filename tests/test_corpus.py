@@ -545,6 +545,20 @@ class TestContaminationOnetask:
         assert self._rows(one) == self._rows(dist)
 
     @pytest.mark.parametrize("mode", ["ngram", "skipgram"])
+    def test_chunked_probe_identical(self, docs, mode):
+        """Round-16: the train-side probe runs in bounded WINDOW chunks
+        with a lazily-grown verification bucket. Force many tiny chunks
+        (far below any real doc's window count) and require exact
+        equality with the single-chunk result."""
+        flagged = self._flagged(docs)
+        whole = self._rows(corpus.contamination_onetask(
+            flagged, "doc_id", "text", "__ev", n=8, mode=mode))
+        chunked = self._rows(corpus.contamination_onetask(
+            flagged, "doc_id", "text", "__ev", n=8, mode=mode,
+            probe_chunk_windows=4))
+        assert chunked == whole
+
+    @pytest.mark.parametrize("mode", ["ngram", "skipgram"])
     def test_matches_shuffle_regime_on_fixture(self, docs, mode):
         # eval_small=False drives the shuffle-hash probe — both
         # distributed regimes must equal the kernel
