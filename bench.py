@@ -500,6 +500,28 @@ def main() -> None:
         loadavg_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         loadavg_start = None
+    # RE-ARM instead of proceed-and-label (round-15 directive #8:
+    # BENCH_r15 started above the gate and shipped gate_load_breach
+    # true): wait out a loud window in bounded 30 s steps, re-reading
+    # loadavg, then proceed either way with the LAST sample recorded —
+    # the artifact still self-labels honestly if the wait expires
+    rearm_wait = 0.0
+    while (
+        loadavg_start is not None
+        and gate_load_breach(loadavg_start)
+        and rearm_wait < 600.0
+    ):
+        print(
+            f"  loadavg {loadavg_start} above gate — re-arming 30s "
+            f"(waited {rearm_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        rearm_wait += 30.0
+        try:
+            loadavg_start = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            loadavg_start = None
     jiffies_start = _cpu_jiffies()
     # the console progress bar interleaves \r frames with stdout, which
     # is what corrupted the driver-parsed JSON line in BENCH_r01-r03
@@ -526,6 +548,18 @@ def main() -> None:
             return s
 
         spark.range(64).select(_warm(F.col("id"))).count()
+
+        # q84's two-commit AtomicBlockStore is a one-time ON-DISK
+        # fixture (memoized per fixture stamp — the persisted snapshots
+        # ARE the queried entity); materialize it here and report its
+        # seconds separately, so q84's timed runs measure the read
+        # plan, not store setup (round-15 directive #8: BENCH_r15's
+        # q84 cold was 5.58s of which ~5.4s was this build). Disclosed
+        # measurement fix; the timed methodology for every entry is
+        # otherwise unchanged.
+        t84 = time.perf_counter()
+        driver_queries.queries()["q84_snapshot_time_travel"](spark, SF_DIR)
+        q84_store_build = round(time.perf_counter() - t84, 4)
 
         def sweep(attempt: int) -> dict:
             """One full catalog + oracle pass with its OWN steal window
@@ -668,6 +702,11 @@ def main() -> None:
             except ValueError:
                 pass
         metrics["gate_load_breach"] = gate_load_breach(loadavg_start)
+        if rearm_wait:
+            metrics["gate_rearm_wait_sec"] = rearm_wait
+        # one-time on-disk snapshot-store materialization, reported
+        # apart from q84's timed read plan (round-15 directive #8)
+        metrics["q84_store_build_sec"] = q84_store_build
         line = json.dumps(metrics)
         # the driver keeps only the LAST 2000 CHARS of stdout and
         # json-parses them — the full metrics object is ~5 KB, so every
@@ -705,6 +744,9 @@ def main() -> None:
         compact["retried"] = metrics["retried"]
         compact["contaminated"] = metrics["contaminated"]
         compact["gate_load_breach"] = metrics["gate_load_breach"]
+        if rearm_wait:
+            compact["gate_rearm_wait_sec"] = rearm_wait
+        compact["q84_store_build_sec"] = round(q84_store_build, 2)
         compact_line = json.dumps(compact, separators=(",", ":"))
         if len(compact_line) > 1900:  # keep headroom under the 2000-char tail
             # flag the drop so a scraped record with no per-query data
